@@ -1,0 +1,370 @@
+"""Point-in-time temporal operators: sessionize, lag/lead, bounded
+rolling aggregates, forward-fill (backfill), and the as-of join.
+
+These are the engine's temporal core (SURVEY.md §2.9): didtool assumes
+a pre-built flat feature matrix; this module builds that matrix from
+(conv_id, turn_idx, role, text, tool, ts) transcripts with zero
+temporal leakage — every feature at anchor (entity, ts) reads only rows
+with ts' <= ts (strictly earlier for lag-style features).
+
+Scale notes:
+- All operators are pure ``pyspark.sql`` Window/DataFrame expressions —
+  whole-stage-codegen'd, one shuffle on the partition keys, no Python
+  in the row path.
+- Hot entities (a conversation with millions of turns) break a naive
+  ``Window.partitionBy(conv_id)``: ``asof_join(strategy="bucketed")``
+  range-splits time into buckets per key and stitches bucket boundaries
+  with a tiny carry table, so no single task sees a whole hot key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+__all__ = [
+    "epoch_seconds",
+    "ordered_window",
+    "sessionize",
+    "with_lags",
+    "with_rolling",
+    "forward_fill",
+    "asof_join",
+]
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Epoch seconds (floor) for TIMESTAMP and TIMESTAMP_NTZ alike —
+    TIMESTAMP_NTZ has no direct long cast in Spark 4; route through a
+    session-UTC timestamp."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
+
+
+def ordered_window(
+    keys: Sequence[str] | str = "conv_id",
+    order: Sequence[str] | str = ("ts", "turn_idx"),
+) -> WindowSpec:
+    """Per-entity event-order window. ``order`` must make row order stable
+    (ts alone is not unique: duplicate-second bursts are tie-broken by
+    turn_idx)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order = [order] if isinstance(order, str) else list(order)
+    return Window.partitionBy(*keys).orderBy(*order)
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    keys: Sequence[str] | str = "conv_id",
+    ts_col: str = "ts",
+    order: Sequence[str] | str = ("ts", "turn_idx"),
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event exceeds ``gap_seconds``.
+
+    session_id = cumulative sum of is-new-session indicators over the
+    per-key ordered window (0-based). One shuffle on ``keys``.
+    """
+    w = ordered_window(keys, order)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (epoch_seconds(ts_col) - epoch_seconds(prev_ts) > F.lit(gap_seconds))
+    ).cast("int")
+    cum = Window.partitionBy(
+        *([keys] if isinstance(keys, str) else keys)
+    ).orderBy(*([order] if isinstance(order, str) else list(order))).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn(out_col, F.sum(is_new).over(cum) - F.lit(1))
+
+
+def with_lags(
+    df: DataFrame,
+    cols: Iterable[str],
+    lags: Iterable[int] = (1,),
+    leads: Iterable[int] = (),
+    keys: Sequence[str] | str = "conv_id",
+    order: Sequence[str] | str = ("ts", "turn_idx"),
+) -> DataFrame:
+    """lag/lead feature columns ``{col}_lag{k}`` / ``{col}_lead{k}``.
+
+    Lags are leakage-safe (strictly past rows); leads read the future by
+    definition and must only feed *labels*, never features.
+    """
+    w = ordered_window(keys, order)
+    out = df
+    for c in cols:
+        for k in lags:
+            out = out.withColumn(f"{c}_lag{k}", F.lag(c, k).over(w))
+        for k in leads:
+            out = out.withColumn(f"{c}_lead{k}", F.lead(c, k).over(w))
+    return out
+
+
+_AGG = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "stddev": F.stddev,
+}
+
+
+def with_rolling(
+    df: DataFrame,
+    specs: Iterable[tuple[str, str, int]],
+    keys: Sequence[str] | str = "conv_id",
+    order: Sequence[str] | str = ("ts", "turn_idx"),
+    include_current: bool = False,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Bounded trailing rolling aggregates.
+
+    specs: (col, agg, k) -> column ``{col}_{agg}_last{k}`` over the
+    trailing k rows (or k seconds when ``ts_col`` is set, using a
+    rangeBetween frame on unix seconds). ``include_current=False`` keeps
+    the frame strictly historical (leakage-safe for same-row targets).
+    """
+    upper = 0 if include_current else -1
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    out = df
+    if ts_col is not None:
+        out = out.withColumn("__ts_long", epoch_seconds(ts_col))
+        base = Window.partitionBy(*keys_l).orderBy("__ts_long")
+        for col, agg, k in specs:
+            w = base.rangeBetween(-int(k), upper)
+            out = out.withColumn(f"{col}_{agg}_{k}s", _AGG[agg](col).over(w))
+        return out.drop("__ts_long")
+    order_l = [order] if isinstance(order, str) else list(order)
+    base = Window.partitionBy(*keys_l).orderBy(*order_l)
+    for col, agg, k in specs:
+        w = base.rowsBetween(-int(k), upper)
+        out = out.withColumn(f"{col}_{agg}_last{k}", _AGG[agg](col).over(w))
+    return out
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: Iterable[str],
+    keys: Sequence[str] | str = "conv_id",
+    order: Sequence[str] | str = ("ts", "turn_idx"),
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """Backfill missing values from the most recent non-null earlier row:
+    ``last(col, ignorenulls=True)`` over an unbounded-preceding frame.
+    Only reads the past — point-in-time correct by construction."""
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    order_l = [order] if isinstance(order, str) else list(order)
+    w = (
+        Window.partitionBy(*keys_l)
+        .orderBy(*order_l)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def _tag_union(
+    anchors: DataFrame,
+    features: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    anchor_cols: list[str],
+    strict: bool,
+):
+    """Union anchors+features with a source tag so one ordered window pass
+    forward-fills feature values onto anchors (sort-merge as-of)."""
+    # src: features sort before anchors at equal ts for inclusive (<=),
+    # after for strict (<).
+    f_tag, a_tag = (0, 1) if not strict else (1, 0)
+    f_side = features.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.lit(f_tag).alias("__src"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).cast(anchors.schema[c].dataType).alias(c) for c in anchor_cols],
+    )
+    a_side = anchors.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.lit(a_tag).alias("__src"),
+        *[F.lit(None).cast(features.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        *anchor_cols,
+    )
+    return f_side.unionByName(a_side), f_tag
+
+
+def asof_join(
+    anchors: DataFrame,
+    features: DataFrame,
+    keys: Sequence[str] | str = "conv_id",
+    ts_col: str = "ts",
+    value_cols: Sequence[str] | None = None,
+    strict: bool = False,
+    suffix: str = "_asof",
+    strategy: str = "window",
+    n_buckets: int = 32,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Point-in-time as-of join: each anchor row gets, per value column,
+    the value from the latest feature row with ``ts_f <= ts_anchor``
+    (``< `` when ``strict``) for the same key.
+
+    strategy="window" (default): union-tag + one ordered window pass —
+    a sort-merge as-of realized as shuffle-on-keys + in-partition sort;
+    Catalyst/Tungsten handle spilling. Right for keys whose per-key row
+    count fits a task.
+
+    strategy="bucketed": salted-key skew splitting for hot keys. Time is
+    range-split into buckets (fixed ``bucket_seconds`` width, else the
+    observed span / ``n_buckets``); the window pass runs per (key,
+    bucket) so no task sees a whole hot key; a tiny per-(key, bucket)
+    carry table (last feature value at each bucket end, forward-filled
+    across buckets) stitches the boundaries via an equi-join that AQE
+    can broadcast. Exact same semantics, bounded task size.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if value_cols is None:
+        value_cols = [
+            c for c in features.columns if c not in set(keys) | {ts_col}
+        ]
+    value_cols = list(value_cols)
+    anchor_cols = [c for c in anchors.columns if c not in set(keys) | {ts_col}]
+    out_names = {c: f"{c}{suffix}" if c in anchors.columns else c for c in value_cols}
+
+    unioned, f_tag = _tag_union(
+        anchors, features, keys, ts_col, value_cols, anchor_cols, strict
+    )
+    a_tag = 1 - f_tag
+
+    final_cols = (
+        [*keys, F.col("__ts").alias(ts_col), *anchor_cols]
+        + [F.col(f"__f_{c}").alias(out_names[c]) for c in value_cols]
+    )
+
+    if strategy == "window":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__ts", "__src")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = unioned.select(
+            "*",
+            *[
+                F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+                for c in value_cols
+            ],
+        )
+        return filled.where(F.col("__src") == a_tag).select(*final_cols)
+
+    if strategy != "bucketed":
+        raise ValueError(f"unknown asof strategy {strategy!r}")
+
+    # ---- bucketed (skew-splitting) path ----
+    tsl = epoch_seconds(F.col("__ts"))
+    if bucket_seconds is None:
+        lo, hi = unioned.select(
+            F.min(tsl).alias("lo"), F.max(tsl).alias("hi")
+        ).first()
+        bucket_seconds = max(1, ((hi or 0) - (lo or 0)) // max(1, n_buckets) + 1)
+    b = unioned.withColumn("__bucket", F.floor(tsl / F.lit(int(bucket_seconds))))
+
+    # pass 1: within-(key,bucket) forward fill
+    wb = (
+        Window.partitionBy(*keys, "__bucket")
+        .orderBy("__ts", "__src")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = b.select(
+        "*",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(wb).alias(f"__w_{c}")
+            for c in value_cols
+        ],
+    )
+
+    # carry table: last feature value per (key, bucket), forward-filled
+    # across buckets — rows = keys x buckets, tiny vs the data.
+    carry = (
+        b.where(F.col("__src") == f_tag)
+        .groupBy(*keys, "__bucket")
+        .agg(
+            # last *non-null* value in the bucket: max over (ts, src, v)
+            # structs restricted to non-null v (lexicographic max = latest row)
+            *[
+                F.max(
+                    F.when(
+                        F.col(f"__v_{c}").isNotNull(),
+                        F.struct(
+                            F.col("__ts").alias("t"),
+                            F.col("__src").alias("s"),
+                            F.col(f"__v_{c}").alias("v"),
+                        ),
+                    )
+                )["v"].alias(f"__c_{c}")
+                for c in value_cols
+            ]
+        )
+    )
+    wc = (
+        Window.partitionBy(*keys)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = carry.select(
+        *keys,
+        (F.col("__bucket") + 1).alias("__next_bucket"),
+        *[
+            F.last(f"__c_{c}", ignorenulls=True).over(wc).alias(f"__c_{c}")
+            for c in value_cols
+        ],
+    )
+    # densify: an anchor in bucket b needs the carry from the latest
+    # feature bucket <= b-1; carry rows only exist at feature buckets, so
+    # join on an as-of over buckets — realized as equi-join after
+    # expanding carry to every bucket present on the anchor side.
+    anchor_buckets = (
+        filled.where(F.col("__src") == a_tag).select(*keys, "__bucket").distinct()
+    )
+    carry_dense = (
+        anchor_buckets.join(
+            carry,
+            on=[*[anchor_buckets[k] == carry[k] for k in keys]]
+            + [carry["__next_bucket"] <= anchor_buckets["__bucket"]],
+            how="left",
+        )
+        .groupBy(*[anchor_buckets[k] for k in keys], anchor_buckets["__bucket"])
+        .agg(
+            *[
+                F.max_by(f"__c_{c}", "__next_bucket").alias(f"__c_{c}")
+                for c in value_cols
+            ]
+        )
+        .select(
+            *[anchor_buckets[k].alias(k) for k in keys],
+            F.col("__bucket"),
+            *[F.col(f"__c_{c}") for c in value_cols],
+        )
+    )
+
+    res = (
+        filled.where(F.col("__src") == a_tag)
+        .join(carry_dense, on=[*keys, "__bucket"], how="left")
+        .select(
+            "*",
+            *[
+                F.coalesce(f"__w_{c}", f"__c_{c}").alias(f"__f_{c}")
+                for c in value_cols
+            ],
+        )
+    )
+    return res.select(*final_cols)

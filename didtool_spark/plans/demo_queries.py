@@ -1,0 +1,257 @@
+"""Driver-contract queries: each engine operator exposed as a
+(spark, sf_dir) -> DataFrame callable with a matching ANSI-SQL oracle
+(DuckDB) over the same parquet tables.
+
+Conventions (driver compares sorted-by-name columns + value hashes):
+- every computed column is aliased identically in Spark and SQL;
+- float outputs are rounded to 6 decimals on BOTH sides so
+  associativity-of-float-addition differences between engines cannot
+  flip the value hash;
+- row order is irrelevant (driver hashes order-insensitively).
+
+The `events` table (event_id, ts, user_id, event_type, value, props)
+stands in for the transcripts shape: user_id ~ conv_id, event_id ~
+turn ordering tie-break, ts ~ ts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.temporal import (
+    asof_join,
+    forward_fill,
+    sessionize,
+    with_lags,
+    with_rolling,
+)
+
+GAP_S = 1800
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- temporal
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = sessionize(
+        ev, gap_seconds=GAP_S, keys="user_id", ts_col="ts", order=("ts", "event_id")
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > {GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+FROM g
+"""
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = with_lags(
+        ev, ["value"], lags=[1, 2], leads=[1],
+        keys="user_id", order=("ts", "event_id"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value_lag1", 6).alias("value_lag1"),
+        F.round("value_lag2", 6).alias("value_lag2"),
+        F.round("value_lead1", 6).alias("value_lead1"),
+    )
+
+
+SQL_LAG_LEAD = """
+SELECT event_id, user_id,
+       round(lag(value, 1)  OVER w, 6) AS value_lag1,
+       round(lag(value, 2)  OVER w, 6) AS value_lag2,
+       round(lead(value, 1) OVER w, 6) AS value_lead1
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = with_rolling(
+        ev,
+        [("value", "sum", 5), ("value", "avg", 5), ("value", "max", 5)],
+        keys="user_id",
+        order=("ts", "event_id"),
+        include_current=False,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value_sum_last5", 6).alias("value_sum_last5"),
+        F.round("value_avg_last5", 6).alias("value_avg_last5"),
+        F.round("value_max_last5", 6).alias("value_max_last5"),
+    )
+
+
+SQL_ROLLING = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 6) AS value_sum_last5,
+       round(avg(value) OVER w, 6) AS value_avg_last5,
+       round(max(value) OVER w, 6) AS value_max_last5
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill the last purchase amount onto every event."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "purchase_value", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    out = forward_fill(
+        ev, ["purchase_value"], keys="user_id", order=("ts", "event_id")
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("purchase_value_ffill", 6).alias("last_purchase_value"),
+    )
+
+
+SQL_BACKFILL = """
+SELECT event_id, user_id,
+       round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING), 6) AS last_purchase_value
+FROM events
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the value of the latest error event at-or-before
+    it for the same user (point-in-time correct as-of join)."""
+    ev = load(spark, sf_dir, "events")
+    anchors = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    feats = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    out = asof_join(
+        anchors, feats, keys="user_id", ts_col="ts",
+        value_cols=["err_value"], strict=False, strategy="window",
+    )
+    return out.select(
+        "event_id", "user_id", F.round("err_value", 6).alias("last_error_value")
+    )
+
+
+def q_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics via the skew-splitting bucketed strategy — the
+    driver oracle doubles as an equivalence check between strategies."""
+    ev = load(spark, sf_dir, "events")
+    anchors = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    feats = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    out = asof_join(
+        anchors, feats, keys="user_id", ts_col="ts",
+        value_cols=["err_value"], strict=False, strategy="bucketed", n_buckets=32,
+    )
+    return out.select(
+        "event_id", "user_id", F.round("err_value", 6).alias("last_error_value")
+    )
+
+
+SQL_ASOF = """
+WITH a AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     b AS (SELECT user_id, ts, value AS err_value FROM events WHERE event_type = 'error')
+SELECT a.event_id, a.user_id, round(b.err_value, 6) AS last_error_value
+FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
+def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: sessionized per-user point-in-time feature vectors —
+    sessionize + lag + strictly-trailing rolling + forward-fill in one
+    plan (single shuffle on user_id; every window shares the same
+    partitioning)."""
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "purchase_value", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    out = sessionize(
+        ev, gap_seconds=GAP_S, keys="user_id", ts_col="ts", order=("ts", "event_id")
+    )
+    out = with_lags(out, ["value"], lags=[1], keys="user_id", order=("ts", "event_id"))
+    out = with_rolling(
+        out, [("value", "sum", 3), ("value", "count", 3)],
+        keys="user_id", order=("ts", "event_id"),
+    )
+    out = forward_fill(out, ["purchase_value"], keys="user_id", order=("ts", "event_id"))
+    return out.select(
+        "event_id",
+        "user_id",
+        "session_id",
+        F.round("value_lag1", 6).alias("value_lag1"),
+        F.round("value_sum_last3", 6).alias("value_sum_last3"),
+        F.col("value_count_last3").alias("value_count_last3"),
+        F.round("purchase_value_ffill", 6).alias("last_purchase_value"),
+    )
+
+
+SQL_SESSION_FEATURES = f"""
+WITH g AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > {GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       sum(is_new) OVER wc - 1 AS session_id,
+       round(lag(value, 1) OVER w, 6) AS value_lag1,
+       round(sum(value) OVER wr, 6) AS value_sum_last3,
+       count(value) OVER wr AS value_count_last3,
+       round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER wc, 6) AS last_purchase_value
+FROM g
+WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wc AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),
+       wr AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+"""
+
+
+QUERIES = {
+    "sessionize": q_sessionize,
+    "lag_lead": q_lag_lead,
+    "rolling": q_rolling,
+    "backfill": q_backfill,
+    "asof_join": q_asof_join,
+    "asof_join_bucketed": q_asof_join_bucketed,
+    "session_features": q_session_features,
+}
+
+ORACLES = {
+    "sessionize": SQL_SESSIONIZE,
+    "lag_lead": SQL_LAG_LEAD,
+    "rolling": SQL_ROLLING,
+    "backfill": SQL_BACKFILL,
+    "asof_join": SQL_ASOF,
+    "asof_join_bucketed": SQL_ASOF,
+    "session_features": SQL_SESSION_FEATURES,
+}

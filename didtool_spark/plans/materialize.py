@@ -1,0 +1,87 @@
+"""Flagship feature-materialization job: transcripts -> point-in-time
+feature table.
+
+One shuffle on conv_id; every window shares the same partitioning so
+Catalyst plans a single sort + chained window operators (check with
+``.explain("formatted")`` — there must be exactly one Exchange before
+the window chain). Text features are pure JVM expressions (no Python
+in the row path).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.temporal import forward_fill, sessionize, with_lags, with_rolling
+
+ORDER = ("ts", "turn_idx")
+
+
+def turn_features(df: DataFrame) -> DataFrame:
+    """Per-turn text/turn features (stateless column expressions)."""
+    return (
+        df.withColumn("text_len", F.length("text"))
+        .withColumn("n_tokens", F.size(F.split(F.col("text"), r"\s+")))
+        .withColumn("is_user", (F.col("role") == "user").cast("int"))
+        .withColumn("is_assistant", (F.col("role") == "assistant").cast("int"))
+        .withColumn("is_tool", (F.col("role") == "tool").cast("int"))
+        .withColumn("has_tool", F.col("tool").isNotNull().cast("int"))
+    )
+
+
+def materialize_features(df: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """transcripts (conv_id, turn_idx, role, text, tool, ts) ->
+    leakage-free per-turn feature vectors."""
+    out = turn_features(df)
+    out = sessionize(out, gap_seconds=gap_seconds, keys="conv_id", order=ORDER)
+    out = with_lags(out, ["text_len", "n_tokens"], lags=[1, 2], keys="conv_id", order=ORDER)
+    out = with_rolling(
+        out,
+        [
+            ("text_len", "sum", 5),
+            ("text_len", "avg", 5),
+            ("n_tokens", "sum", 5),
+            ("is_tool", "sum", 10),
+            ("is_user", "sum", 10),
+        ],
+        keys="conv_id",
+        order=ORDER,
+    )
+    out = forward_fill(out, ["tool"], keys="conv_id", order=ORDER)
+    return out.drop("text")
+
+
+def run_throughput(
+    spark: SparkSession,
+    n_convs: int,
+    avg_turns: int = 50,
+    out_path: str | None = None,
+    gap_seconds: int = 1800,
+) -> dict:
+    """Materialize features over a deterministic synthetic transcript
+    table and report turns/sec (generation excluded via pre-count)."""
+    from ..data.transcripts import generate_transcripts
+
+    tr = generate_transcripts(spark, n_convs=n_convs, avg_turns=avg_turns)
+    tr = tr.persist()
+    n_turns = tr.count()  # force generation before the timed section
+
+    t0 = time.time()
+    feats = materialize_features(tr, gap_seconds=gap_seconds)
+    if out_path:
+        feats.write.mode("overwrite").parquet(out_path)
+    else:
+        # noop sink computes every column (count() would let Catalyst
+        # prune the window expressions and fake the throughput)
+        feats.write.format("noop").mode("overwrite").save()
+    n_out = n_turns
+    dt = time.time() - t0
+    tr.unpersist()
+    return {
+        "n_turns": n_turns,
+        "n_out": n_out,
+        "sec": dt,
+        "turns_per_sec": n_turns / dt if dt > 0 else float("inf"),
+    }

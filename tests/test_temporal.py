@@ -1,0 +1,154 @@
+"""Temporal core vs pandas oracles (merge_asof, groupby-window)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from didtool_spark.data.transcripts import generate_transcripts
+from didtool_spark.operators.temporal import (
+    asof_join,
+    forward_fill,
+    sessionize,
+    with_lags,
+    with_rolling,
+)
+
+GAP = 1800
+
+
+@pytest.fixture(scope="module")
+def tr(spark):
+    df = generate_transcripts(spark, n_convs=40, avg_turns=15, n_hot=2, hot_factor=20)
+    df.cache()
+    return df
+
+
+@pytest.fixture(scope="module")
+def tr_pd(tr):
+    pdf = tr.toPandas()
+    return pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def test_generator_deterministic(spark, tr, tr_pd):
+    df2 = generate_transcripts(
+        spark, n_convs=40, avg_turns=15, n_hot=2, hot_factor=20, partitions=7
+    )
+    pdf2 = df2.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # per-turn text equality under stable turn ordering, any parallelism
+    pd.testing.assert_frame_equal(tr_pd, pdf2)
+    assert tr_pd["ts"].notna().all()
+    # skew present: hot convs much longer than median
+    sizes = tr_pd.groupby("conv_id").size()
+    assert sizes.max() >= 10 * sizes.median()
+
+
+def test_sessionize_matches_pandas(tr, tr_pd):
+    got = (
+        sessionize(tr, gap_seconds=GAP)
+        .select("conv_id", "turn_idx", "session_id")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    def sess(g):
+        gaps = g["ts"].diff().dt.total_seconds()
+        return (gaps.isna() | (gaps > GAP)).cumsum() - 1
+
+    expect = tr_pd.groupby("conv_id", group_keys=False).apply(sess).astype("int64")
+    assert (got["session_id"].values == expect.values).all()
+    assert got["session_id"].max() > 0  # real session boundaries exist
+
+
+def test_lags_and_rolling_match_pandas(tr, tr_pd):
+    feat = tr.withColumn("text_len", __import__("pyspark").sql.functions.length("text"))
+    feat = with_lags(feat, ["text_len"], lags=[1, 3], leads=[1])
+    feat = with_rolling(feat, [("text_len", "sum", 5), ("text_len", "avg", 5)])
+    got = (
+        feat.select(
+            "conv_id", "turn_idx", "text_len_lag1", "text_len_lag3",
+            "text_len_lead1", "text_len_sum_last5", "text_len_avg_last5",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    p = tr_pd.assign(text_len=tr_pd["text"].str.len())
+    g = p.groupby("conv_id")["text_len"]
+    exp_lag1 = g.shift(1)
+    exp_lag3 = g.shift(3)
+    exp_lead1 = g.shift(-1)
+    exp_sum5 = g.apply(lambda s: s.shift(1).rolling(5, min_periods=1).sum()).reset_index(
+        level=0, drop=True
+    )
+    exp_avg5 = g.apply(lambda s: s.shift(1).rolling(5, min_periods=1).mean()).reset_index(
+        level=0, drop=True
+    )
+    np.testing.assert_array_equal(got["text_len_lag1"].values, exp_lag1.values)
+    np.testing.assert_array_equal(got["text_len_lag3"].values, exp_lag3.values)
+    np.testing.assert_array_equal(got["text_len_lead1"].values, exp_lead1.values)
+    np.testing.assert_allclose(
+        got["text_len_sum_last5"].astype(float).values, exp_sum5.values
+    )
+    np.testing.assert_allclose(
+        got["text_len_avg_last5"].astype(float).values, exp_avg5.values
+    )
+
+
+def test_forward_fill_matches_pandas(tr, tr_pd):
+    got = (
+        forward_fill(tr, ["tool"])
+        .select("conv_id", "turn_idx", "tool_ffill")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    expect = tr_pd.groupby("conv_id")["tool"].ffill()
+    assert (
+        got["tool_ffill"].fillna("∅").values == expect.fillna("∅").values
+    ).all()
+    assert got["tool_ffill"].notna().sum() > tr_pd["tool"].notna().sum()
+
+
+def _asof_oracle(anchors_pd, feats_pd, strict):
+    res = pd.merge_asof(
+        anchors_pd.sort_values("ts", kind="mergesort"),
+        feats_pd.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="conv_id",
+        allow_exact_matches=not strict,
+        direction="backward",
+    )
+    return res.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("strategy", ["window", "bucketed"])
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_join_matches_merge_asof(tr, tr_pd, strict, strategy):
+    # features: tool turns carry a score; anchors: user turns
+    from pyspark.sql import functions as F
+
+    feats = tr.where(F.col("role") == "tool").select(
+        "conv_id", "ts", F.length("text").cast("double").alias("tool_score")
+    )
+    anchors = tr.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    got = (
+        asof_join(
+            anchors, feats, keys="conv_id", ts_col="ts",
+            value_cols=["tool_score"], strict=strict,
+            strategy=strategy, n_buckets=16,
+        )
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    fp = tr_pd[tr_pd["role"] == "tool"][["conv_id", "ts"]].assign(
+        tool_score=tr_pd[tr_pd["role"] == "tool"]["text"].str.len().astype(float)
+    )
+    ap = tr_pd[tr_pd["role"] == "user"][["conv_id", "turn_idx", "ts"]]
+    expect = _asof_oracle(ap, fp, strict)
+    assert len(got) == len(expect)
+    np.testing.assert_allclose(
+        got["tool_score"].values, expect["tool_score"].values, equal_nan=True
+    )
+    assert got["tool_score"].notna().any()
