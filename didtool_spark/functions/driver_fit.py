@@ -1,0 +1,365 @@
+"""Driver-side binning fits over Spark-aggregated (value, count0, count1)
+tables — pure numpy, no sklearn/lightgbm/scipy dependency.
+
+The distributed part of every supervised binning fit is ONE aggregation
+(``groupBy(x).agg(sum(1-y), sum(y))``); the sequential split search then
+runs on the driver over distinct values (<< rows). Semantics replicate
+the reference exactly (citations per function):
+
+- cart_thresholds  ~ sklearn DecisionTreeClassifier(min_samples_leaf,
+  max_leaf_nodes) as used by reference cut.py:142-151 (dt_cut): gini,
+  best-first growth by weighted impurity decrease, midpoint thresholds,
+  first-best tie-break.
+- lgb_thresholds   ~ LGBMClassifier(n_estimators=1, num_leaves,
+  min_child_samples) as used by cut.py:200-221 (lgb_cut): histogram
+  boundaries with the zero-as-one-bin rule + min_data_in_bin=3,
+  constant-hessian logloss gradients from boost_from_average init,
+  leaf-wise growth by split gain.
+- chimerge_edges   ~ cut.py:253-354 (chi_square_cut): ChiMerge with the
+  chi2.isf(cf, n_bins-1) stop threshold (chi2_isf below).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+# ------------------------------------------------------------------ chi2
+
+def _gammainc_upper_reg(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) via series/continued
+    fraction (standard Numerical-Recipes-style formulas)."""
+    if x < 0 or a <= 0:
+        raise ValueError
+    if x == 0:
+        return 1.0
+    if x < a + 1.0:
+        # P via series, Q = 1 - P
+        ap, summ, delta = a, 1.0 / a, 1.0 / a
+        for _ in range(500):
+            ap += 1.0
+            delta *= x / ap
+            summ += delta
+            if abs(delta) < abs(summ) * 1e-16:
+                break
+        p = summ * math.exp(-x + a * math.log(x) - math.lgamma(a))
+        return 1.0 - p
+    # Q via continued fraction (Lentz)
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-16:
+            break
+    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def chi2_isf(p: float, df: int) -> float:
+    """Inverse survival function of the chi-square distribution:
+    x such that Q(df/2, x/2) = p. Bisection to ~1e-12 relative."""
+    a = df / 2.0
+    lo, hi = 0.0, 1.0
+    while _gammainc_upper_reg(a, hi / 2.0) > p:
+        hi *= 2.0
+        if hi > 1e9:
+            break
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if _gammainc_upper_reg(a, mid / 2.0) > p:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo <= 1e-12 * max(1.0, hi):
+            break
+    return 0.5 * (lo + hi)
+
+
+# ------------------------------------------------------------------ CART
+
+def _gini_cost(c0: float, c1: float) -> float:
+    """n * gini(node) — the weighted child cost term."""
+    n = c0 + c1
+    if n <= 0:
+        return 0.0
+    return n * (1.0 - (c0 / n) ** 2 - (c1 / n) ** 2)
+
+
+def cart_thresholds(
+    values: np.ndarray,
+    c0: np.ndarray,
+    c1: np.ndarray,
+    max_leaf_nodes: int,
+    min_samples_leaf: int = 1,
+) -> list[float]:
+    """1-D CART (gini) split thresholds, sklearn-equivalent best-first
+    growth (cf. reference cut.py:142-151). Exact for 1-D because splits
+    depend only on sorted distinct values + class counts."""
+    order = np.argsort(values, kind="mergesort")
+    v, a0, a1 = values[order].astype(float), c0[order].astype(float), c1[order].astype(float)
+    p0 = np.concatenate([[0.0], np.cumsum(a0)])
+    p1 = np.concatenate([[0.0], np.cumsum(a1)])
+
+    def best_split(lo: int, hi: int):
+        """Best split of distinct-value range [lo, hi); returns
+        (cost_decrease_like, split_index k, threshold) or None.
+        k: left = [lo, k), right = [k, hi)."""
+        n0, n1 = p0[hi] - p0[lo], p1[hi] - p1[lo]
+        node_cost = _gini_cost(n0, n1)
+        if hi - lo < 2 or node_cost <= 1e-12 or (n0 + n1) < 2:
+            return None
+        best = None
+        for k in range(lo + 1, hi):
+            l0, l1 = p0[k] - p0[lo], p1[k] - p1[lo]
+            r0, r1 = n0 - l0, n1 - l1
+            if (l0 + l1) < min_samples_leaf or (r0 + r1) < min_samples_leaf:
+                continue
+            cost = _gini_cost(l0, l1) + _gini_cost(r0, r1)
+            if best is None or cost < best[0] - 1e-12:
+                thr = (v[k - 1] + v[k]) / 2.0
+                if thr == v[k]:
+                    thr = v[k - 1]
+                best = (cost, k, thr)
+        if best is None:
+            return None
+        improvement = node_cost - best[0]
+        if improvement <= 1e-12:
+            return None
+        return (improvement, best[1], best[2])
+
+    thresholds: list[float] = []
+    counter = 0
+    heap: list = []
+    root = best_split(0, len(v))
+    if root:
+        heapq.heappush(heap, (-root[0], counter, 0, len(v), root))
+        counter += 1
+    n_leaves = 1
+    while heap and n_leaves < max_leaf_nodes:
+        _, _, lo, hi, (imp, k, thr) = heapq.heappop(heap)
+        thresholds.append(thr)
+        n_leaves += 1
+        for clo, chi_ in ((lo, k), (k, hi)):
+            s = best_split(clo, chi_)
+            if s:
+                heapq.heappush(heap, (-s[0], counter, clo, chi_, s))
+                counter += 1
+    return sorted(thresholds)
+
+
+# --------------------------------------------------------------- LightGBM
+
+_K_ZERO = 1e-35  # LightGBM kZeroThreshold
+
+
+def _greedy_find_bin(
+    v: np.ndarray, cnt: np.ndarray, max_bin: int, total_cnt: int, min_data_in_bin: int
+) -> list[float]:
+    """LightGBM GreedyFindBin upper bounds for one sign-side of the data
+    (distinct-values <= max_bin path, with min_data_in_bin merging; the
+    >max_bin path approximates with mean-size greedy accumulation)."""
+    bounds: list[float] = []
+    if len(v) <= max_bin:
+        cur = 0
+        for i in range(len(v) - 1):
+            cur += int(cnt[i])
+            if cur >= min_data_in_bin:
+                val = float(np.nextafter((v[i] + v[i + 1]) / 2.0, np.inf))
+                if not bounds or val > bounds[-1]:
+                    bounds.append(val)
+                    cur = 0
+    else:
+        mean_size = max(float(total_cnt) / max_bin, float(min_data_in_bin))
+        cur = 0
+        for i in range(len(v) - 1):
+            cur += int(cnt[i])
+            if cur >= mean_size:
+                val = float(np.nextafter((v[i] + v[i + 1]) / 2.0, np.inf))
+                if not bounds or val > bounds[-1]:
+                    bounds.append(val)
+                    cur = 0
+    bounds.append(float("inf"))
+    return bounds
+
+
+def _lgb_bin_bounds(
+    values: np.ndarray, cnt: np.ndarray, max_bin: int = 255, min_data_in_bin: int = 3
+) -> list[float]:
+    """FindBinWithZeroAsOneBin: zero gets its own bin
+    (-kZero, kZero]; each sign side binned independently."""
+    total = int(cnt.sum())
+    left = values < -_K_ZERO
+    right = values > _K_ZERO
+    bounds: list[float] = []
+    if left.any():
+        lb = _greedy_find_bin(values[left], cnt[left], max_bin, total, min_data_in_bin)
+        lb[-1] = -_K_ZERO
+        bounds.extend(lb)
+    if right.any():
+        bounds.append(_K_ZERO)
+        bounds.extend(
+            _greedy_find_bin(values[right], cnt[right], max_bin, total, min_data_in_bin)
+        )
+    else:
+        bounds.append(float("inf"))
+    return bounds
+
+
+def lgb_thresholds(
+    values: np.ndarray,
+    c0: np.ndarray,
+    c1: np.ndarray,
+    num_leaves: int,
+    min_child_samples: int = 1,
+    min_sum_hessian: float = 1e-3,
+    lambda_l2: float = 0.0,
+    max_bin: int = 255,
+    min_data_in_bin: int = 3,
+) -> list[float]:
+    """Single-tree LightGBM split thresholds (cf. reference
+    cut.py:200-221): boost_from_average init makes per-row gradients
+    g = p̄ - y, h = p̄(1-p̄) constant, so the first tree is a leaf-wise
+    regression tree over histogram bins with gain G²/(H+λ)."""
+    order = np.argsort(values, kind="mergesort")
+    v = values[order].astype(float)
+    a0, a1 = c0[order].astype(float), c1[order].astype(float)
+    cnt = a0 + a1
+    n, n1 = cnt.sum(), a1.sum()
+    if n <= 0 or n1 <= 0 or n1 >= n:
+        return []
+    p = n1 / n
+    # per-distinct-value gradient/hessian sums (g0 = p for y=0, g1 = p-1)
+    G = a0 * p + a1 * (p - 1.0)
+    H = cnt * (p * (1.0 - p))
+
+    bounds = _lgb_bin_bounds(v, cnt, max_bin, min_data_in_bin)
+    # histogram: bin index of each distinct value = count of bounds < v
+    nb = len(bounds)
+    bidx = np.searchsorted(np.array(bounds), v, side="left")
+    hG = np.zeros(nb)
+    hH = np.zeros(nb)
+    hC = np.zeros(nb)
+    np.add.at(hG, bidx, G)
+    np.add.at(hH, bidx, H)
+    np.add.at(hC, bidx, cnt)
+    cG = np.concatenate([[0.0], np.cumsum(hG)])
+    cH = np.concatenate([[0.0], np.cumsum(hH)])
+    cC = np.concatenate([[0.0], np.cumsum(hC)])
+
+    def leaf_gain(g: float, h: float) -> float:
+        return g * g / (h + lambda_l2) if (h + lambda_l2) > 0 else 0.0
+
+    def best_split(lo: int, hi: int):
+        """Best bin-boundary split of bin range [lo, hi)."""
+        g, h, c = cG[hi] - cG[lo], cH[hi] - cH[lo], cC[hi] - cC[lo]
+        parent = leaf_gain(g, h)
+        best = None
+        for k in range(lo + 1, hi):
+            lg, lh, lc = cG[k] - cG[lo], cH[k] - cH[lo], cC[k] - cC[lo]
+            rg, rh, rc = g - lg, h - lh, c - lc
+            if lc < min_child_samples or rc < min_child_samples:
+                continue
+            if lh < min_sum_hessian or rh < min_sum_hessian:
+                continue
+            gain = leaf_gain(lg, lh) + leaf_gain(rg, rh) - parent
+            if gain > 1e-12 and (best is None or gain > best[0] + 1e-12):
+                best = (gain, k, bounds[k - 1])
+        return best
+
+    leaves: list[tuple[int, int]] = [(0, nb)]
+    splits: list[tuple] = [best_split(0, nb)]
+    thresholds: list[float] = []
+    while len(leaves) < num_leaves:
+        cand = [(s[0], i) for i, s in enumerate(splits) if s is not None]
+        if not cand:
+            break
+        _, i = max(cand, key=lambda t: (t[0], -t[1]))
+        lo, hi = leaves[i]
+        gain, k, thr = splits[i]
+        thresholds.append(thr)
+        leaves[i] = (lo, k)
+        splits[i] = best_split(lo, k)
+        leaves.append((k, hi))
+        splits.append(best_split(k, hi))
+    return sorted(thresholds)
+
+
+# --------------------------------------------------------------- ChiMerge
+
+def chimerge_edges(
+    values: np.ndarray,
+    c0: np.ndarray,
+    c1: np.ndarray,
+    n_bins: int,
+    cf: float = 0.1,
+) -> list[float]:
+    """ChiMerge over pre-aggregated distinct values (cf. reference
+    cut.py:276-345). The reference runs the merge over per-sample rows;
+    equal-value adjacent rows have chi==0 and merge first, so the
+    distinct-value aggregation is equivalent in practice (golden-test
+    verified) and is the only scalable form.
+
+    Returns finite edges [min-1e-4, ..., max+1e-4] like the reference
+    (outer edges later replaced by ±inf by the caller when needed)."""
+    order = np.argsort(values, kind="mergesort")
+    v = values[order].astype(float)
+    cnt0 = list(c0[order].astype(float))
+    cnt1 = list(c1[order].astype(float))
+    max_val = list(v)
+    feature_min = float(v[0])
+
+    threshold = chi2_isf(cf, n_bins - 1)
+
+    def chi_pair(i: int) -> float:
+        if max_val[i] == max_val[i + 1]:
+            return 0.0
+        a0, a1, b0, b1 = cnt0[i], cnt1[i], cnt0[i + 1], cnt1[i + 1]
+        total = a0 + a1 + b0 + b1
+        r0, r1 = (a0 + b0) / total, (a1 + b1) / total
+        i1c, i0c = (a0 + a1) * r1, (a0 + a1) * r0
+        j1c, j0c = (b0 + b1) * r1, (b0 + b1) * r0
+        s = 0.0
+        if i0c != 0:
+            s += (a0 - i0c) ** 2 / i0c
+        if i1c != 0:
+            s += (a1 - i1c) ** 2 / i1c
+        if j0c != 0:
+            s += (b0 - j0c) ** 2 / j0c
+        if j1c != 0:
+            s += (b1 - j1c) ** 2 / j1c
+        return s
+
+    while len(max_val) > n_bins:
+        min_i, min_chi = None, None
+        for i in range(len(max_val) - 1):
+            c = chi_pair(i)
+            if min_i is None or min_chi > c:
+                min_i, min_chi = i, c
+        if min_chi < threshold:
+            cnt0[min_i] += cnt0[min_i + 1]
+            cnt1[min_i] += cnt1[min_i + 1]
+            max_val[min_i] = max_val[min_i + 1]
+            del cnt0[min_i + 1], cnt1[min_i + 1], max_val[min_i + 1]
+        else:
+            break
+
+    edges = [feature_min - 0.0001]
+    for m in max_val:
+        if m > edges[-1]:
+            edges.append(m)
+    edges[-1] = edges[-1] + 0.0001
+    return edges
