@@ -89,6 +89,62 @@ def chi2_isf(p: float, df: int) -> float:
     return 0.5 * (lo + hi)
 
 
+# --------------------------------------------- weighted unsupervised cuts
+
+def step_edges_weighted(
+    values: np.ndarray, counts: np.ndarray, n_bins: int, remove_empty: bool = True
+) -> list[float]:
+    """pd.cut equal-width interior edges over a weighted distinct-value
+    sample (cut.py:43-54 semantics incl. empty-bin merge)."""
+    order = np.argsort(values, kind="mergesort")
+    v, c = values[order].astype(float), counts[order].astype(float)
+    mn, mx = v[0], v[-1]
+    edges = np.linspace(mn, mx, n_bins + 1)
+    interior = list(edges[1:-1])
+    if not remove_empty:
+        return [float(e) for e in interior]
+    # occupancy: bin i = count of interior edges < x (right-closed)
+    bidx = np.searchsorted(np.array(interior), v, side="left")
+    present = set(int(b) for b, w in zip(bidx, c) if w > 0)
+    return [float(interior[i - 1]) for i in range(1, n_bins) if i in present]
+
+
+def _weighted_order_stat(v: np.ndarray, cum: np.ndarray, pos: float) -> float:
+    """Order statistic (0-indexed, linear interpolation) of the expanded
+    weighted sample — matches numpy percentile 'linear'."""
+    lo_i = int(math.floor(pos))
+    hi_i = int(math.ceil(pos))
+    gamma = pos - lo_i
+
+    def order_stat(i: int) -> float:
+        k = int(np.searchsorted(cum, i, side="left"))  # first k: cum[k] >= i
+        return float(v[k])
+
+    lo_v = order_stat(lo_i)
+    if hi_i == lo_i:
+        return lo_v
+    hi_v = order_stat(hi_i)
+    return lo_v + gamma * (hi_v - lo_v)
+
+
+def quantile_edges_weighted(
+    values: np.ndarray, counts: np.ndarray, n_bins: int
+) -> list[float]:
+    """pd.qcut interior edges (duplicates dropped, cut.py:94-95) over a
+    weighted distinct-value sample."""
+    order = np.argsort(values, kind="mergesort")
+    v, c = values[order].astype(float), counts[order].astype(float)
+    n = c.sum()
+    cum = np.cumsum(c) - 1  # cum[k] = last expanded index of value k
+    qs = [i / n_bins for i in range(n_bins + 1)]
+    edges = [_weighted_order_stat(v, cum, q * (n - 1)) for q in qs]
+    uniq: list[float] = []
+    for e in edges:
+        if not uniq or e > uniq[-1]:
+            uniq.append(e)
+    return uniq[1:-1]
+
+
 # ------------------------------------------------------------------ CART
 
 def _gini_cost(c0: float, c1: float) -> float:
