@@ -1,0 +1,244 @@
+"""Statistics / metrics (reference didtool/metric.py, didtool/stats.py).
+
+Every metric is one or two aggregations; driver math only ever touches
+per-group/per-bin count tables. Plot helpers are intentionally data-
+returning (the reference's matplotlib rendering is presentation, not
+semantics; this container has no matplotlib).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.binexpr import bin_expr
+from ..functions.exprs import is_missing
+from .binning import Binner, step_edges
+from .woe import _floors, woe_value
+
+DEFAULT_BINS = 10
+
+
+def handle_categorical_expr(col: str | Column, dtype: str = "double") -> Column:
+    """utils.py:44-67: str(int(s)) when int-convertible else str(s);
+    NaN -> 'nan'. For numeric columns int() truncates toward zero; for
+    strings only pure integer literals convert."""
+    c = F.col(col) if isinstance(col, str) else col
+    if dtype in ("string",):
+        as_int = F.when(
+            c.rlike(r"^[+-]?\d+$"), c.try_cast("long").cast("string")
+        )
+        val = F.coalesce(as_int, c)
+    else:
+        val = c.try_cast("double").cast("long").cast("string")
+    return F.when(is_missing(c), F.lit("nan")).otherwise(val)
+
+
+# -------------------------------------------------------------------- IV
+
+def _iv_discrete(df: DataFrame, col: Column, target: str) -> float:
+    """metric.py:66-83: sum (p1-p0)*woe over distinct values, 0.5 floors."""
+    rows = (
+        df.select(col.alias("__x"), F.col(target).cast("double").alias("__y"))
+        .groupBy("__x")
+        .agg(F.sum(F.lit(1.0) - F.col("__y")).alias("c0"), F.sum("__y").alias("c1"))
+        .collect()
+    )
+    total0 = sum(r["c0"] for r in rows)
+    total1 = sum(r["c1"] for r in rows)
+    iv_value = 0.0
+    for r in rows:
+        prob1, prob0 = _floors(r["c1"], r["c0"], total1, total0)
+        iv_value += (prob1 - prob0) * woe_value(prob1, prob0)
+    return iv_value
+
+
+def iv(
+    df: DataFrame,
+    col: str,
+    target: str,
+    is_continuous: bool = True,
+    cut_method: str = "dt",
+    n_bins: int = DEFAULT_BINS,
+) -> float:
+    """metric.py:106-123. Non-continuous input still routes to the
+    continuous path when distinct/total > 0.5 (metric.py:120)."""
+    if not is_continuous:
+        ratio = df.select(
+            (F.countDistinct(col) / F.count(F.lit(1))).alias("r")
+        ).first()["r"]
+        if ratio is not None and ratio > 0.5:
+            is_continuous = True
+    if is_continuous:
+        b = Binner(method=cut_method, n_bins=n_bins).fit(df, col, target)
+        return _iv_discrete(b.transform(df, col, "__bin"), F.col("__bin"), target)
+    dtype = dict(df.dtypes).get(col, "double")
+    return _iv_discrete(df, handle_categorical_expr(col, dtype), target)
+
+
+def iv_all(
+    df: DataFrame,
+    features: list[str],
+    target: str,
+    categorical_cols: list[str] | None = None,
+    **kwargs,
+) -> pd.DataFrame:
+    """stats.py:32-67: per-feature IV, sorted desc. The reference's
+    multiprocessing.Pool becomes one Spark job per feature (cluster
+    parallelism). ``categorical_cols`` replaces pandas category dtype."""
+    cat = set(categorical_cols or [])
+    rows = [
+        (f_, iv(df, f_, target, is_continuous=f_ not in cat, **kwargs))
+        for f_ in features
+    ]
+    out = pd.DataFrame(rows, columns=["feature", "iv"])
+    return out.sort_values("iv", ascending=False).set_index("feature")
+
+
+# ------------------------------------------------------------------- PSI
+
+def _rates(counts: dict, keys: list, total: float) -> list[float]:
+    return [max(counts.get(k, 0) / total, 1e-10) if total else 1e-10 for k in keys]
+
+
+def psi(
+    expected: DataFrame,
+    actual: DataFrame,
+    col: str,
+    n_bins: int = DEFAULT_BINS,
+    is_continuous: bool = True,
+    detail: bool = False,
+):
+    """metric.py:126-260. Continuous: bin ACTUAL with the EXPECTED side's
+    step edges (no-empty-merge) — the reference's leakage-safe rule
+    (metric.py:190-193). Zero rates floored at 1e-10."""
+    if is_continuous:
+        edges = step_edges(expected, col, n_bins, remove_empty_bins=False)
+        e_counts = {
+            r["__b"]: r["count"]
+            for r in expected.select(bin_expr(F.col(col).try_cast("double"), edges).alias("__b"))
+            .groupBy("__b").count().collect()
+        }
+        a_counts = {
+            r["__b"]: r["count"]
+            for r in actual.select(bin_expr(F.col(col).try_cast("double"), edges).alias("__b"))
+            .groupBy("__b").count().collect()
+        }
+        has_nan = (-1 in e_counts) or (-1 in a_counts)
+        keys = ([-1] if has_nan else []) + list(range(len(edges) - 1))
+        labels = (["NA"] if has_nan else []) + [
+            "(%.4f, %.4f]" % (edges[i], edges[i + 1]) for i in range(len(edges) - 1)
+        ]
+    else:
+        dtype_e = dict(expected.dtypes).get(col, "double")
+        ce = handle_categorical_expr(col, dtype_e)
+        e_counts = {
+            r["__x"]: r["count"]
+            for r in expected.select(ce.alias("__x")).groupBy("__x").count().collect()
+        }
+        a_counts = {
+            r["__x"]: r["count"]
+            for r in actual.select(
+                handle_categorical_expr(col, dict(actual.dtypes).get(col, "double")).alias("__x")
+            ).groupBy("__x").count().collect()
+        }
+        keys = sorted(set(e_counts) | set(a_counts))
+        labels = [str(k) for k in keys]
+
+    e_total = sum(e_counts.values())
+    a_total = sum(a_counts.values())
+    e_rate = _rates(e_counts, keys, e_total)
+    a_rate = _rates(a_counts, keys, a_total)
+    value = sum(
+        (a - e) * math.log(a / e) for a, e in zip(a_rate, e_rate)
+    )
+    if detail:
+        return value, pd.DataFrame({"expect": e_rate, "actual": a_rate}, index=labels)
+    return value
+
+
+def psi_all(
+    df: DataFrame,
+    features: list[str],
+    group_col: str = "month",
+    expected: DataFrame | None = None,
+    categorical_cols: list[str] | None = None,
+    n_bins: int = DEFAULT_BINS,
+) -> pd.DataFrame:
+    """stats.py:70-123: drift per feature per group — each group vs the
+    previous one (expected=None) or vs a fixed expected frame."""
+    cat = set(categorical_cols or [])
+    groups = sorted(r[0] for r in df.select(group_col).distinct().collect())
+    result = pd.DataFrame(index=features, columns=groups, dtype=float)
+    by_group = {g: df.where(F.col(group_col) == g) for g in groups}
+    for i, g in enumerate(groups):
+        if expected is None:
+            if i == 0:
+                continue
+            exp_df = by_group[groups[i - 1]]
+        else:
+            exp_df = expected
+        for f_ in features:
+            result.loc[f_, g] = psi(
+                exp_df, by_group[g], f_, n_bins=n_bins,
+                is_continuous=f_ not in cat,
+            )
+    return result
+
+
+# --------------------------------------------------------------- AUC / KS
+
+def _score_table(df: DataFrame, label: str, score: str) -> DataFrame:
+    """Aggregate to one row per distinct score: (score, n, n1). All
+    cumulative statistics run on this table (distinct scores << rows).
+    At 10^12 scale, pre-round the score to a fixed grid first (binned
+    AUC/KS — documented divergence for metric plots only)."""
+    y = F.col(label).cast("double")
+    return (
+        df.select(F.col(score).cast("double").alias("s"), y.alias("y"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n1"))
+    )
+
+
+def auc(df: DataFrame, label: str, score: str) -> float:
+    """Rank-statistic AUC with average ranks for ties (equals
+    sklearn.roc_auc_score used at model.py:233-242)."""
+    t = _score_table(df, label, score)
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    t = t.select(
+        "s", "n", "n1",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before"),
+    )
+    row = t.select(
+        F.sum(F.col("n1") * (F.col("cum_before") + (F.col("n") + 1) / 2.0)).alias("r1"),
+        F.sum("n1").alias("n1_total"),
+        F.sum("n").alias("n_total"),
+    ).first()
+    n1, n = row["n1_total"], row["n_total"]
+    n0 = n - n1
+    if not n1 or not n0:
+        return float("nan")
+    return (row["r1"] - n1 * (n1 + 1) / 2.0) / (n0 * n1)
+
+
+def ks(df: DataFrame, label: str, score: str) -> float:
+    """KS = max |cum_bad_share - cum_good_share| over score thresholds
+    (plot_ks_in_cum semantics, metric.py:536-554)."""
+    t = _score_table(df, label, score)
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    totals = t.select(F.sum("n").alias("n"), F.sum("n1").alias("n1")).first()
+    n1 = totals["n1"]
+    n0 = totals["n"] - n1
+    if not n1 or not n0:
+        return float("nan")
+    t = t.select(
+        (F.sum("n1").over(w) / F.lit(float(n1))).alias("cum_bad"),
+        (F.sum(F.col("n") - F.col("n1")).over(w) / F.lit(float(n0))).alias("cum_good"),
+    )
+    return t.select(
+        F.max(F.abs(F.col("cum_bad") - F.col("cum_good"))).alias("ks")
+    ).first()["ks"]

@@ -1,0 +1,106 @@
+"""Golden tests ported from reference tests/metric_test.py and
+tests/stats_test.py, plus AUC/KS checks vs hand-computed oracles."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from didtool_spark.operators.metrics import auc, iv, iv_all, ks, psi, psi_all
+
+SAMPLES = "/root/reference/tests/samples.csv"
+needs_samples = pytest.mark.skipif(
+    not os.path.exists(SAMPLES), reason="reference samples.csv not available"
+)
+
+X_IV = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4,
+        5, 5, 5, 6, 6, 6, 7, 7, 7, 8, 8, 8, 9, 9, 9,
+        10, 10, 10, 11, 11, 11, np.nan, np.nan, np.nan]
+Y_IV = [0, 0, 0, 0, 0, 1, 0, 1, 1, 1, 1, 1, 0, 0, 1,
+        0, 0, 0, 0, 0, 1, 0, 1, 1, 1, 1, 1, 0, 0, 1,
+        0, 0, 0, 0, 0, 1, 0, 1, 1]
+
+
+@pytest.fixture(scope="module")
+def iv_df(spark):
+    return spark.createDataFrame(
+        [(float(x) if not np.isnan(x) else None, int(y)) for x, y in zip(X_IV, Y_IV)],
+        "x double, target int",
+    )
+
+
+def test_iv_goldens(spark, iv_df):
+    # reference metric_test.py:11-30 (no chi variant there; 5 methods)
+    assert abs(iv(iv_df, "x", "target", False) - 1.3981884852309596) < 1e-9
+    assert abs(iv(iv_df, "x", "target", True) - 1.4057157347824798) < 1e-9
+    assert abs(iv(iv_df, "x", "target", True, cut_method="step") - 1.4974950271838132) < 1e-9
+    assert abs(iv(iv_df, "x", "target", True, cut_method="quantile") - 1.3755617026195848) < 1e-9
+    assert abs(iv(iv_df, "x", "target", True, cut_method="lgb") - 1.4057157347824798) < 1e-9
+
+
+def test_psi_golden(spark):
+    e = spark.createDataFrame([(float(v),) for v in [0, 0, 0, 1, 1, 1, 2, 2, 2]], "x double")
+    a = spark.createDataFrame([(float(v),) for v in [0, 0, 1, 1, 1, 2, 2, 2, 2]], "x double")
+    assert abs(psi(e, a, "x", n_bins=3) - 0.07701635339554946) < 1e-9
+
+
+def test_iv_all_golden(spark, iv_df):
+    # stats_test.py:11-33: x1 continuous(auto: ratio<0.5 but flag True
+    # default), x2 categorical
+    df = iv_df.withColumnRenamed("x", "x1").withColumn("x2", __import__("pyspark").sql.functions.col("x1"))
+    got = iv_all(df, ["x1", "x2"], "target", categorical_cols=["x2"])
+    assert abs(got.loc["x1", "iv"] - 1.405716) < 1e-6
+    assert abs(got.loc["x2", "iv"] - 1.398188) < 1e-6
+
+    got2 = iv_all(df, ["x1", "x2"], "target", categorical_cols=["x2"], cut_method="step")
+    assert abs(got2.loc["x1", "iv"] - 1.497495) < 1e-6
+    assert abs(got2.loc["x2", "iv"] - 1.398188) < 1e-6
+
+
+@needs_samples
+def test_psi_all_goldens(spark):
+    pdf = pd.read_csv(SAMPLES)
+    pdf["month"] = ["m%02d" % (i % 6 + 1) for i in range(len(pdf))]
+    df = spark.createDataFrame(pdf)
+    features = ["v%d" % i for i in range(1, 21)]
+
+    got = psi_all(df, features, group_col="month", categorical_cols=["v5"])
+    assert abs(got.loc["v5", "m02"] - 0.000192) < 1e-6
+    assert abs(got.loc["v5", "m03"] - 0.000192) < 1e-6
+    assert abs(got.loc["v5", "m04"] - 0.000192) < 1e-6
+    assert abs(got.loc["v5", "m05"] - 0.015468) < 1e-6
+    assert abs(got.loc["v5", "m06"] - 0.036753) < 1e-6
+    assert abs(got.loc["v2", "m04"] - 0.578705) < 1e-6
+
+    expected = df.where(df.month < "m04")
+    got2 = psi_all(df, features, group_col="month", expected=expected,
+                   categorical_cols=["v5"])
+    assert abs(got2.loc["v5", "m01"] - 0.000021) < 1e-6
+    assert abs(got2.loc["v5", "m05"] - 0.017849) < 1e-6
+    assert abs(got2.loc["v5", "m06"] - 0.003370) < 1e-6
+    assert abs(got2.loc["v2", "m04"] - 0.254352) < 1e-6
+
+
+def test_auc_ks_vs_oracle(spark):
+    rng = np.random.RandomState(3)
+    y = (rng.rand(2000) < 0.3).astype(int)
+    s = np.clip(y * 0.25 + rng.rand(2000) * 0.8, 0, 1).round(3)  # ties exist
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, s)], "y int, s double"
+    )
+
+    # oracle AUC: rank statistic with average ranks (pandas)
+    ser = pd.DataFrame({"y": y, "s": s})
+    ranks = ser["s"].rank(method="average")
+    n1 = ser["y"].sum()
+    n0 = len(ser) - n1
+    auc_exp = (ranks[ser["y"] == 1].sum() - n1 * (n1 + 1) / 2) / (n0 * n1)
+    assert abs(auc(df, "y", "s") - auc_exp) < 1e-12
+
+    # oracle KS over thresholds
+    t = ser.groupby("s").agg(n=("y", "size"), n1=("y", "sum")).sort_index(ascending=False)
+    cum_bad = t["n1"].cumsum() / n1
+    cum_good = (t["n"] - t["n1"]).cumsum() / n0
+    ks_exp = (cum_bad - cum_good).abs().max()
+    assert abs(ks(df, "y", "s") - ks_exp) < 1e-12
