@@ -1,0 +1,291 @@
+"""Driver-contract queries for the didtool-operator families (SURVEY.md
+§2.1-2.6), each with a DuckDB oracle. Conventions as in demo_queries:
+aliases match on both sides, floats rounded to 6dp.
+
+Labels for supervised ops are derived deterministically from the data
+(is_error = event_type == 'error'); the 'score' for AUC/KS/scorecard is
+the value column scaled to (0,1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.binning import Binner
+from ..operators.category import CategoryTransformer, OneHotTransformer
+from ..operators.metrics import auc, iv, ks, psi
+from ..operators.scorecard import ScoreCardTransformer
+from ..operators.split import split_data
+from ..operators.woe import LabelEncoder, WOEEncoder
+from .demo_queries import load
+
+def _events(spark, sf_dir):
+    # Column exprs must be built lazily (need an active SparkContext)
+    return load(spark, sf_dir, "events").withColumn(
+        "y", (F.col("event_type") == "error").cast("int")
+    )
+
+
+# ---------------------------------------------------------------- binning
+
+def q_step_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # remove_empty_bins=False (the PSI-style fixed-grid cut,
+    # metric.py:190-191) — the empty-bin merge is data-dependent and not
+    # ANSI-SQL-expressible; the merge path is covered by unit goldens
+    ev = load(spark, sf_dir, "events")
+    b = Binner(method="step", n_bins=10, remove_empty_bins=False).fit(ev, "value")
+    return b.transform(ev, "value", "value_bin").select("event_id", "value_bin")
+
+
+# pd.cut equal-width grid; right-closed bins via ceil arithmetic
+SQL_STEP_BIN = """
+WITH s AS (SELECT min(value) mn, max(value) mx FROM events)
+SELECT e.event_id,
+       CAST(least(greatest(ceil((e.value - s.mn) / ((s.mx - s.mn) / 10.0)), 1), 10) - 1 AS INT)
+         AS value_bin
+FROM events e, s
+"""
+
+
+def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    b = Binner(method="quantile", n_bins=4).fit(ev, "value")
+    return b.transform(ev, "value", "value_bin").select("event_id", "value_bin")
+
+
+SQL_QUANTILE_BIN = """
+WITH q AS (
+  SELECT quantile_cont(value, 0.25) q1, quantile_cont(value, 0.5) q2,
+         quantile_cont(value, 0.75) q3
+  FROM events
+)
+SELECT e.event_id,
+       CAST((e.value > q.q1)::INT + (e.value > q.q2)::INT + (e.value > q.q3)::INT AS INT)
+         AS value_bin
+FROM events e, q
+"""
+
+
+# -------------------------------------------------------------- WOE / IV
+
+def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    enc = WOEEncoder().fit(ev, "event_type", "y")
+    return ev.select(
+        "event_id", F.round(enc.expr("event_type"), 6).alias("event_type_woe")
+    )
+
+
+SQL_WOE_ENCODE = """
+WITH t AS (
+  SELECT event_type,
+         sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) c0,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) c1
+  FROM events GROUP BY event_type
+), tot AS (SELECT sum(c0) t0, sum(c1) t1 FROM t),
+w AS (
+  SELECT event_type,
+         ln((greatest(c1, 0.5) / greatest(tot.t1, 0.5)) /
+            (greatest(c0, 0.5) / greatest(tot.t0, 0.5))) AS woe
+  FROM t, tot
+)
+SELECT e.event_id, round(w.woe, 6) AS event_type_woe
+FROM events e JOIN w USING (event_type)
+"""
+
+
+def q_iv_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = iv(ev, "event_type", "y", is_continuous=False)
+    return spark.createDataFrame([(round(v, 6),)], "iv_value double")
+
+
+SQL_IV_DISCRETE = """
+WITH t AS (
+  SELECT event_type,
+         sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) c0,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) c1
+  FROM events GROUP BY event_type
+), tot AS (SELECT sum(c0) t0, sum(c1) t1 FROM t)
+SELECT round(sum(
+         (greatest(c1, 0.5) / greatest(tot.t1, 0.5) - greatest(c0, 0.5) / greatest(tot.t0, 0.5))
+         * ln((greatest(c1, 0.5) / greatest(tot.t1, 0.5)) /
+              (greatest(c0, 0.5) / greatest(tot.t0, 0.5)))
+       ), 6) AS iv_value
+FROM t, tot
+"""
+
+
+def q_psi_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    expected = ev.where(F.col("event_id") % 2 == 0)
+    actual = ev.where(F.col("event_id") % 2 == 1)
+    v = psi(expected, actual, "event_type", is_continuous=False)
+    return spark.createDataFrame([(round(v, 6),)], "psi_value double")
+
+
+SQL_PSI_DISCRETE = """
+WITH e AS (
+  SELECT event_type, count(*) c FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+), a AS (
+  SELECT event_type, count(*) c FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+), keys AS (SELECT event_type FROM e UNION SELECT event_type FROM a),
+r AS (
+  SELECT k.event_type,
+         greatest(coalesce(e.c, 0) * 1.0 / (SELECT sum(c) FROM e), 1e-10) er,
+         greatest(coalesce(a.c, 0) * 1.0 / (SELECT sum(c) FROM a), 1e-10) ar
+  FROM keys k LEFT JOIN e ON k.event_type = e.event_type
+              LEFT JOIN a ON k.event_type = a.event_type
+)
+SELECT round(sum((ar - er) * ln(ar / er)), 6) AS psi_value FROM r
+"""
+
+
+# ------------------------------------------------------------- encoders
+
+def q_category_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ct = CategoryTransformer().fit(ev, ["event_type"])
+    return ev.select("event_id", ct.expr("event_type").alias("event_type_code"))
+
+
+SQL_CATEGORY_ENCODE = """
+WITH r AS (
+  SELECT event_type,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) AS INT) AS code
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, r.code AS event_type_code
+FROM events e JOIN r USING (event_type)
+"""
+
+
+def q_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    oht = OneHotTransformer().fit(ev, ["event_type"])
+    return ev.select("event_id", *oht.exprs("event_type")).drop("event_type_others")
+
+
+SQL_ONEHOT_ENCODE = """
+SELECT event_id,
+       (event_type = 'click')::INT    AS event_type_click,
+       (event_type = 'view')::INT     AS event_type_view,
+       (event_type = 'purchase')::INT AS event_type_purchase,
+       (event_type = 'error')::INT    AS event_type_error,
+       (event_type = 'signup')::INT   AS event_type_signup
+FROM events
+"""
+
+
+def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    enc = LabelEncoder().fit(ev, "event_type")
+    return ev.select("event_id", enc.expr("event_type").alias("event_type_code"))
+
+
+SQL_LABEL_ENCODE = """
+WITH r AS (
+  SELECT DISTINCT event_type FROM events
+), m AS (
+  SELECT event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS INT) AS code
+  FROM r
+)
+SELECT e.event_id, m.code AS event_type_code
+FROM events e JOIN m USING (event_type)
+"""
+
+
+# ----------------------------------------------------------- split / auc
+
+def q_split_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = split_data(ev, F.col("event_id") % 10 < 6, F.col("event_id") % 10 >= 8)
+    return out.groupBy("group").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_SPLIT_GROUPS = """
+SELECT CASE WHEN event_id % 10 >= 8 THEN 1
+            WHEN event_id % 10 < 6 THEN 0 ELSE -1 END AS "group",
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_auc_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("score", F.col("value") / 500.0)
+    a = auc(ev, "y", "score")
+    k = ks(ev, "y", "score")
+    return spark.createDataFrame(
+        [(round(a, 6), round(k, 6))], "auc_value double, ks_value double"
+    )
+
+
+SQL_AUC_KS = """
+WITH base AS (
+  SELECT value / 500.0 AS s,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+  FROM events
+), ranked AS (
+  SELECT y, avg(rn) OVER (PARTITION BY s) AS avg_rank
+  FROM (SELECT y, s, row_number() OVER (ORDER BY s) AS rn FROM base)
+), tot AS (
+  SELECT sum(y) n1, count(*) - sum(y) n0 FROM base
+), aucv AS (
+  SELECT (sum(CASE WHEN y = 1 THEN avg_rank END) - tot.n1 * (tot.n1 + 1) / 2.0)
+         / (tot.n0 * tot.n1) AS auc_value
+  FROM ranked, tot GROUP BY tot.n1, tot.n0
+), per_s AS (
+  SELECT s, count(*) n, sum(y) n1 FROM base GROUP BY s
+), cum AS (
+  SELECT sum(n1) OVER w * 1.0 / (SELECT n1 FROM tot) AS cum_bad,
+         sum(n - n1) OVER w * 1.0 / (SELECT n0 FROM tot) AS cum_good
+  FROM per_s
+  WINDOW w AS (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+)
+SELECT round(aucv.auc_value, 6) AS auc_value,
+       round((SELECT max(abs(cum_bad - cum_good)) FROM cum), 6) AS ks_value
+FROM aucv
+"""
+
+
+def q_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fit driver math is not ANSI-SQL-expressible; rows-only check."""
+    # deterministic uniform-ish prob correlated with the label so every
+    # prob bin is populated (the reference's odds adjustment — like ours
+    # — assumes contiguous bin occupancy, scorecard.py:153-195)
+    u = F.pmod(F.xxhash64("event_id"), F.lit(100000)) / 100000.0
+    ev = _events(spark, sf_dir).withColumn(
+        "prob", F.least(u * 0.8 + F.col("y") * 0.19, F.lit(0.999))
+    )
+    t = ScoreCardTransformer(bad_flag=True).fit(ev, "prob", "y")
+    return t.transform(ev, "prob").select("event_id", "score")
+
+
+OP_QUERIES = {
+    "step_bin": q_step_bin,
+    "quantile_bin": q_quantile_bin,
+    "woe_encode": q_woe_encode,
+    "iv_discrete": q_iv_discrete,
+    "psi_discrete": q_psi_discrete,
+    "category_encode": q_category_encode,
+    "onehot_encode": q_onehot_encode,
+    "label_encode": q_label_encode,
+    "split_groups": q_split_groups,
+    "auc_ks": q_auc_ks,
+    "scorecard": q_scorecard,
+}
+
+OP_ORACLES = {
+    "step_bin": SQL_STEP_BIN,
+    "quantile_bin": SQL_QUANTILE_BIN,
+    "woe_encode": SQL_WOE_ENCODE,
+    "iv_discrete": SQL_IV_DISCRETE,
+    "psi_discrete": SQL_PSI_DISCRETE,
+    "category_encode": SQL_CATEGORY_ENCODE,
+    "onehot_encode": SQL_ONEHOT_ENCODE,
+    "label_encode": SQL_LABEL_ENCODE,
+    "split_groups": SQL_SPLIT_GROUPS,
+    "auc_ks": SQL_AUC_KS,
+    # scorecard: intentionally no oracle (driver-side sequential odds
+    # adjustment is not ANSI-SQL-expressible) -> rows-only check
+}
