@@ -1,0 +1,93 @@
+"""Checkpoint/resume semantics + the zero-temporal-leakage audit
+(north rule: features at anchor (conv_id, ts) must not read rows with
+ts' > ts)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from didtool_spark.data.transcripts import generate_transcripts
+from didtool_spark.plans.checkpoint import CheckpointedRun
+from didtool_spark.plans.materialize import materialize_features
+
+
+@pytest.fixture(scope="module")
+def tr(spark):
+    return generate_transcripts(spark, n_convs=60, avg_turns=12).cache()
+
+
+def test_checkpoint_resume(spark, tr, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ckpt"))
+    run = CheckpointedRun(spark, out, n_buckets=8)
+
+    totals = run.run(tr, materialize_features)
+    assert totals["buckets_run"] == 8
+    assert totals["buckets_skipped"] == 0
+    assert totals["rows"] == tr.count()
+    assert totals["bytes"] > 0
+
+    # resume: everything already committed -> nothing re-runs
+    totals2 = CheckpointedRun(spark, out, n_buckets=8).run(tr, materialize_features)
+    assert totals2["buckets_run"] == 0
+    assert totals2["buckets_skipped"] == 8
+
+    # simulate a crash: remove two manifest entries -> exactly those re-run
+    for p in sorted(glob.glob(os.path.join(out, "_manifest", "bucket-*.json")))[:2]:
+        os.remove(p)
+    totals3 = CheckpointedRun(spark, out, n_buckets=8).run(tr, materialize_features)
+    assert totals3["buckets_run"] == 2
+    assert totals3["buckets_skipped"] == 6
+
+    # the stitched result equals the one-shot job
+    stitched = run.read_result()
+    direct = materialize_features(tr)
+    assert stitched.count() == direct.count()
+    key = ["conv_id", "turn_idx"]
+    a = stitched.select(*key, "session_id", "text_len_sum_last5").toPandas().sort_values(key).reset_index(drop=True)
+    b = direct.select(*key, "session_id", "text_len_sum_last5").toPandas().sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+    # manifest carries lineage metrics
+    man = run.manifest()
+    assert len(man) == 8
+    assert all(m["rows"] >= 0 and m["bytes"] > 0 and "finished_at" in m for m in man)
+
+
+def test_zero_temporal_leakage(spark, tr):
+    """Perturb every row's text/role/tool/ts in the FUTURE of an anchor
+    cut; features at-or-before the cut must be bit-identical."""
+    cut_expr = F.col("turn_idx") <= 5
+
+    base = materialize_features(tr)
+    # corrupt all turns after the cut (values AND timestamps move)
+    corrupted = tr.withColumn(
+        "text",
+        F.when(~cut_expr, F.concat(F.lit("CORRUPTED "), F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    ).withColumn(
+        "tool", F.when(~cut_expr, F.lit("poison")).otherwise(F.col("tool"))
+    ).withColumn(
+        "ts",
+        F.when(~cut_expr, F.col("ts") + F.expr("INTERVAL 10 SECONDS")).otherwise(
+            F.col("ts")
+        ),
+    )
+    pert = materialize_features(corrupted)
+
+    key = ["conv_id", "turn_idx"]
+    feat_cols = [
+        c for c in base.columns
+        if c not in {"conv_id", "turn_idx", "role", "tool", "ts"}
+    ]
+    a = (
+        base.where(cut_expr).select(*key, *feat_cols)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        pert.where(cut_expr).select(*key, *feat_cols)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    assert a.equals(b), "temporal leakage: features at/before cut changed"
