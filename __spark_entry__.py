@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from didtool_spark.plans import demo_queries, operator_queries  # noqa: E402
+from didtool_spark.plans import demo_queries, operator_queries, pipeline_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,8 +27,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**demo_queries.QUERIES, **operator_queries.OP_QUERIES}
+    return {
+        **demo_queries.QUERIES,
+        **operator_queries.OP_QUERIES,
+        **pipeline_queries.PIPELINE_QUERIES,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**demo_queries.ORACLES, **operator_queries.OP_ORACLES}
+    return {
+        **demo_queries.ORACLES,
+        **operator_queries.OP_ORACLES,
+        **pipeline_queries.PIPELINE_ORACLES,
+    }

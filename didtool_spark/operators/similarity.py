@@ -1,0 +1,146 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_topk: brute-force exact baseline — broadcast the (small) query
+  set against the corpus, dot products via zip_with/aggregate (JVM
+  lambda expressions, no Python), row_number window for top-k.
+- lsh_topk: the scale path — random-hyperplane sign-bit buckets
+  (deterministic planes from xxhash64, so no RNG state to ship),
+  multi-probe via band tables, exact cosine re-rank inside buckets.
+  At 10^12 rows brute force is a non-starter; LSH turns it into one
+  equi-join shuffle on bucket keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self-matches by id).
+    Queries are broadcast — keep the query set small; the corpus scan
+    is embarrassingly parallel."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplane_bits_expr(vec: Column, dim: int, n_bits: int, seed: int = 7) -> Column:
+    """Sign bits of dot(vec, r_j) for n_bits deterministic Rademacher
+    hyperplanes r_j[i] = ±1 from xxhash64(i, j, seed)."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    bits = []
+    for j in range(n_bits):
+        plane = F.transform(
+            idx,
+            lambda i, j=j: (
+                F.pmod(F.xxhash64(i, F.lit(j), F.lit(seed)), F.lit(2)) * 2 - 1
+            ).cast("double"),
+        )
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda x, r: x.cast("double") * r),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)))
+    out = F.lit(0).cast("long")
+    for j, b in enumerate(bits):
+        out = out.bitwiseOR(F.shiftleft(b.cast("long"), j))
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature split into bands;
+    candidates share >= 1 exact band; exact cosine re-rank. Recall grows
+    with bands; cost is one shuffle on (band, key)."""
+    rows = n_bits // bands
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = hyperplane_bits_expr(F.col(vec_col), dim, n_bits)
+        d = df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}v"),
+            sig.alias("sig"),
+        )
+        mask = (1 << rows) - 1
+        return d.select(
+            f"{role}_id",
+            f"{role}v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col("sig"), b * rows)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            f"{role}_id", f"{role}v",
+            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        )
+
+    qb = banded(queries, "query")
+    cb = banded(corpus, "neighbor")
+    cands = (
+        qb.join(cb, ["band", "key"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_expr(F.col("queryv"), F.col("neighborv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,104 @@
+"""Text analysis for large-scale training-data pipelines: token
+counting, quality scoring, language-ID heuristic, document
+fingerprinting. All pure ``pyspark.sql.functions`` column expressions —
+no Python in the row path, fully codegen'd, scale = scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# small public stopword seed lists (heuristic language votes)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "en", "que"],
+}
+
+BPE_ISH = r"\w+|[^\w\s]"  # word pieces + isolated punctuation
+
+
+def tokens_expr(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def n_tokens_ws(col: str | Column) -> Column:
+    return F.size(tokens_expr(col))
+
+
+def n_tokens_bpe(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH), 0))
+
+
+def stopword_hits(col: str | Column, lang: str = "en") -> Column:
+    toks = tokens_expr(col)
+    vocab = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.array_contains(vocab, t).cast("int")
+    )
+
+
+def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document quality features + composite score."""
+    c = F.col(col)
+    n_chars = F.length(c)
+    n_tok = n_tokens_ws(col)
+    punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    digits = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0))
+    alpha = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]"), 0))
+    sw = stopword_hits(col, "en")
+    out = (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("n_tokens_bpe", n_tokens_bpe(col))
+        .withColumn("mean_token_len", n_chars / F.greatest(n_tok, F.lit(1)))
+        .withColumn("punct_ratio", punct / F.greatest(n_chars, F.lit(1)))
+        .withColumn("digit_ratio", digits / F.greatest(n_chars, F.lit(1)))
+        .withColumn("alpha_ratio", alpha / F.greatest(n_chars, F.lit(1)))
+        .withColumn("stopword_ratio", sw / F.greatest(n_tok, F.lit(1)))
+    )
+    # simple composite: long-enough, alphabetic, not punct/digit-heavy
+    q = (
+        F.least(F.col("n_tokens") / 20.0, F.lit(1.0)) * 0.3
+        + F.col("alpha_ratio") * 0.4
+        + (1 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.2
+        + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.1
+    )
+    return out.withColumn("quality_score", q)
+
+
+def lang_id_expr(col: str | Column) -> Column:
+    """Heuristic language ID: CJK-character ratio, else stopword votes.
+    Returns 'zh'/'en'/'de'/'fr'/'es'/'unk'."""
+    c = F.col(col) if isinstance(col, str) else col
+    cjk = F.size(F.regexp_extract_all(c, F.lit(r"[\x{4e00}-\x{9fff}]"), 0))
+    votes = {lang: stopword_hits(c, lang) for lang in STOPWORDS}
+    best = F.greatest(*votes.values())
+    expr = F.when(cjk > F.length(c) * 0.2, F.lit("zh")).when(best == 0, F.lit("unk"))
+    # deterministic priority order on ties: en, de, fr, es
+    for lang in ("en", "de", "fr", "es"):
+        expr = expr.when(votes[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("unk"))
+
+
+def fingerprint_exprs(col: str | Column) -> dict[str, Column]:
+    """Document fingerprints: exact (md5 of whitespace-normalized text)
+    and a 64-bit rolling-window content hash (min over token-trigram
+    hashes — shift-resistant)."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    tri = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2])
+        ),
+    )
+    return {
+        "fp_exact": F.md5(norm),
+        "fp_rolling": F.array_min(tri),
+    }

@@ -1,0 +1,257 @@
+"""Driver-contract queries for the training-data pipeline operators
+(dedup / similarity / text analysis / multimodal) over the documents
+and embeddings tables, with DuckDB oracles where SQL can express the
+semantics (hash-dependent signatures — MinHash bucket ids, SimHash — are
+verified against exact-Jaccard oracles instead of hash equality).
+
+Near-dup queries plant deterministic duplicates derived from the table
+itself (same derivation on both sides) because the synthetic corpus has
+no natural dupes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import exact_dupes, minhash_near_dupes, ngram_jaccard_pairs, simhash_near_dupes
+from ..operators.multimodal import extract_media_features, synthetic_media
+from ..operators.similarity import cosine_topk, lsh_topk
+from ..operators.text import lang_id_expr, with_text_features
+from .demo_queries import load
+
+STOP_SQL = {
+    "en": "['the','a','and','of','to','in','is','it','that','for']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','zu','auf']",
+    "fr": "['le','la','les','et','est','un','une','pour','dans','que']",
+    "es": "['el','la','los','y','es','un','una','para','en','que']",
+}
+
+
+# ---------------------------------------------------------- text analysis
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = with_text_features(docs, "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_bpe",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+SQL_TEXT_FEATURES = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS tk,
+         length(text) AS nc
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(tk) AS n_tokens,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_bpe,
+         len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / greatest(nc, 1) AS punct_ratio,
+         len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / greatest(nc, 1) AS alpha_ratio,
+         len(list_filter(tk, x -> list_contains({STOP_SQL['en']}, x))) * 1.0
+           / greatest(len(tk), 1) AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, n_tokens_bpe,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(least(n_tokens / 20.0, 1.0) * 0.3 + alpha_ratio * 0.4
+             + (1 - least(punct_ratio * 4, 1.0)) * 0.2
+             + least(stopword_ratio * 5, 1.0) * 0.1, 6) AS quality_score
+FROM f
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_expr("text").alias("lang_pred"))
+
+
+_VOTES = ", ".join(
+    f"len(list_filter(tk, x -> list_contains({lst}, x))) AS v_{lang}"
+    for lang, lst in STOP_SQL.items()
+)
+SQL_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+), v AS (
+  SELECT doc_id, {_VOTES} FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(v_en, v_de, v_fr, v_es) = 0 THEN 'unk'
+            WHEN v_en = greatest(v_en, v_de, v_fr, v_es) THEN 'en'
+            WHEN v_de = greatest(v_en, v_de, v_fr, v_es) THEN 'de'
+            WHEN v_fr = greatest(v_en, v_de, v_fr, v_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM v
+"""
+
+
+# ----------------------------------------------------------------- dedup
+
+def _docs_with_planted_exact(spark, sf_dir) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dupes(_docs_with_planted_exact(spark, sf_dir))
+
+
+SQL_EXACT_DEDUP = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+), h AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS hh
+  FROM docs
+), c AS (SELECT hh, min(doc_id) AS canonical_id FROM h GROUP BY hh)
+SELECT h.doc_id, c.canonical_id,
+       (h.doc_id <> c.canonical_id)::INT AS is_dup
+FROM h JOIN c USING (hh)
+"""
+
+
+def _docs_with_planted_near(spark, sf_dir) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, F.ceil(F.length("text") * 0.8).cast("int")
+        ).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+SQL_PLANTED_NEAR = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         substring(text, 1, CAST(ceil(length(text) * 0.8) AS INT))
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+# exact 5-shingle Jaccard >= 0.5 pairs — ground truth for BOTH the
+# MinHash-LSH path and the inverted-index n-gram path
+SQL_NEAR_DUP_PAIRS = f"""
+WITH docs AS ({SQL_PLANTED_NEAR}),
+t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM docs
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 4, 1)),
+           i -> array_to_string(tk[i:i+4], ' '))) AS s
+  FROM t
+), inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT id_a, id_b,
+       round(nc * 1.0 / (sa.n + sb.n - nc), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE nc * 1.0 / (sa.n + sb.n - nc) >= 0.5
+"""
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted_near(spark, sf_dir)
+    return minhash_near_dupes(
+        docs, "text", "doc_id", k_shingle=5, n_hashes=32, bands=16, threshold=0.5
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted_near(spark, sf_dir)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", k_shingle=5, threshold=0.5)
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-valued signature — rows-only check (planted exact copies
+    collide at hamming 0; near copies usually within 3 bits)."""
+    docs = _docs_with_planted_exact(spark, sf_dir)
+    return simhash_near_dupes(docs, "text", "doc_id", max_hamming=3)
+
+
+# ------------------------------------------------------------- similarity
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return cosine_topk(queries, emb, k=5)
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(list_zip(qv, cv),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+            * sqrt(list_sum(list_transform(cv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+           AS cosine
+  FROM q, c WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant — rows-only check (recall vs the exact oracle
+    is asserted in unit tests, not hash-for-hash equality)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return lsh_topk(queries, emb, k=5, dim=64, n_bits=16, bands=4)
+
+
+# ------------------------------------------------------------- multimodal
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow mapInPandas plumbing over synthetic binary media — decode
+    is a deterministic stub (no codec libs in container); rows-only."""
+    media = synthetic_media(spark, n=500)
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "n_frames_sampled"
+    )
+
+
+PIPELINE_QUERIES = {
+    "text_features": q_text_features,
+    "lang_id": q_lang_id,
+    "exact_dedup": q_exact_dedup,
+    "minhash_dedup": q_minhash_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash_dedup": q_simhash_dedup,
+    "embedding_topk": q_embedding_topk,
+    "embedding_topk_lsh": q_embedding_topk_lsh,
+    "media_features": q_media_features,
+}
+
+PIPELINE_ORACLES = {
+    "text_features": SQL_TEXT_FEATURES,
+    "lang_id": SQL_LANG_ID,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "minhash_dedup": SQL_NEAR_DUP_PAIRS,
+    "ngram_jaccard": SQL_NEAR_DUP_PAIRS,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    # simhash_dedup / embedding_topk_lsh / media_features: rows-only
+}

@@ -1,0 +1,157 @@
+"""Unit tests for the training-data pipeline operators: dedup recall,
+similarity-search correctness, text features, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from didtool_spark.operators.dedup import (
+    exact_dupes,
+    jaccard_expr,
+    minhash_near_dupes,
+    ngram_jaccard_pairs,
+    shingles_expr,
+    simhash_near_dupes,
+)
+from didtool_spark.operators.multimodal import extract_media_features, synthetic_media
+from didtool_spark.operators.similarity import cosine_topk, lsh_topk
+from didtool_spark.operators.text import lang_id_expr, with_text_features
+
+VOCAB = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # deterministic word-salad docs + planted near/exact dupes
+    base = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.element_at(
+                    F.array(*[F.lit(w) for w in VOCAB]),
+                    (F.pmod(F.xxhash64("id", F.lit(i)), len(VOCAB)) + 1).cast("int"),
+                )
+                for i in range(40)
+            ],
+        ).alias("text"),
+    )
+    exact = base.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    near = base.where(F.col("doc_id") % 20 == 5).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        # keep first ~80% of words -> high shingle Jaccard
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 32)).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dedup(docs):
+    out = exact_dupes(docs).toPandas()
+    dupes = out[out["is_dup"] == 1]
+    assert set(dupes["doc_id"]) == {1000, 1020, 1040, 1060, 1080}
+    assert (dupes["canonical_id"] == dupes["doc_id"] - 1000).all()
+
+
+def test_minhash_matches_exact_jaccard(docs):
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    lsh = minhash_near_dupes(docs, threshold=0.5).toPandas()
+    key = lambda d: set(zip(d["id_a"], d["id_b"]))
+    assert key(lsh) == key(exact)  # 100% recall+precision after verify
+    planted = {(5 + 20 * i, 2005 + 20 * i) for i in range(5)}
+    assert planted <= key(exact)
+    # jaccard values agree
+    m = lsh.set_index(["id_a", "id_b"])["jaccard"]
+    e = exact.set_index(["id_a", "id_b"])["jaccard"]
+    assert np.allclose(m.sort_index().values, e.sort_index().values)
+
+
+def test_simhash_finds_exact_and_near(docs):
+    pairs = simhash_near_dupes(docs, max_hamming=8).toPandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    # planted exact copies found at hamming 0 (tiny vocab means many
+    # organic near pairs too — only the planted ones are asserted)
+    ham = dict(zip(zip(pairs["id_a"], pairs["id_b"]), pairs["hamming"]))
+    for i in range(0, 100, 20):
+        assert (i, i + 1000) in got
+        assert ham[(i, i + 1000)] == 0
+
+
+def test_jaccard_expr(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>")
+    v = df.select(jaccard_expr(F.col("x"), F.col("y")).alias("j")).first()["j"]
+    assert abs(v - 0.5) < 1e-12
+
+
+def test_cosine_topk_vs_numpy(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = cosine_topk(df.where(F.col("vec_id") < 5), df, k=3).toPandas()
+
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    for q in range(5):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        expect = np.argsort(-s, kind="stable")[:3]
+        mine = got[got["query_id"] == q].sort_values("rank")["neighbor_id"].values
+        assert list(mine) == list(expect), q
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.RandomState(12)
+    # clustered vectors so near neighbors are unambiguous
+    centers = rng.randn(10, 16) * 5
+    vecs = np.vstack([c + rng.randn(20, 16) * 0.1 for c in centers]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.where(F.col("vec_id") < 10)
+    exact = cosine_topk(q, df, k=3).toPandas()
+    approx = lsh_topk(q, df, k=3, dim=16, n_bits=16, bands=8).toPandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
+
+
+def test_text_features_and_lang(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The cat and the dog, in a house!"),
+            (2, "der hund und die katze ist nicht auf"),
+            (3, "xyzzy qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    out = with_text_features(df).withColumn("lang_pred", lang_id_expr("text")).toPandas()
+    r1 = out[out["doc_id"] == 1].iloc[0]
+    assert r1["n_tokens"] == 8
+    assert r1["n_tokens_bpe"] == 10  # 8 words + ',' + '!'
+    assert r1["lang_pred"] == "en"
+    assert r1["stopword_ratio"] > 0.3
+    assert out[out["doc_id"] == 2].iloc[0]["lang_pred"] == "de"
+    assert out[out["doc_id"] == 3].iloc[0]["lang_pred"] == "unk"
+    assert (out["quality_score"] >= 0).all() and (out["quality_score"] <= 1.01).all()
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=50)
+    out = extract_media_features(media, n_frames=4)
+    pdf = out.toPandas()
+    assert len(pdf) == 50
+    assert set(pdf["kind"]) <= {"image", "audio", "video"}
+    assert all(len(f) == 16 for f in pdf["feature"])
+    assert (pdf["n_bytes"] > 0).all()
+    # deterministic across repartitioning
+    pdf2 = extract_media_features(media.repartition(7), n_frames=4).toPandas()
+    a = pdf.sort_values("media_id").reset_index(drop=True)
+    b = pdf2.sort_values("media_id").reset_index(drop=True)
+    assert a["n_bytes"].equals(b["n_bytes"])
+    assert all(np.allclose(x, y) for x, y in zip(a["feature"], b["feature"]))
