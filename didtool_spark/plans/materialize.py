@@ -59,26 +59,44 @@ def run_throughput(
     avg_turns: int = 50,
     out_path: str | None = None,
     gap_seconds: int = 1800,
+    stage_path: str | None = None,
+    warm_passes: int = 0,
+    timed_passes: int = 1,
 ) -> dict:
     """Materialize features over a deterministic synthetic transcript
-    table and report turns/sec (generation excluded via pre-count)."""
+    table and report turns/sec (generation excluded from the timing).
+
+    With ``stage_path`` the input is first written to parquet and the
+    timed section reads it back — the production shape (columnar scan ->
+    shuffle -> windows) rather than an in-memory cache scan."""
     from ..data.transcripts import generate_transcripts
 
     tr = generate_transcripts(spark, n_convs=n_convs, avg_turns=avg_turns)
-    tr = tr.persist()
-    n_turns = tr.count()  # force generation before the timed section
-
-    t0 = time.time()
-    feats = materialize_features(tr, gap_seconds=gap_seconds)
-    if out_path:
-        feats.write.mode("overwrite").parquet(out_path)
+    if stage_path:
+        tr.write.mode("overwrite").parquet(stage_path)
+        tr = spark.read.parquet(stage_path)
+        n_turns = tr.count()
     else:
-        # noop sink computes every column (count() would let Catalyst
-        # prune the window expressions and fake the throughput)
+        tr = tr.persist()
+        n_turns = tr.count()  # force generation before the timed section
+
+    feats = materialize_features(tr, gap_seconds=gap_seconds)
+    for _ in range(warm_passes):  # hot-JIT/steady-state measurement
         feats.write.format("noop").mode("overwrite").save()
+    dt = None
+    for _ in range(max(1, timed_passes)):  # best-of-k vs scheduler noise
+        t0 = time.time()
+        if out_path:
+            feats.write.mode("overwrite").parquet(out_path)
+        else:
+            # noop sink computes every column (count() would let Catalyst
+            # prune the window expressions and fake the throughput)
+            feats.write.format("noop").mode("overwrite").save()
+        d = time.time() - t0
+        dt = d if dt is None else min(dt, d)
     n_out = n_turns
-    dt = time.time() - t0
-    tr.unpersist()
+    if not stage_path:
+        tr.unpersist()
     return {
         "n_turns": n_turns,
         "n_out": n_out,

@@ -1,0 +1,90 @@
+"""Streaming feature path: file-source micro-batch (availableNow) with
+checkpointed incremental re-runs; session stats vs the batch engine."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from didtool_spark.data.transcripts import generate_transcripts
+from didtool_spark.operators.temporal import sessionize
+from didtool_spark.streaming.stream import (
+    read_transcript_stream,
+    run_stream_once,
+    streaming_session_stats,
+    streaming_turn_features,
+)
+
+GAP = 1800
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    src = str(root / "src")
+    tr = generate_transcripts(spark, n_convs=30, avg_turns=10)
+    tr.write.mode("overwrite").parquet(src)
+    return src, str(root)
+
+
+def test_streaming_turn_features(spark, stream_dirs):
+    src, root = stream_dirs
+    out = os.path.join(root, "feat_out")
+    ck = os.path.join(root, "feat_ck")
+    stream = read_transcript_stream(spark, src)
+    assert stream.isStreaming
+    run_stream_once(streaming_turn_features(stream), ck, out)
+    got = spark.read.parquet(out)
+    n = spark.read.parquet(src).count()
+    assert got.count() == n
+    assert "text_len" in got.columns and "is_tool" in got.columns
+
+    # incremental: re-run with same checkpoint processes nothing new
+    run_stream_once(streaming_turn_features(read_transcript_stream(spark, src)), ck, out)
+    assert spark.read.parquet(out).count() == n
+
+
+def test_streaming_session_stats_matches_batch(spark, stream_dirs):
+    src, root = stream_dirs
+    out = os.path.join(root, "sess_out")
+    ck = os.path.join(root, "sess_ck")
+    run_stream_once(
+        streaming_session_stats(
+            read_transcript_stream(spark, src), GAP, watermark="0 seconds"
+        ),
+        ck, out,
+    )
+    got = spark.read.parquet(out)
+
+    src_df = spark.read.parquet(src)
+    max_ts = src_df.select(F.max("ts")).first()[0]
+    batch = sessionize(src_df, gap_seconds=GAP)
+    batch_sessions = (
+        batch.groupBy("conv_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        # append mode only emits sessions CLOSED at the final watermark
+        # (session end + gap <= max event time); the still-open tail
+        # session is correctly withheld by streaming semantics
+        .where(
+            F.col("session_end") + F.expr(f"INTERVAL {GAP} SECONDS")
+            <= F.lit(max_ts)
+        )
+    )
+    # same sessions: (conv, start, n_turns) triples
+    a = (
+        got.select("conv_id", "session_start", "n_turns")
+        .toPandas()
+        .sort_values(["conv_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    b = (
+        batch_sessions.select("conv_id", "session_start", "n_turns")
+        .toPandas()
+        .sort_values(["conv_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
