@@ -1,0 +1,26 @@
+"""Column-level utility helpers (reference didtool/utils.py).
+
+to_ndarray/unpack_tuple are pandas-era shims with no Spark meaning;
+is_categorical becomes an explicit ``categorical_cols`` declaration
+(Spark has no category dtype); handle_categorical_value lives in
+operators.metrics.handle_categorical_expr.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, functions as F
+
+from .exprs import is_missing
+
+
+def fillna(df: DataFrame, cols: Iterable[str], value) -> DataFrame:
+    """utils.py:70-88: replace NULL/NaN with `value` (new columns, no
+    mutation)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, F.when(is_missing(F.col(c)), F.lit(value)).otherwise(F.col(c))
+        )
+    return out

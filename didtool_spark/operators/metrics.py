@@ -225,6 +225,122 @@ def auc(df: DataFrame, label: str, score: str) -> float:
     return (row["r1"] - n1 * (n1 + 1) / 2.0) / (n0 * n1)
 
 
+def roc_curve(df: DataFrame, label: str, score: str) -> pd.DataFrame:
+    """(fpr, tpr, threshold) points over distinct scores desc — the data
+    behind plot_roc/compare_roc (metric.py:313-392; rendering is
+    presentation, this container has no matplotlib)."""
+    t = _score_table(df, label, score)
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    totals = t.select(F.sum("n").alias("n"), F.sum("n1").alias("n1")).first()
+    n1 = totals["n1"]
+    n0 = totals["n"] - n1
+    pts = (
+        t.select(
+            F.col("s").alias("threshold"),
+            (F.sum("n1").over(w) / F.lit(float(max(n1, 1)))).alias("tpr"),
+            (F.sum(F.col("n") - F.col("n1")).over(w) / F.lit(float(max(n0, 1)))).alias("fpr"),
+        )
+        .orderBy(F.desc("threshold"))
+        .toPandas()
+    )
+    return pts
+
+
+def pr_curve(df: DataFrame, label: str, score: str) -> pd.DataFrame:
+    """(precision, recall, threshold) points (metric.py:395-467 data)."""
+    t = _score_table(df, label, score)
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    n1 = t.select(F.sum("n1")).first()[0] or 1
+    return (
+        t.select(
+            F.col("s").alias("threshold"),
+            (F.sum("n1").over(w) / F.sum("n").over(w)).alias("precision"),
+            (F.sum("n1").over(w) / F.lit(float(n1))).alias("recall"),
+        )
+        .orderBy(F.desc("threshold"))
+        .toPandas()
+    )
+
+
+def ks_curve(df: DataFrame, label: str, score: str, n_points: int = 100) -> pd.DataFrame:
+    """Cumulative good/bad share curve decimated to ~n_points (the data
+    behind plot_ks_in_cum, metric.py:504-586 incl. its ntile-100
+    sampling)."""
+    t = _score_table(df, label, score)
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    totals = t.select(F.sum("n").alias("n"), F.sum("n1").alias("n1")).first()
+    n1 = totals["n1"] or 1
+    n0 = (totals["n"] - totals["n1"]) or 1
+    cum = t.select(
+        F.col("s").alias("threshold"),
+        (F.sum("n1").over(w) / F.lit(float(n1))).alias("cum_bad"),
+        (F.sum(F.col("n") - F.col("n1")).over(w) / F.lit(float(n0))).alias("cum_good"),
+    ).withColumn("ks", F.col("cum_bad") - F.col("cum_good"))
+    dec = cum.withColumn(
+        "bucket", F.ntile(n_points).over(Window.orderBy(F.desc("threshold")))
+    )
+    return (
+        dec.groupBy("bucket")
+        .agg(
+            F.min("threshold").alias("threshold"),
+            F.max("cum_bad").alias("cum_bad"),
+            F.max("cum_good").alias("cum_good"),
+            F.max("ks").alias("ks"),
+        )
+        .orderBy("bucket")
+        .toPandas()
+    )
+
+
+def distribution(df: DataFrame, col: str, n_bins: int = DEFAULT_BINS) -> pd.DataFrame:
+    """Histogram table (metric.py:263-310 data): step bins + counts."""
+    edges = step_edges(df, col, n_bins, remove_empty_bins=False)
+    rows = (
+        df.select(bin_expr(F.col(col).try_cast("double"), edges).alias("__b"))
+        .groupBy("__b")
+        .count()
+        .orderBy("__b")
+        .collect()
+    )
+    out = []
+    for r in rows:
+        b = r["__b"]
+        label = "NA" if b == -1 else "(%.4f, %.4f]" % (edges[b], edges[b + 1])
+        out.append({"bin": b, "range": label, "count": r["count"]})
+    return pd.DataFrame(out)
+
+
+def layer_stability_tables(
+    df: DataFrame, prob_col: str, group_col: str, label_col: str,
+    n_bins: int = DEFAULT_BINS,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """The two pivots behind plot_layer_stability (metric.py:631-756):
+    per (prob-quantile-bin x group) sample share and positive rate."""
+    from .binning import Binner
+
+    b = Binner(method="quantile", n_bins=n_bins).fit(df, prob_col)
+    binned = b.transform(df, prob_col, "__b")
+    counts = (
+        binned.groupBy("__b")
+        .pivot(group_col)
+        .agg(F.count(F.lit(1)))
+        .orderBy("__b")
+        .toPandas()
+        .set_index("__b")
+        .fillna(0)
+    )
+    share = counts / counts.sum(axis=0)
+    pos_rate = (
+        binned.groupBy("__b")
+        .pivot(group_col)
+        .agg(F.avg(F.col(label_col).cast("double")))
+        .orderBy("__b")
+        .toPandas()
+        .set_index("__b")
+    )
+    return share, pos_rate
+
+
 def ks(df: DataFrame, label: str, score: str) -> float:
     """KS = max |cum_bad_share - cum_good_share| over score thresholds
     (plot_ks_in_cum semantics, metric.py:536-554)."""

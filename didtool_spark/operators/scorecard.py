@@ -178,3 +178,7 @@ class ScoreCardTransformer:
 
     def transform(self, df: DataFrame, prob_col: str, out_col: str = "score") -> DataFrame:
         return df.withColumn(out_col, self.expr(prob_col))
+
+    def export_mapping(self, out_path: str) -> None:
+        """scorecard.py:260-264: persist the piecewise mapping."""
+        self.mapping_df.to_csv(out_path, index=False)

@@ -1,0 +1,73 @@
+"""Physical-plan shape assertions — the scale contract, not just the
+values: single shuffle for the window family, filter/column pushdown
+into the parquet scan, broadcast for small dimension joins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from didtool_spark.data.transcripts import generate_transcripts
+from didtool_spark.plans.materialize import materialize_features
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df) -> str:
+    from io import StringIO
+    import contextlib
+
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_materialize_single_exchange(spark, tmp_path_factory):
+    # through parquet so the plan is the production shape (the in-session
+    # generator is already partitioned by conv_id and needs no exchange)
+    path = str(tmp_path_factory.mktemp("mat") / "t")
+    generate_transcripts(spark, n_convs=10, avg_turns=5).write.parquet(path)
+    feats = materialize_features(spark.read.parquet(path))
+    p = plan_str(feats)
+    # sessionize + lags + 5 rolling aggs + ffill share ONE partitioning:
+    # exactly one Exchange and one Sort feed the whole window chain
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    n_sorts = len(re.findall(r"\(\d+\) Sort", p))
+    assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}\n{p[:3000]}"
+    assert n_sorts == 1, f"expected 1 sort, got {n_sorts}"
+
+
+def test_scan_pushdown(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("scan") / "t")
+    generate_transcripts(spark, n_convs=20, avg_turns=5).write.parquet(path)
+    df = spark.read.parquet(path)
+    q = df.where(F.col("role") == "tool").select("conv_id", "turn_idx")
+    p = plan_str(q)
+    # filter reaches the scan; projection prunes to 3 columns
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,tool)]" in p, p
+    assert "text" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_small_lookup_broadcasts(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    j = cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+    p = plan_str(j)
+    assert "BroadcastHashJoin" in p, p[:2000]
+
+
+def test_whole_stage_codegen_covers_transform(spark):
+    """Encoder transforms stay inside whole-stage codegen (no UDF rows)."""
+    from didtool_spark.operators.woe import WOEEncoder
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "y", (F.col("event_type") == "error").cast("int")
+    )
+    enc = WOEEncoder().fit(ev, "event_type", "y")
+    out = ev.select(enc.expr("event_type").alias("w"))
+    p = plan_str(out)
+    # formatted mode marks codegen stages as "[codegen id : N]"
+    assert "codegen id" in p, p[:1500]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
