@@ -84,6 +84,10 @@ def minhash_near_dupes(
     """shingle -> minhash -> band -> bucket-join -> exact-Jaccard verify.
     Returns verified pairs (id_a < id_b, jaccard >= threshold)."""
     rows = n_hashes // bands
+    # signature computation is expression-heavy (higher-order functions
+    # are interpreted, not codegen'd): spread it across the cluster even
+    # when the source is a single small file
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sig = df.select(
         F.col(id_col).alias("id"),
         shingles_expr(text_col, k_shingle).alias("sh"),
@@ -192,6 +196,7 @@ def simhash_near_dupes(
     """Near-dup pairs by SimHash: band the 64 bits into 4 16-bit chunks
     (pigeonhole: hamming<=3 pairs share >=1 exact chunk), bucket-join,
     verify hamming distance."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sig = df.select(
         F.col(id_col).alias("id"), simhash_votes_expr(text_col).alias("votes")
     ).select("id", simhash_from_votes(F.col("votes")).alias("sim"))
@@ -247,6 +252,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram-Jaccard duplicate pairs via an inverted shingle
     index (explode -> self-join on shingle -> count common -> Jaccard).
     Exact but heavier than MinHash — the oracle-grade ground truth."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = df.select(
         F.col(id_col).alias("id"), shingles_expr(text_col, k_shingle).alias("sh")
     )
