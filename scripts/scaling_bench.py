@@ -44,9 +44,7 @@ spark = (
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-    # shuffle width is sized to the DATA (fixed across cluster
-    # sizes, like production: partitions ~ input_bytes / 128MB target)
-    .config("spark.sql.shuffle.partitions", "64")
+    .config("spark.sql.shuffle.partitions", str(2 * total_cores))
     .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     .config("spark.local.dir", "/dev/shm/spark-scratch")
     .config("spark.ui.enabled", "false")
@@ -113,8 +111,8 @@ lag/lead + bounded rolling + forward-fill + text features, noop sink so
 every column materializes) over the same deterministic synthetic
 transcript input, under `local-cluster[N,{CORES_PER_EXEC},{EXEC_MEM_MB}]`
 — real separate executor JVMs — at N={low} and 4N={high} executors,
-`spark.sql.shuffle.partitions` fixed at 64 for both levels
-(sized to the data, as in production — not to the cluster).
+`spark.sql.shuffle.partitions` scaled with total cores (2x), executor
+size fixed — the scale-out shape of a real N -> 4N cluster growth.
 
 | metric | value |
 |---|---|
