@@ -266,6 +266,44 @@ def asof_join(
         )
         return filled.where(F.col("__src") == a_tag).select(*final_cols)
 
+    if strategy == "pandas":
+        # Arrow-batched per-key merge_asof: right when the feature side
+        # vastly outnumbers anchors and the window union would carry
+        # mostly-null anchor columns through the sort. Grouped by key,
+        # so subject to the same hot-key bound as the window strategy.
+        import pandas as pd
+
+        out_schema = ", ".join(
+            [f"`{k}` {anchors.schema[k].dataType.simpleString()}" for k in keys]
+            + [f"`{ts_col}` {anchors.schema[ts_col].dataType.simpleString()}"]
+            + [
+                f"`{c}` {anchors.schema[c].dataType.simpleString()}"
+                for c in anchor_cols
+            ]
+            + [
+                f"`{out_names[c]}` {features.schema[c].dataType.simpleString()}"
+                for c in value_cols
+            ]
+        )
+        a_tagged = anchors.select(*keys, ts_col, *anchor_cols)
+        f_tagged = features.select(*keys, ts_col, *value_cols)
+
+        def merge(a_pd, f_pd):
+            a_pd = a_pd.sort_values(ts_col, kind="mergesort")
+            f_pd = f_pd.sort_values(ts_col, kind="mergesort")
+            res = pd.merge_asof(
+                a_pd,
+                f_pd.drop(columns=[k for k in keys]),
+                on=ts_col,
+                direction="backward",
+                allow_exact_matches=not strict,
+            )
+            return res.rename(columns={c: out_names[c] for c in value_cols})
+
+        return a_tagged.groupBy(*keys).cogroup(f_tagged.groupBy(*keys)).applyInPandas(
+            merge, schema=out_schema
+        )
+
     if strategy != "bucketed":
         raise ValueError(f"unknown asof strategy {strategy!r}")
 

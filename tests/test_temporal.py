@@ -122,7 +122,7 @@ def _asof_oracle(anchors_pd, feats_pd, strict):
     return res.sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("strategy", ["window", "bucketed"])
+@pytest.mark.parametrize("strategy", ["window", "bucketed", "pandas"])
 @pytest.mark.parametrize("strict", [False, True])
 def test_asof_join_matches_merge_asof(tr, tr_pd, strict, strategy):
     # features: tool turns carry a score; anchors: user turns
