@@ -89,11 +89,15 @@ def iv_all(
     """stats.py:32-67: per-feature IV, sorted desc. The reference's
     multiprocessing.Pool becomes one Spark job per feature (cluster
     parallelism). ``categorical_cols`` replaces pandas category dtype."""
+    from concurrent.futures import ThreadPoolExecutor
+
     cat = set(categorical_cols or [])
-    rows = [
-        (f_, iv(df, f_, target, is_continuous=f_ not in cat, **kwargs))
-        for f_ in features
-    ]
+
+    def one(f_):
+        return f_, iv(df, f_, target, is_continuous=f_ not in cat, **kwargs)
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(features)))) as pool:
+        rows = list(pool.map(one, features))
     out = pd.DataFrame(rows, columns=["feature", "iv"])
     return out.sort_values("iv", ascending=False).set_index("feature")
 

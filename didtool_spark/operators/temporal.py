@@ -62,25 +62,93 @@ def sessionize(
     ts_col: str = "ts",
     order: Sequence[str] | str = ("ts", "turn_idx"),
     out_col: str = "session_id",
+    strategy: str = "window",
+    bucket_seconds: int = 86400,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since
     the previous event exceeds ``gap_seconds``.
 
-    session_id = cumulative sum of is-new-session indicators over the
-    per-key ordered window (0-based). One shuffle on ``keys``.
+    strategy="window": session_id = cumulative sum of is-new-session
+    indicators over the per-key ordered window (0-based). One shuffle on
+    ``keys``; each key is one task — fine until a key is hot.
+
+    strategy="bucketed": the carry-in trick for hot keys (a conversation
+    with millions of turns). Time is range-split into ``bucket_seconds``
+    buckets; the boundary indicator needs only the LAST event of the
+    previous bucket (a tiny per-(key, bucket) table), the cumulative sum
+    runs per (key, bucket) plus a prefix-sum of per-bucket session
+    counts over the small carry table — no task ever scans a whole hot
+    key. Identical output to the window strategy.
     """
-    w = ordered_window(keys, order)
-    prev_ts = F.lag(F.col(ts_col)).over(w)
-    is_new = (
-        prev_ts.isNull()
-        | (epoch_seconds(ts_col) - epoch_seconds(prev_ts) > F.lit(gap_seconds))
-    ).cast("int")
-    cum = Window.partitionBy(
-        *([keys] if isinstance(keys, str) else keys)
-    ).orderBy(*([order] if isinstance(order, str) else list(order))).rowsBetween(
-        Window.unboundedPreceding, 0
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    order_l = [order] if isinstance(order, str) else list(order)
+
+    if strategy == "window":
+        w = ordered_window(keys_l, order_l)
+        prev_ts = F.lag(F.col(ts_col)).over(w)
+        is_new = (
+            prev_ts.isNull()
+            | (epoch_seconds(ts_col) - epoch_seconds(prev_ts) > F.lit(gap_seconds))
+        ).cast("int")
+        cum = Window.partitionBy(*keys_l).orderBy(*order_l).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return df.withColumn(out_col, F.sum(is_new).over(cum) - F.lit(1))
+
+    if strategy != "bucketed":
+        raise ValueError(f"unknown sessionize strategy {strategy!r}")
+
+    b = df.withColumn(
+        "__bucket", F.floor(epoch_seconds(ts_col) / F.lit(int(bucket_seconds)))
     )
-    return df.withColumn(out_col, F.sum(is_new).over(cum) - F.lit(1))
+    # per-(key, bucket): ordered indicator with NULL prev inside bucket
+    wb = Window.partitionBy(*keys_l, "__bucket").orderBy(*order_l)
+    prev_in_bucket = F.lag(F.col(ts_col)).over(wb)
+    # last event per (key, bucket) -> carry table (small: keys x buckets)
+    carry = b.groupBy(*keys_l, "__bucket").agg(
+        F.max(F.struct(*[F.col(c) for c in order_l], F.col(ts_col).alias("__t")))[
+            "__t"
+        ].alias("__last_ts"),
+        F.lit(0).alias("__dummy"),
+    ).drop("__dummy")
+    wc = Window.partitionBy(*keys_l).orderBy("__bucket")
+    carry = carry.select(
+        *keys_l,
+        "__bucket",
+        F.lag("__last_ts").over(wc).alias("__prev_bucket_last_ts"),
+    )
+    b = b.join(carry, [*keys_l, "__bucket"], "left")
+    first_prev = F.coalesce(prev_in_bucket, F.col("__prev_bucket_last_ts"))
+    is_new = (
+        first_prev.isNull()
+        | (epoch_seconds(ts_col) - epoch_seconds(first_prev) > F.lit(gap_seconds))
+    ).cast("long")
+    cum_in_bucket = F.sum(is_new).over(
+        Window.partitionBy(*keys_l, "__bucket")
+        .orderBy(*order_l)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = b.withColumn("__new_in_bucket_cum", cum_in_bucket)
+    # per-bucket totals -> exclusive prefix sum over buckets (tiny table)
+    totals = b.groupBy(*keys_l, "__bucket").agg(
+        F.max("__new_in_bucket_cum").alias("__bucket_total")
+    )
+    wt = (
+        Window.partitionBy(*keys_l)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = totals.select(
+        *keys_l,
+        "__bucket",
+        F.coalesce(F.sum("__bucket_total").over(wt), F.lit(0)).alias("__offset"),
+    )
+    out = b.join(totals, [*keys_l, "__bucket"], "left").withColumn(
+        out_col, (F.col("__offset") + F.col("__new_in_bucket_cum") - 1).cast("long")
+    )
+    return out.drop(
+        "__bucket", "__prev_bucket_last_ts", "__new_in_bucket_cum", "__offset"
+    )
 
 
 def with_lags(

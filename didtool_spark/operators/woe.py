@@ -229,11 +229,23 @@ class WOETransformer:
             if f_ not in df.columns:
                 raise ValueError(f"{f_} not in df")
         self.features = feats
-        for f_ in feats:
+
+        # concurrent per-feature fits: the reference's
+        # multiprocessing.Pool (transformer.py:268) becomes concurrent
+        # Spark jobs from driver threads — the cluster is the pool
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fit_one(f_):
             t = SingleWOETransformer(self.cut_method, self.n_bins, is_continuous=False)
             t.fit(df, f_, target, var_name=f_)
-            self.transformers[f_] = t
-        self.woe_df = pd.concat([t.woe_df for t in self.transformers.values()])
+            return f_, t
+
+        with ThreadPoolExecutor(max_workers=min(8, len(feats))) as pool:
+            for f_, t in pool.map(fit_one, feats):
+                self.transformers[f_] = t
+        self.woe_df = pd.concat(
+            [self.transformers[f_].woe_df for f_ in feats]
+        )
         return self
 
     def transform(self, df: DataFrame, default: float = 0.0) -> DataFrame:

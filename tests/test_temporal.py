@@ -152,3 +152,23 @@ def test_asof_join_matches_merge_asof(tr, tr_pd, strict, strategy):
         got["tool_score"].values, expect["tool_score"].values, equal_nan=True
     )
     assert got["tool_score"].notna().any()
+
+
+def test_sessionize_bucketed_equals_window(tr):
+    """Carry-trick skew-splitting sessionization must be bit-identical
+    to the single-window form (small buckets force many carries)."""
+    a = (
+        sessionize(tr, gap_seconds=GAP, strategy="window")
+        .select("conv_id", "turn_idx", "session_id")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        sessionize(tr, gap_seconds=GAP, strategy="bucketed", bucket_seconds=3600)
+        .select("conv_id", "turn_idx", "session_id")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (a["session_id"].values == b["session_id"].values).all()
