@@ -111,7 +111,8 @@ def step_edges_weighted(
 
 def _weighted_order_stat(v: np.ndarray, cum: np.ndarray, pos: float) -> float:
     """Order statistic (0-indexed, linear interpolation) of the expanded
-    weighted sample — matches numpy percentile 'linear'."""
+    weighted sample — bit-identical to numpy percentile 'linear'
+    (two-sided lerp: interpolate from the right when gamma >= 0.5)."""
     lo_i = int(math.floor(pos))
     hi_i = int(math.ceil(pos))
     gamma = pos - lo_i
@@ -124,20 +125,29 @@ def _weighted_order_stat(v: np.ndarray, cum: np.ndarray, pos: float) -> float:
     if hi_i == lo_i:
         return lo_v
     hi_v = order_stat(hi_i)
-    return lo_v + gamma * (hi_v - lo_v)
+    diff = hi_v - lo_v
+    if gamma >= 0.5:  # numpy _lerp computes from the right for t >= 0.5
+        return hi_v - diff * (1.0 - gamma)
+    return lo_v + diff * gamma
 
 
 def quantile_edges_weighted(
     values: np.ndarray, counts: np.ndarray, n_bins: int
 ) -> list[float]:
     """pd.qcut interior edges (duplicates dropped, cut.py:94-95) over a
-    weighted distinct-value sample."""
+    weighted distinct-value sample. Positions replicate pandas exactly:
+    Series.quantile routes through nanpercentile(q * 100), and the
+    *100/100 round-trip shifts the virtual index by an ulp — enough to
+    flip the duplicate-drop at run boundaries."""
     order = np.argsort(values, kind="mergesort")
     v, c = values[order].astype(float), counts[order].astype(float)
     n = c.sum()
     cum = np.cumsum(c) - 1  # cum[k] = last expanded index of value k
-    qs = [i / n_bins for i in range(n_bins + 1)]
-    edges = [_weighted_order_stat(v, cum, q * (n - 1)) for q in qs]
+    qs = np.linspace(0, 1, n_bins + 1)
+    edges = [
+        _weighted_order_stat(v, cum, (float(q) * 100.0 / 100.0) * (n - 1.0))
+        for q in qs
+    ]
     uniq: list[float] = []
     for e in edges:
         if not uniq or e > uniq[-1]:

@@ -93,26 +93,52 @@ def quantile_edges(
     df: DataFrame, col: str, n_bins: int = DEFAULT_BINS, exact: bool = True,
     approx_accuracy: int = 10000,
 ) -> list[float]:
-    """Equal-frequency edges, pd.qcut-compatible: linear-interpolation
-    percentiles (Spark exact `percentile` == numpy 'linear'), duplicate
-    edges dropped (cut.py:94-95), outer edges ±inf."""
-    qs = [i / n_bins for i in range(n_bins + 1)]
-    fn = "percentile" if exact else "percentile_approx"
-    arr = ", ".join(str(q) for q in qs)
-    extra = f", {approx_accuracy}" if not exact else ""
-    row = (
+    """Equal-frequency edges, pd.qcut-compatible (linear interpolation,
+    duplicate edges dropped, cut.py:94-95), outer edges ±inf.
+
+    exact=True aggregates ``groupBy(value).count()`` and interpolates on
+    the driver with the SAME float arithmetic as numpy percentile —
+    Spark's exact `percentile` differs from numpy by sub-ulp rounding at
+    run boundaries, which flips pd.qcut's duplicate-drop. exact=False
+    uses percentile_approx for columns whose distinct count is too large
+    to collect (documented tolerance at cluster scale)."""
+    if not exact:
+        qs = [i / n_bins for i in range(n_bins + 1)]
+        arr = ", ".join(str(q) for q in qs)
+        row = (
+            df.select(_clean(df, col).alias("__xq"))
+            .select(
+                F.expr(
+                    f"percentile_approx(__xq, array({arr}), {approx_accuracy})"
+                ).alias("p")
+            )
+            .first()
+        )
+        ps = row["p"]
+        if ps is None or ps[0] is None:
+            return [-math.inf, math.inf]
+        uniq: list[float] = []
+        for p in ps:
+            if not uniq or float(p) > uniq[-1]:
+                uniq.append(float(p))
+        return [-math.inf, *uniq[1:-1], math.inf]
+
+    rows = (
         df.select(_clean(df, col).alias("__xq"))
-        .select(F.expr(f"{fn}(__xq, array({arr}){extra})").alias("p"))
-        .first()
+        .where(F.col("__xq").isNotNull())
+        .groupBy("__xq")
+        .count()
+        .collect()
     )
-    ps = row["p"]
-    if ps is None or ps[0] is None:
+    if not rows:
         return [-math.inf, math.inf]
-    uniq: list[float] = []
-    for p in ps:
-        if not uniq or float(p) > uniq[-1]:
-            uniq.append(float(p))
-    return [-math.inf, *uniq[1:-1], math.inf]
+    rows.sort(key=lambda r: r["__xq"])
+    values = np.array([r["__xq"] for r in rows], dtype=float)
+    counts = np.array([r["count"] for r in rows], dtype=float)
+    from ..functions.driver_fit import quantile_edges_weighted
+
+    interior = quantile_edges_weighted(values, counts, n_bins)
+    return [-math.inf, *interior, math.inf]
 
 
 def dt_edges(
