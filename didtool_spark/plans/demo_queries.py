@@ -113,6 +113,36 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour time-window aggregates (rangeBetween on epoch
+    seconds), strictly historical (excludes rows within the current
+    second via upper bound -1)."""
+    ev = load(spark, sf_dir, "events")
+    out = with_rolling(
+        ev,
+        [("value", "sum", 3600), ("value", "count", 3600)],
+        keys="user_id",
+        ts_col="ts",
+        include_current=False,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value_sum_3600s", 6).alias("value_sum_1h"),
+        F.col("value_count_3600s").alias("value_count_1h"),
+    )
+
+
+SQL_ROLLING_TIME = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 6) AS value_sum_1h,
+       count(value) OVER w AS value_count_1h
+FROM (SELECT *, date_diff('second', TIMESTAMP '1970-01-01', ts) AS ep FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ep
+             RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+"""
+
+
 def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward-fill the last purchase amount onto every event."""
     ev = load(spark, sf_dir, "events").withColumn(
@@ -240,6 +270,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "lag_lead": q_lag_lead,
     "rolling": q_rolling,
+    "rolling_time": q_rolling_time,
     "backfill": q_backfill,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
@@ -250,6 +281,7 @@ ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "lag_lead": SQL_LAG_LEAD,
     "rolling": SQL_ROLLING,
+    "rolling_time": SQL_ROLLING_TIME,
     "backfill": SQL_BACKFILL,
     "asof_join": SQL_ASOF,
     "asof_join_bucketed": SQL_ASOF,
