@@ -91,3 +91,27 @@ def test_zero_temporal_leakage(spark, tr):
         .toPandas().sort_values(key).reset_index(drop=True)
     )
     assert a.equals(b), "temporal leakage: features at/before cut changed"
+
+
+def test_audit_library_flags_leaky_features(spark, tr):
+    """audit_no_leakage passes the leakage-free pipeline and catches a
+    deliberately leaky feature (lead = reads the future)."""
+    from didtool_spark.operators.temporal import with_lags
+    from didtool_spark.plans.audit import audit_no_leakage
+
+    cut = F.col("turn_idx") <= 4
+
+    clean, offenders = audit_no_leakage(tr, materialize_features, cut)
+    assert clean, offenders
+
+    def leaky(df):
+        out = materialize_features(df)
+        lead = with_lags(
+            df.select("conv_id", "turn_idx", "ts", F.length("text").alias("L")),
+            ["L"], lags=[], leads=[1],
+        ).drop("ts", "L")
+        return lead.join(out, ["conv_id", "turn_idx"], "inner")
+
+    clean2, offenders2 = audit_no_leakage(tr, leaky, cut)
+    assert not clean2
+    assert "L_lead1" in offenders2
