@@ -144,3 +144,108 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ----------------------------------------------------------------- IVF
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit_c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cluster_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    dists = F.array(*[_sq_dist(vec, c) for c in centroids])
+    # first minimal index (1-based array_position) -> 0-based cluster id
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 9,
+) -> list[list[float]]:
+    """Distributed Lloyd k-means over DataFrame aggregations.
+
+    Init: the n_centroids vectors with smallest xxhash64(id, seed) —
+    deterministic, cluster-size independent. Each iteration is one
+    assignment pass + one groupBy(cluster, dim) average (posexplode);
+    only n_centroids x dim numbers ever reach the driver."""
+    init_rows = (
+        corpus.select(vec_col, F.xxhash64(id_col, F.lit(seed)).alias("__h"))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in init_rows]
+    for _ in range(iters):
+        assigned = corpus.select(
+            _cluster_expr(F.col(vec_col), centroids).alias("__c"),
+            F.posexplode(vec_col).alias("__pos", "__v"),
+        )
+        rows = (
+            assigned.groupBy("__c", "__pos")
+            .agg(F.avg("__v").alias("m"))
+            .collect()
+        )
+        new = {}
+        for r in rows:
+            new.setdefault(r["__c"], {})[r["__pos"]] = r["m"]
+        centroids = [
+            [new[c][p] for p in sorted(new[c])] if c in new else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: corpus bucketed by nearest centroid; each query
+    probes its n_probe nearest centroids' buckets; exact cosine re-rank
+    inside the probed buckets. One equi-join shuffle on cluster id."""
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _cluster_expr(F.col(vec_col), centroids).alias("cluster"),
+    )
+    m = len(centroids)
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids]).alias("__d"),
+    )
+    ranked = F.slice(
+        F.array_sort(
+            F.arrays_zip(F.col("__d").alias("d"), F.sequence(F.lit(0), F.lit(m - 1)).alias("i"))
+        ),
+        1,
+        n_probe,
+    )
+    probes = qd.select(
+        "query_id", "qv", F.explode(ranked).alias("__p")
+    ).select("query_id", "qv", F.col("__p.i").cast("int").alias("cluster"))
+
+    cands = (
+        probes.join(c_assigned, "cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )

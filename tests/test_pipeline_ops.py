@@ -155,3 +155,23 @@ def test_multimodal_plumbing(spark):
     b = pdf2.sort_values("media_id").reset_index(drop=True)
     assert a["n_bytes"].equals(b["n_bytes"])
     assert all(np.allclose(x, y) for x, y in zip(a["feature"], b["feature"]))
+
+
+def test_ivf_topk_recall(spark):
+    from didtool_spark.operators.similarity import ivf_fit_centroids, ivf_topk
+
+    rng = np.random.RandomState(13)
+    centers = rng.randn(8, 16) * 5
+    vecs = np.vstack([c + rng.randn(25, 16) * 0.1 for c in centers]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_fit_centroids(df, n_centroids=8, iters=3)
+    assert len(cents) == 8 and len(cents[0]) == 16
+    q = df.where(F.col("vec_id") < 10)
+    exact = cosine_topk(q, df, k=3).toPandas()
+    approx = ivf_topk(q, df, cents, k=3, n_probe=2).toPandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(e & a) / len(e) >= 0.9
