@@ -90,3 +90,80 @@ def run_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_running_features(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+):
+    """Custom stateful operator via applyInPandasWithState: per-conv
+    running counters that survive micro-batch boundaries — cumulative
+    turn number, cumulative text length, and the session id continued
+    from state (the streaming form of the batch cumulative-sum
+    sessionize, exact same ids).
+
+    State per conv_id: (n_turns, cum_text_len, last_ts_epoch,
+    session_id). Late/out-of-order data within a micro-batch is ordered
+    by (ts, turn_idx); cross-batch ordering relies on the source being
+    append-ordered per conversation (true for transcript logs).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("turn_number", LongType()),
+            StructField("cum_text_len", LongType()),
+            StructField("session_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_turns", LongType()),
+            StructField("cum_text_len", LongType()),
+            StructField("last_ts_epoch", LongType()),
+            StructField("session_id", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        (conv_id,) = key
+        if state.exists:
+            n_turns, cum_len, last_ts, session_id = state.get
+        else:
+            n_turns, cum_len, last_ts, session_id = 0, 0, None, -1
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                ep = int(pd.Timestamp(row.ts).value // 1_000_000_000)
+                if last_ts is None or ep - last_ts > gap_seconds:
+                    session_id += 1
+                last_ts = ep
+                n_turns += 1
+                cum_len += len(row.text or "")
+                out.append(
+                    (conv_id, int(row.turn_idx), row.ts, n_turns, cum_len, session_id)
+                )
+        state.update((n_turns, cum_len, last_ts, session_id))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "conv_id", "turn_idx", "ts", "turn_number", "cum_text_len",
+                "session_id",
+            ],
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

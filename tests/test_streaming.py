@@ -88,3 +88,47 @@ def test_streaming_session_stats_matches_batch(spark, stream_dirs):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_stateful_running_features(spark, stream_dirs, tmp_path_factory):
+    """applyInPandasWithState: state must carry across micro-batches
+    (maxFilesPerTrigger=1 forces several) and reproduce the batch
+    cumulative features exactly."""
+    from didtool_spark.streaming.stream import streaming_running_features
+
+    src, _ = stream_dirs
+    root = str(tmp_path_factory.mktemp("stateful"))
+    out = os.path.join(root, "out")
+    ck = os.path.join(root, "ck")
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    run_stream_once(streaming_running_features(stream, GAP), ck, out)
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    batch_src = spark.read.parquet(src)
+    from didtool_spark.operators.temporal import sessionize
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ts", "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expect = (
+        sessionize(batch_src, gap_seconds=GAP)
+        .withColumn("turn_number", F.count(F.lit(1)).over(w))
+        .withColumn("cum_text_len", F.sum(F.length("text")).over(w))
+        .select("conv_id", "turn_idx", "turn_number", "cum_text_len", "session_id")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expect)
+    assert (got["turn_number"].values == expect["turn_number"].values).all()
+    assert (got["cum_text_len"].values == expect["cum_text_len"].values).all()
+    assert (got["session_id"].values == expect["session_id"].values).all()
