@@ -253,12 +253,16 @@ def ngram_jaccard_pairs(
     index (explode -> self-join on shingle -> count common -> Jaccard).
     Exact but heavier than MinHash — the oracle-grade ground truth."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_expr(text_col, k_shingle).alias("sh")
+    # materialize shingles once via the inverted index (the shingle
+    # lambda expression is interpreted — evaluating it twice for a
+    # separate sizes pass doubles the dominant cost)
+    inv = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_expr(text_col, k_shingle)).alias("s"),
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("s"))
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # prune ultra-common shingles (stopword boilerplate) for scalability
+    # (sizes are computed pre-prune so Jaccard denominators stay exact)
     common = inv.groupBy("s").count().where(F.col("count") > min_df_prune)
     inv = inv.join(F.broadcast(common), "s", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
