@@ -53,8 +53,8 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id,
-       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
 FROM g
 """
 
@@ -252,7 +252,7 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id,
-       sum(is_new) OVER wc - 1 AS session_id,
+       CAST(sum(is_new) OVER wc - 1 AS BIGINT) AS session_id,
        round(lag(value, 1) OVER w, 6) AS value_lag1,
        round(sum(value) OVER wr, 6) AS value_sum_last3,
        count(value) OVER wr AS value_count_last3,
