@@ -16,6 +16,10 @@ from typing import Sequence
 
 from pyspark.sql import Column, functions as F
 
+# interior-edge count above which the comparison-sum codegen form is
+# swapped for a flat array+filter (see bin_expr)
+MAX_CODEGEN_EDGES = 128
+
 
 def bin_expr(
     col: Column | str,
@@ -32,10 +36,19 @@ def bin_expr(
     def gt(e: float) -> Column:  # does x fall strictly right of edge e?
         return (c > F.lit(e)) if right else (c >= F.lit(e))
 
-    if interior:
+    if not interior:
+        bin_id = F.lit(0)
+    elif len(interior) <= MAX_CODEGEN_EDGES:
         bin_id = sum((gt(e).cast("int") for e in interior), F.lit(0))
     else:
-        bin_id = F.lit(0)
+        # a left-nested Add chain deeper than a few hundred edges blows
+        # the JVM analyzer stack; above the threshold count the edges
+        # below x over a flat literal array instead (breadth, not depth;
+        # interpreted HOF — only the micro-bin fit path ever gets here,
+        # a transform never has thousands of edges)
+        arr = F.array(*[F.lit(e) for e in interior])
+        cmp = (lambda e: c > e) if right else (lambda e: c >= e)
+        bin_id = F.size(F.filter(arr, cmp))
 
     # NULL and float-NaN both map to the nan bucket (reference treats
     # np.nan as the single missing marker)

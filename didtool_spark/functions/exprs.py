@@ -64,3 +64,35 @@ def lookup_via_join(
     joined = df.join(F.broadcast(lut), df[col] == lut["__k"], "left")
     out = joined.withColumn(out_col, F.coalesce("__v", F.lit(default)))
     return out.drop("__k", "__v")
+
+
+def with_lookup(
+    df: DataFrame,
+    key: Column | str,
+    mapping: Mapping[Any, Any],
+    out_col: str,
+    default: Any = None,
+    max_literal: int | None = None,
+) -> DataFrame:
+    """``mapping.get(key, default)`` as a new column, picking the plan by
+    vocabulary size: a literal ``create_map`` expression (whole-stage
+    codegen) up to ``max_literal`` entries, a broadcast hash join above —
+    a 10^5-entry vocabulary inlined as a literal would generate a
+    megabyte-scale expression and blow past the codegen method-size
+    limit. A ``None`` key in ``mapping`` maps NULL keys explicitly."""
+    key = F.col(key) if isinstance(key, str) else key
+    max_literal = MAP_EXPR_MAX if max_literal is None else max_literal
+    items = {k: v for k, v in mapping.items() if k is not None}
+    if len(items) <= max_literal:
+        return df.withColumn(out_col, map_expr(key, mapping, default))
+    lut = df.sparkSession.createDataFrame(
+        list(items.items()), ["__lk_k", "__lk_v"]
+    )
+    tagged = df.withColumn("__lk", key)
+    joined = tagged.join(
+        F.broadcast(lut), F.col("__lk") == F.col("__lk_k"), "left"
+    )
+    out = F.coalesce(F.col("__lk_v"), F.lit(default))
+    if None in mapping:
+        out = F.when(F.col("__lk").isNull(), F.lit(mapping[None])).otherwise(out)
+    return joined.withColumn(out_col, out).drop("__lk", "__lk_k", "__lk_v")

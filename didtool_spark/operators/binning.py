@@ -14,9 +14,11 @@ NaN/NULL -> bin -1 in every method (cut.py:60-61 etc.); supervised fits
 use non-null x only (cut.py:146-147, 197, 275-276).
 
 Scale notes: dt/lgb/chi aggregate ``groupBy(x)`` first — the driver only
-ever sees distinct values. ``max_distinct`` caps that: beyond it the fit
-first quantizes x to ``pre_bins`` exact-percentile micro-bins (documented
-approximation, default off at test scale / on at cluster scale).
+ever sees distinct values. ``MAX_DISTINCT`` caps that (always on,
+default 100k): collects go through ``limit(cap+1)`` so the driver never
+materializes more, and beyond the cap the fit quantizes x to
+``PRE_BINS`` percentile micro-bins (documented approximation; exact
+below the cap, so all small-scale parity goldens are unaffected).
 """
 
 from __future__ import annotations
@@ -32,6 +34,13 @@ from ..functions.driver_fit import cart_thresholds, chimerge_edges, lgb_threshol
 
 DEFAULT_BINS = 10
 
+# Driver-collect cap: a fit never materializes more than MAX_DISTINCT
+# grouped rows on the driver. Above it, continuous fits pre-quantize to
+# PRE_BINS percentile micro-bins (the documented approximation for
+# continuous doubles at cluster scale — distinct ~= rows there).
+MAX_DISTINCT = 100_000
+PRE_BINS = 10_000
+
 
 def _clean(df: DataFrame, col: str) -> Column:
     """Treat float NaN as NULL so aggregations skip it like pandas does."""
@@ -39,21 +48,69 @@ def _clean(df: DataFrame, col: str) -> Column:
     return F.when(F.isnan(c), F.lit(None)).otherwise(c)
 
 
+def collect_capped(agg_df: DataFrame, max_distinct: int | None) -> list | None:
+    """collect() through ``limit(cap + 1)`` so the driver never
+    materializes more than the cap; returns None when the cap is
+    exceeded (the caller falls back to a quantized/top-k plan). The
+    limit also lets Spark stop the final stage early — the common
+    small-vocabulary case costs exactly the one aggregation it always
+    did."""
+    if not max_distinct:
+        return agg_df.collect()
+    rows = agg_df.limit(max_distinct + 1).collect()
+    return None if len(rows) > max_distinct else rows
+
+
+def micro_bin_expr(df: DataFrame, xc: Column, pre_bins: int = PRE_BINS) -> Column:
+    """Exact-percentile micro-bin id for ``xc`` — the pre-quantization
+    pass used when distinct(x) exceeds the driver cap. One
+    percentile_approx aggregation (accuracy scaled to the bin count so
+    adjacent micro-bins are actually distinguishable), then the shared
+    right-closed bin expression."""
+    qs = [i / pre_bins for i in range(1, pre_bins)]
+    ps = df.select(
+        F.percentile_approx(xc, qs, max(10_000, pre_bins * 10)).alias("p")
+    ).first()["p"]
+    edges: list[float] = []
+    for p in ps or []:
+        if p is not None and (not edges or float(p) > edges[-1]):
+            edges.append(float(p))
+    return bin_expr(xc, [-math.inf, *edges, math.inf])
+
+
 def _value_class_counts(
-    df: DataFrame, col: str, target: str
+    df: DataFrame,
+    col: str,
+    target: str,
+    max_distinct: int | None = MAX_DISTINCT,
+    pre_bins: int = PRE_BINS,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """groupBy(x) -> (distinct values, count(y=0), count(y=1)); the one
-    distributed pass behind every supervised fit."""
-    rows = (
+    distributed pass behind every supervised fit. Above ``max_distinct``
+    distinct values the fit re-aggregates over ``pre_bins`` percentile
+    micro-bins (representative = max x in the bin, so thresholds fitted
+    between representatives separate exactly the same rows as
+    thresholds between micro-bins)."""
+    base = (
         df.select(_clean(df, col).alias("__x"), F.col(target).cast("double").alias("__y"))
         .where(F.col("__x").isNotNull())
-        .groupBy("__x")
-        .agg(
-            F.sum(F.lit(1.0) - F.col("__y")).alias("c0"),
-            F.sum("__y").alias("c1"),
-        )
-        .collect()
     )
+    agg = base.groupBy("__x").agg(
+        F.sum(F.lit(1.0) - F.col("__y")).alias("c0"),
+        F.sum("__y").alias("c1"),
+    )
+    rows = collect_capped(agg, max_distinct)
+    if rows is None:
+        rows = (
+            base.select(micro_bin_expr(base, F.col("__x"), pre_bins).alias("__b"), "__x", "__y")
+            .groupBy("__b")
+            .agg(
+                F.max("__x").alias("__x"),
+                F.sum(F.lit(1.0) - F.col("__y")).alias("c0"),
+                F.sum("__y").alias("c1"),
+            )
+            .collect()
+        )
     rows.sort(key=lambda r: r["__x"])
     v = np.array([r["__x"] for r in rows], dtype=float)
     c0 = np.array([r["c0"] for r in rows], dtype=float)
@@ -91,7 +148,8 @@ def step_edges(
 
 def quantile_edges(
     df: DataFrame, col: str, n_bins: int = DEFAULT_BINS, exact: bool = True,
-    approx_accuracy: int = 10000,
+    approx_accuracy: int = 10000, max_distinct: int | None = MAX_DISTINCT,
+    pre_bins: int = PRE_BINS,
 ) -> list[float]:
     """Equal-frequency edges, pd.qcut-compatible (linear interpolation,
     duplicate edges dropped, cut.py:94-95), outer edges ±inf.
@@ -123,13 +181,21 @@ def quantile_edges(
                 uniq.append(float(p))
         return [-math.inf, *uniq[1:-1], math.inf]
 
-    rows = (
+    base = (
         df.select(_clean(df, col).alias("__xq"))
         .where(F.col("__xq").isNotNull())
-        .groupBy("__xq")
-        .count()
-        .collect()
     )
+    rows = collect_capped(base.groupBy("__xq").count(), max_distinct)
+    if rows is None:
+        # above the driver cap: weighted interpolation over percentile
+        # micro-bins (representative = bin max) — the documented
+        # approximation for continuous doubles at cluster scale
+        rows = (
+            base.select(micro_bin_expr(base, F.col("__xq"), pre_bins).alias("__b"), "__xq")
+            .groupBy("__b")
+            .agg(F.max("__xq").alias("__xq"), F.count(F.lit(1)).alias("count"))
+            .collect()
+        )
     if not rows:
         return [-math.inf, math.inf]
     rows.sort(key=lambda r: r["__xq"])
@@ -143,9 +209,10 @@ def quantile_edges(
 
 def dt_edges(
     df: DataFrame, col: str, target: str, n_bins: int = DEFAULT_BINS,
-    min_bin: float = 0.01,
+    min_bin: float = 0.01, max_distinct: int | None = MAX_DISTINCT,
+    pre_bins: int = PRE_BINS,
 ) -> list[float]:
-    v, c0, c1 = _value_class_counts(df, col, target)
+    v, c0, c1 = _value_class_counts(df, col, target, max_distinct, pre_bins)
     if len(v) == 0:
         return [-math.inf, math.inf]
     n = int((c0 + c1).sum())
@@ -156,12 +223,13 @@ def dt_edges(
 
 def lgb_edges(
     df: DataFrame, col: str, target: str, n_bins: int = DEFAULT_BINS,
-    min_bin: float = 0.01,
+    min_bin: float = 0.01, max_distinct: int | None = MAX_DISTINCT,
+    pre_bins: int = PRE_BINS,
 ) -> list[float]:
     # reference computes min_child_samples from len(x) INCLUDING NaN
     # (cut.py:198), then fits on non-null values (cut.py:206)
     n_total = df.count()
-    v, c0, c1 = _value_class_counts(df, col, target)
+    v, c0, c1 = _value_class_counts(df, col, target, max_distinct, pre_bins)
     if len(v) == 0:
         return [-math.inf, math.inf]
     mcs = max(1, math.ceil(min_bin * n_total))
@@ -170,9 +238,10 @@ def lgb_edges(
 
 
 def chi_edges(
-    df: DataFrame, col: str, target: str, n_bins: int = DEFAULT_BINS, cf: float = 0.1
+    df: DataFrame, col: str, target: str, n_bins: int = DEFAULT_BINS, cf: float = 0.1,
+    max_distinct: int | None = MAX_DISTINCT, pre_bins: int = PRE_BINS,
 ) -> list[float]:
-    v, c0, c1 = _value_class_counts(df, col, target)
+    v, c0, c1 = _value_class_counts(df, col, target, max_distinct, pre_bins)
     if len(v) == 0:
         return [-math.inf, math.inf]
     edges = chimerge_edges(v, c0, c1, n_bins=n_bins, cf=cf)

@@ -19,27 +19,55 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.exprs import is_missing as _is_missing, map_expr
+from ..functions.exprs import MAP_EXPR_MAX, is_missing as _is_missing, map_expr, with_lookup
+from .binning import MAX_DISTINCT, collect_capped
 
 NAN_KEY = "nan"
 
 
-def _fit_value_counts(df: DataFrame, col: str) -> tuple[list, int, int]:
-    """-> (values desc by count, total rows, has_nan)."""
+def _fit_value_counts(
+    df: DataFrame, col: str, top_k: int | None = None,
+    max_distinct: int = MAX_DISTINCT,
+) -> tuple[list, int, int]:
+    """-> (values desc by count, total rows, has_nan). Driver-collect is
+    capped at ``max_distinct`` grouped rows; above the cap only the top
+    ``top_k`` values by frequency are collected (TakeOrdered — scale-
+    safe) plus one tiny exact aggregation for total/has_nan. Callers
+    that keep every value (no max_bins/min_coverage) get a clear error
+    instead of a silent truncation."""
     c = F.col(col)
-    rows = (
-        df.groupBy(F.when(_is_missing(c), F.lit(None)).otherwise(c).alias("__v"))
-        .count()
-        .collect()
-    )
+    key = F.when(_is_missing(c), F.lit(None)).otherwise(c).alias("__v")
+    grouped = df.groupBy(key).count()
+    rows = collect_capped(grouped, max_distinct)
+    if rows is None:
+        k = min(top_k or 0, max_distinct)
+        if not k:
+            raise ValueError(
+                f"fit on `{col}`: more than {max_distinct} distinct values and no "
+                "max_bins/min_coverage bound — set max_bins to make the encoder "
+                "state driver-sized"
+            )
+        tot = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.max(_is_missing(c).cast("int")).alias("has_nan"),
+        ).first()
+        rows = grouped.where(F.col("__v").isNotNull()).orderBy(
+            F.desc("count"), F.asc(F.col("__v").cast("string"))
+        ).limit(k).collect()
+        return (
+            [(r["__v"], r["count"]) for r in rows],
+            int(tot["n"]),
+            bool(tot["has_nan"]),
+            True,
+        )
     has_nan = any(r["__v"] is None for r in rows)
     total = sum(r["count"] for r in rows)
     vals = [(r["__v"], r["count"]) for r in rows if r["__v"] is not None]
     vals.sort(key=lambda t: (-t[1], str(t[0])))
-    return vals, total, has_nan
+    return vals, total, has_nan, False
 
 
-def _select_n_bins(vals, total, max_bins, min_coverage) -> int:
+def _select_n_bins(vals, total, max_bins, min_coverage, capped=False) -> int:
     """top-k / coverage-prefix rule (transformer.py:366-375)."""
     n_bins = len(vals)
     if max_bins:
@@ -49,9 +77,20 @@ def _select_n_bins(vals, total, max_bins, min_coverage) -> int:
         for i, (_, c) in enumerate(vals):
             cnt += c
             if cnt >= total * min_coverage:
-                n_bins = i + 1
-                break
+                return i + 1
+        if capped:
+            raise ValueError(
+                "min_coverage prefix exceeds the driver distinct-value cap — "
+                "set max_bins or lower min_coverage"
+            )
     return n_bins
+
+
+def _fit_top_k(max_bins, min_coverage) -> int | None:
+    """top_k bound passed into _fit_value_counts when the collect is
+    capped: max_bins when given, else the cap itself for the coverage
+    prefix (verified reachable in _select_n_bins)."""
+    return max_bins or (MAX_DISTINCT if min_coverage else None)
 
 
 class CategoryTransformer:
@@ -62,10 +101,13 @@ class CategoryTransformer:
         self.map_encoder: dict[str, dict] = {}
 
     def fit(self, df: DataFrame, cols: list[str], max_bins: int | None = None,
-            min_coverage: float | None = None):
+            min_coverage: float | None = None, max_distinct: int = MAX_DISTINCT):
         for col in cols:
-            vals, total, has_nan = _fit_value_counts(df, col)
-            n_bins = _select_n_bins(vals, total, max_bins, min_coverage)
+            vals, total, has_nan, capped = _fit_value_counts(
+                df, col, top_k=_fit_top_k(max_bins, min_coverage),
+                max_distinct=max_distinct,
+            )
+            n_bins = _select_n_bins(vals, total, max_bins, min_coverage, capped)
             enc = {v: i + 1 for i, (v, _) in enumerate(vals[:n_bins])}
             enc["others"] = n_bins
             if has_nan:
@@ -88,12 +130,29 @@ class CategoryTransformer:
         for col in self.map_encoder:
             if col not in df.columns:
                 raise ValueError(f"{col} not in df")
-        return df.select(
+        big = {
+            c for c, enc in self.map_encoder.items() if len(enc) > MAP_EXPR_MAX + 2
+        }
+        out = df.select(
             *[
-                self.expr(c).alias(c) if c in self.map_encoder else F.col(c)
+                self.expr(c).alias(c)
+                if c in self.map_encoder and c not in big
+                else F.col(c)
                 for c in df.columns
             ]
         )
+        # large vocabularies: broadcast-join lookup instead of a literal
+        # map (withColumn replaces in place, preserving column order)
+        for col in big:
+            enc = dict(self.map_encoder[col])
+            others = enc.pop("others")
+            nan_code = enc.pop(NAN_KEY, others)
+            key = F.when(_is_missing(F.col(col)), F.lit(None)).otherwise(F.col(col))
+            out = with_lookup(
+                out, key, {**enc, None: nan_code}, "__cat_code", default=others
+            )
+            out = out.withColumn(col, F.col("__cat_code").cast("int")).drop("__cat_code")
+        return out
 
     def encoder_table(self):
         """Tidy long-format encoding table (persistable); replaces the
@@ -116,10 +175,13 @@ class OneHotTransformer:
         self.map_encoder: dict[str, list] = {}
 
     def fit(self, df: DataFrame, cols: list[str], max_bins: int | None = None,
-            min_coverage: float | None = None):
+            min_coverage: float | None = None, max_distinct: int = MAX_DISTINCT):
         for col in cols:
-            vals, total, has_nan = _fit_value_counts(df, col)
-            n_bins = _select_n_bins(vals, total, max_bins, min_coverage)
+            vals, total, has_nan, capped = _fit_value_counts(
+                df, col, top_k=_fit_top_k(max_bins, min_coverage),
+                max_distinct=max_distinct,
+            )
+            n_bins = _select_n_bins(vals, total, max_bins, min_coverage, capped)
             col_vals = [v for v, _ in vals[:n_bins]] + ["others"]
             if has_nan:
                 col_vals.append(NAN_KEY)
@@ -172,7 +234,8 @@ class ListTransformer:
         self.sub_sep = sub_sep
         self.map_encoder: dict[str, list[str]] = {}
 
-    def fit(self, df: DataFrame, cols: list[str], max_bins: int | None = None):
+    def fit(self, df: DataFrame, cols: list[str], max_bins: int | None = None,
+            max_distinct: int = MAX_DISTINCT):
         for col in cols:
             c = F.col(col)
             tokens = F.split(c, self.sep)
@@ -180,13 +243,23 @@ class ListTransformer:
                 tokens = F.transform(
                     tokens, lambda t: F.split(t, self.sub_sep).getItem(0)
                 )
-            counts = (
+            grouped = (
                 df.where(c.isNotNull())
                 .select(F.explode(tokens).alias("__t"))
                 .groupBy("__t")
                 .count()
-                .collect()
             )
+            counts = collect_capped(grouped, max_distinct)
+            if counts is None:
+                if not max_bins:
+                    raise ValueError(
+                        f"ListTransformer.fit on `{col}`: token vocabulary exceeds "
+                        f"{max_distinct} — set max_bins to bound the fit state"
+                    )
+                counts = (
+                    grouped.orderBy(F.desc("count"), F.asc("__t"))
+                    .limit(max_bins).collect()
+                )
             pairs = sorted(counts, key=lambda r: (-r["count"], r["__t"]))
             if max_bins:
                 pairs = pairs[:max_bins]

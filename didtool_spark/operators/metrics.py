@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from ..functions.binexpr import bin_expr
 from ..functions.exprs import is_missing
-from .binning import Binner, step_edges
+from .binning import MAX_DISTINCT, Binner, collect_capped, step_edges
 from .woe import _floors, woe_value
 
 DEFAULT_BINS = 10
@@ -39,14 +39,31 @@ def handle_categorical_expr(col: str | Column, dtype: str = "double") -> Column:
 
 # -------------------------------------------------------------------- IV
 
-def _iv_discrete(df: DataFrame, col: Column, target: str) -> float:
-    """metric.py:66-83: sum (p1-p0)*woe over distinct values, 0.5 floors."""
-    rows = (
-        df.select(col.alias("__x"), F.col(target).cast("double").alias("__y"))
-        .groupBy("__x")
-        .agg(F.sum(F.lit(1.0) - F.col("__y")).alias("c0"), F.sum("__y").alias("c1"))
-        .collect()
+def _iv_discrete(
+    df: DataFrame, col: Column, target: str, max_distinct: int = MAX_DISTINCT
+) -> float:
+    """metric.py:66-83: sum (p1-p0)*woe over distinct values, 0.5 floors.
+
+    Driver math below ``max_distinct`` distinct values (bit-exact with
+    the reference); above it the same formula runs as a fully
+    distributed expression sum — no unbounded collect."""
+    base = df.select(
+        col.alias("__x"), F.col(target).cast("double").alias("__y")
     )
+    agg = base.groupBy("__x").agg(
+        F.sum(F.lit(1.0) - F.col("__y")).alias("c0"), F.sum("__y").alias("c1")
+    )
+    rows = collect_capped(agg, max_distinct)
+    if rows is None:
+        tot = base.agg(
+            F.sum(F.lit(1.0) - F.col("__y")).alias("t0"),
+            F.sum("__y").alias("t1"),
+        ).first()
+        t0, t1 = max(float(tot["t0"] or 0), 0.5), max(float(tot["t1"] or 0), 0.5)
+        p1 = F.greatest(F.col("c1"), F.lit(0.5)) / F.lit(t1)
+        p0 = F.greatest(F.col("c0"), F.lit(0.5)) / F.lit(t0)
+        out = agg.select(F.sum((p1 - p0) * F.log(p1 / p0)).alias("iv")).first()
+        return float(out["iv"] or 0.0)
     total0 = sum(r["c0"] for r in rows)
     total1 = sum(r["c1"] for r in rows)
     iv_value = 0.0
@@ -139,16 +156,20 @@ def psi(
     else:
         dtype_e = dict(expected.dtypes).get(col, "double")
         ce = handle_categorical_expr(col, dtype_e)
-        e_counts = {
-            r["__x"]: r["count"]
-            for r in expected.select(ce.alias("__x")).groupBy("__x").count().collect()
-        }
-        a_counts = {
-            r["__x"]: r["count"]
-            for r in actual.select(
-                handle_categorical_expr(col, dict(actual.dtypes).get(col, "double")).alias("__x")
-            ).groupBy("__x").count().collect()
-        }
+        ca = handle_categorical_expr(col, dict(actual.dtypes).get(col, "double"))
+        e_g = expected.select(ce.alias("__x")).groupBy("__x").count()
+        a_g = actual.select(ca.alias("__x")).groupBy("__x").count()
+        e_rows = collect_capped(e_g, MAX_DISTINCT)
+        a_rows = collect_capped(a_g, MAX_DISTINCT) if e_rows is not None else None
+        if e_rows is None or a_rows is None:
+            if detail:
+                raise ValueError(
+                    "psi(detail=True) needs the per-value table on the driver; "
+                    f"`{col}` exceeds {MAX_DISTINCT} distinct values"
+                )
+            return _psi_categorical_distributed(e_g, a_g)
+        e_counts = {r["__x"]: r["count"] for r in e_rows}
+        a_counts = {r["__x"]: r["count"] for r in a_rows}
         keys = sorted(set(e_counts) | set(a_counts))
         labels = [str(k) for k in keys]
 
@@ -162,6 +183,27 @@ def psi(
     if detail:
         return value, pd.DataFrame({"expect": e_rate, "actual": a_rate}, index=labels)
     return value
+
+
+def _psi_categorical_distributed(e_g: DataFrame, a_g: DataFrame) -> float:
+    """PSI over a categorical column whose distinct count exceeds the
+    driver cap: full-outer join of the two grouped count tables on the
+    value (one shuffle over distinct values, never rows on the driver),
+    identical 1e-10 rate floors."""
+    e_total = float(e_g.agg(F.sum("count")).first()[0] or 0)
+    a_total = float(a_g.agg(F.sum("count")).first()[0] or 0)
+    j = (
+        e_g.withColumnRenamed("count", "e_cnt")
+        .join(a_g.withColumnRenamed("count", "a_cnt"), "__x", "full_outer")
+    )
+    e_rate = F.greatest(
+        F.coalesce(F.col("e_cnt"), F.lit(0)) / F.lit(max(e_total, 1.0)), F.lit(1e-10)
+    ) if e_total else F.lit(1e-10)
+    a_rate = F.greatest(
+        F.coalesce(F.col("a_cnt"), F.lit(0)) / F.lit(max(a_total, 1.0)), F.lit(1e-10)
+    ) if a_total else F.lit(1e-10)
+    out = j.select(F.sum((a_rate - e_rate) * F.log(a_rate / e_rate)).alias("psi")).first()
+    return float(out["psi"] or 0.0)
 
 
 def psi_all(

@@ -21,8 +21,9 @@ def split_data(
     df: DataFrame, train_mask: Column, val_mask: Column, group_col: str = GROUP_COL
 ) -> DataFrame:
     """split.py:6-36: 0=train, 1=val, -1=test from boolean conditions
-    (train wins over val where both true, matching the reference's
-    sequential .loc assignment order: val applied last)."""
+    (val wins where both masks are true, matching the reference's
+    sequential .loc assignment order: the val assignment is applied
+    last and overwrites train)."""
     return df.withColumn(
         group_col,
         F.when(val_mask, F.lit(1)).when(train_mask, F.lit(0)).otherwise(F.lit(-1)),

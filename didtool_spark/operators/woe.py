@@ -38,7 +38,8 @@ from ..functions.driver_fit import (
     step_edges_weighted,
     quantile_edges_weighted,
 )
-from ..functions.exprs import map_expr
+from ..functions.exprs import MAP_EXPR_MAX, map_expr, with_lookup
+from .binning import MAX_DISTINCT, PRE_BINS, collect_capped, micro_bin_expr
 
 DEFAULT_BINS = 10
 
@@ -62,16 +63,20 @@ def _normalize_str(c: Column) -> Column:
 
 
 def _fit_thresholds(
-    codes: np.ndarray, c0: np.ndarray, c1: np.ndarray, method: str, n_bins: int
+    codes: np.ndarray, c0: np.ndarray, c1: np.ndarray, method: str, n_bins: int,
+    n_total: int | None = None,
 ) -> list[float]:
     """Supervised/unsupervised cut over aggregated (value, class-count)
-    rows — mirrors cut.py:357-407 dispatch on driver-side data."""
+    rows — mirrors cut.py:357-407 dispatch on driver-side data.
+    ``n_total`` is the null-INCLUSIVE row count: the reference's lgb_cut
+    derives min_child_samples from len(x) including NaN (cut.py:198)
+    while dt_cut uses the non-null count (cut.py:146-147)."""
     n = int((c0 + c1).sum())
     if method == "dt":
         msl = max(1, math.ceil(0.01 * n))
         return cart_thresholds(codes, c0, c1, max_leaf_nodes=n_bins, min_samples_leaf=msl)
     if method == "lgb":
-        mcs = max(1, math.ceil(0.01 * n))
+        mcs = max(1, math.ceil(0.01 * (n_total if n_total is not None else n)))
         return lgb_thresholds(codes, c0, c1, num_leaves=n_bins, min_child_samples=mcs)
     if method == "chi":
         edges = chimerge_edges(codes, c0, c1, n_bins=n_bins)
@@ -90,11 +95,18 @@ class SingleWOETransformer:
     cut_method: str = "dt"
     n_bins: int = DEFAULT_BINS
     is_continuous: bool = True
+    # driver-collect cap (binning.MAX_DISTINCT); above it continuous
+    # fits pre-quantize to percentile micro-bins and categorical fits
+    # keep the top-max_distinct categories by frequency (dropped tail
+    # values hit the unknown path at transform — documented divergence)
+    max_distinct: int = MAX_DISTINCT
+    pre_bins: int = PRE_BINS
 
     bins: list[float] = field(default_factory=list)
     woe_map: dict = field(default_factory=dict)
     value2code: dict = field(default_factory=dict)
     code2value: dict = field(default_factory=dict)
+    value2woe: dict = field(default_factory=dict)
     var_name: str = "x"
     woe_df: pd.DataFrame | None = None
 
@@ -106,17 +118,55 @@ class SingleWOETransformer:
             xc = F.when(F.isnan(xc), F.lit(None)).otherwise(xc)
         else:
             xc = _normalize_str(F.col(col))
-        rows = (
-            df.select(xc.alias("__x"), y.alias("__y"))
-            .groupBy("__x")
-            .agg(F.sum(F.lit(1.0) - F.col("__y")).alias("c0"), F.sum("__y").alias("c1"))
-            .collect()
-        )
-        null_c0 = sum(r["c0"] for r in rows if r["__x"] is None)
-        null_c1 = sum(r["c1"] for r in rows if r["__x"] is None)
-        vals = sorted([r for r in rows if r["__x"] is not None], key=lambda r: r["__x"])
-        total0 = sum(r["c0"] for r in rows)
-        total1 = sum(r["c1"] for r in rows)
+        base = df.select(xc.alias("__x"), y.alias("__y"))
+        c_aggs = [
+            F.sum(F.lit(1.0) - F.col("__y")).alias("c0"),
+            F.sum("__y").alias("c1"),
+        ]
+        rows = collect_capped(base.groupBy("__x").agg(*c_aggs), self.max_distinct)
+        if rows is None:
+            # over the driver cap: exact totals + null counts in one tiny
+            # aggregation, then the bounded per-value pass
+            tot = base.agg(
+                F.sum(F.lit(1.0) - F.col("__y")).alias("t0"),
+                F.sum("__y").alias("t1"),
+                F.sum(
+                    F.when(F.col("__x").isNull(), F.lit(1.0) - F.col("__y")).otherwise(F.lit(0.0))
+                ).alias("n0"),
+                F.sum(
+                    F.when(F.col("__x").isNull(), F.col("__y")).otherwise(F.lit(0.0))
+                ).alias("n1"),
+            ).first()
+            nn = base.where(F.col("__x").isNotNull())
+            if self.is_continuous:
+                rows = (
+                    nn.select(
+                        micro_bin_expr(nn, F.col("__x"), self.pre_bins).alias("__b"),
+                        "__x", "__y",
+                    )
+                    .groupBy("__b")
+                    .agg(F.max("__x").alias("__x"), *c_aggs)
+                    .collect()
+                )
+            else:
+                # top-k categories by frequency (TakeOrdered — scale-safe)
+                rows = (
+                    nn.groupBy("__x").agg(*c_aggs)
+                    .orderBy(F.desc(F.col("c0") + F.col("c1")), F.asc("__x"))
+                    .limit(self.max_distinct)
+                    .collect()
+                )
+            null_c0, null_c1 = float(tot["n0"] or 0), float(tot["n1"] or 0)
+            total0, total1 = float(tot["t0"] or 0), float(tot["t1"] or 0)
+            vals = sorted(rows, key=lambda r: r["__x"])
+        else:
+            null_c0 = sum(r["c0"] for r in rows if r["__x"] is None)
+            null_c1 = sum(r["c1"] for r in rows if r["__x"] is None)
+            vals = sorted(
+                [r for r in rows if r["__x"] is not None], key=lambda r: r["__x"]
+            )
+            total0 = sum(r["c0"] for r in rows)
+            total1 = sum(r["c1"] for r in rows)
         total = total0 + total1
 
         if not vals:
@@ -141,7 +191,10 @@ class SingleWOETransformer:
         c0 = np.array([float(r["c0"]) for r in vals])
         c1 = np.array([float(r["c1"]) for r in vals])
 
-        thr = _fit_thresholds(codes, c0, c1, self.cut_method, self.n_bins)
+        thr = _fit_thresholds(
+            codes, c0, c1, self.cut_method, self.n_bins,
+            n_total=int(round(total)),
+        )
         if self.is_continuous:
             bins = [-math.inf, *thr, math.inf]
         else:
@@ -188,6 +241,13 @@ class SingleWOETransformer:
         self.woe_df = pd.DataFrame(woe_rows)
         if len(self.woe_df):
             self.woe_df["var_iv"] = self.woe_df["iv_list"].sum()
+        if not self.is_continuous:
+            # direct value -> woe table for the broadcast-join transform
+            # path (large vocabularies must not inline into codegen)
+            self.value2woe = {
+                self.code2value[int(c)]: self.woe_map[int(b)]
+                for c, b in zip(codes, bin_ids)
+            }
         return self
 
     @property
@@ -208,7 +268,18 @@ class SingleWOETransformer:
     def transform(
         self, df: DataFrame, col: str, out_col: str | None = None, default: float = 0.0
     ) -> DataFrame:
-        return df.withColumn(out_col or f"{col}_woe", self.expr(col, default))
+        out_col = out_col or f"{col}_woe"
+        if not self.is_continuous and len(self.value2code) > MAP_EXPR_MAX:
+            # large vocabulary: one broadcast-join on the precomputed
+            # value -> woe table instead of a megabyte literal map.
+            # Unknown value or NULL -> code NULL -> bin -1 semantics.
+            unknown = float(self.woe_map.get(-1, default))
+            out = with_lookup(
+                df, _normalize_str(F.col(col)), self.value2woe, out_col,
+                default=unknown,
+            )
+            return out.withColumn(out_col, F.col(out_col).cast("double"))
+        return df.withColumn(out_col, self.expr(col, default))
 
 
 class WOETransformer:
@@ -249,13 +320,27 @@ class WOETransformer:
         return self
 
     def transform(self, df: DataFrame, default: float = 0.0) -> DataFrame:
+        big = {
+            c for c, t in self.transformers.items()
+            if not t.is_continuous and len(t.value2code) > MAP_EXPR_MAX
+        }
         cols = []
         for c in df.columns:
-            if c in self.transformers:
+            if c in self.transformers and c not in big:
                 cols.append(self.transformers[c].expr(c, default).alias(c))
             else:
                 cols.append(F.col(c))
-        return df.select(*cols)
+        out = df.select(*cols)
+        # large-vocabulary features go through the broadcast-join path
+        # (withColumn replaces in place, preserving column order)
+        for c in big:
+            out = (
+                self.transformers[c]
+                .transform(out, c, out_col="__woe_big", default=default)
+                .withColumn(c, F.col("__woe_big"))
+                .drop("__woe_big")
+            )
+        return out
 
 
 class WOEEncoder:
@@ -267,22 +352,50 @@ class WOEEncoder:
     def __init__(self):
         self.woe_map: dict = {}
 
-    def fit(self, df: DataFrame, col: str, target: str):
+    def fit(self, df: DataFrame, col: str, target: str,
+            max_distinct: int = MAX_DISTINCT):
         y = F.col(target).cast("double")
         xc = F.col(col)
         xc = F.when(F.coalesce(F.isnan(xc.try_cast("double")), F.lit(False)), F.lit(None)).otherwise(xc)
-        rows = (
-            df.select(xc.alias("__x"), y.alias("__y"))
-            .groupBy("__x")
-            .agg(F.sum(F.lit(1.0) - F.col("__y")).alias("c0"), F.sum("__y").alias("c1"))
-            .collect()
-        )
-        total0 = sum(r["c0"] for r in rows)
-        total1 = sum(r["c1"] for r in rows)
+        base = df.select(xc.alias("__x"), y.alias("__y"))
+        c_aggs = [
+            F.sum(F.lit(1.0) - F.col("__y")).alias("c0"),
+            F.sum("__y").alias("c1"),
+        ]
+        rows = collect_capped(base.groupBy("__x").agg(*c_aggs), max_distinct)
+        if rows is None:
+            # over the driver cap: exact totals + NA counts in one tiny
+            # aggregation; keep the top-max_distinct values by frequency
+            # (dropped tail -> `default` at transform, like any unknown)
+            tot = base.agg(
+                F.sum(F.lit(1.0) - F.col("__y")).alias("t0"),
+                F.sum("__y").alias("t1"),
+                F.sum(
+                    F.when(F.col("__x").isNull(), F.lit(1.0) - F.col("__y")).otherwise(F.lit(0.0))
+                ).alias("n0"),
+                F.sum(
+                    F.when(F.col("__x").isNull(), F.col("__y")).otherwise(F.lit(0.0))
+                ).alias("n1"),
+            ).first()
+            rows = (
+                base.where(F.col("__x").isNotNull())
+                .groupBy("__x").agg(*c_aggs)
+                .orderBy(F.desc(F.col("c0") + F.col("c1")), F.asc("__x"))
+                .limit(max_distinct)
+                .collect()
+            )
+            total0, total1 = float(tot["t0"] or 0), float(tot["t1"] or 0)
+            pairs = [(r["__x"], r["c0"], r["c1"]) for r in rows]
+            if (tot["n0"] or 0) + (tot["n1"] or 0) > 0:
+                pairs.append((None, float(tot["n0"]), float(tot["n1"])))
+        else:
+            total0 = sum(r["c0"] for r in rows)
+            total1 = sum(r["c1"] for r in rows)
+            pairs = [(r["__x"], r["c0"], r["c1"]) for r in rows]
         self.woe_map = {}
-        for r in rows:
-            prob1, prob0 = _floors(r["c1"], r["c0"], total1, total0)
-            key = self.NA if r["__x"] is None else r["__x"]
+        for x, g0, g1 in pairs:
+            prob1, prob0 = _floors(g1, g0, total1, total0)
+            key = self.NA if x is None else x
             self.woe_map[key] = woe_value(prob1, prob0)
         return self
 
@@ -299,7 +412,22 @@ class WOEEncoder:
 
     def transform(self, df: DataFrame, col: str, out_col: str | None = None,
                   default: float = 0.0) -> DataFrame:
-        return df.withColumn(out_col or f"{col}_woe", self.expr(col, default))
+        out_col = out_col or f"{col}_woe"
+        m = {k: v for k, v in self.woe_map.items() if k != self.NA}
+        if len(m) > MAP_EXPR_MAX:
+            out = with_lookup(df, F.col(col), m, out_col, default=float(default))
+            if self.NA in self.woe_map:
+                c = F.col(col)
+                out = out.withColumn(
+                    out_col,
+                    F.when(
+                        c.isNull()
+                        | F.coalesce(F.isnan(c.try_cast("double")), F.lit(False)),
+                        F.lit(self.woe_map[self.NA]),
+                    ).otherwise(F.col(out_col)),
+                )
+            return out.withColumn(out_col, F.col(out_col).cast("double"))
+        return df.withColumn(out_col, self.expr(col, default))
 
 
 class LabelEncoder:
@@ -310,12 +438,17 @@ class LabelEncoder:
         self.missing_value = missing_value
         self.classes_: list = []
 
-    def fit(self, df: DataFrame, col: str):
-        vals = [
-            r[0]
-            for r in df.select(col).where(F.col(col).isNotNull()).distinct().collect()
-        ]
-        self.classes_ = sorted(vals)
+    def fit(self, df: DataFrame, col: str, max_distinct: int = MAX_DISTINCT):
+        rows = collect_capped(
+            df.select(col).where(F.col(col).isNotNull()).distinct(), max_distinct
+        )
+        if rows is None:
+            raise ValueError(
+                f"LabelEncoder.fit: `{col}` exceeds {max_distinct} distinct values; "
+                "label codes are driver-side fit state — raise max_distinct "
+                "explicitly, or hash/bucket the column instead of label-encoding it"
+            )
+        self.classes_ = sorted(r[0] for r in rows)
         return self
 
     def expr(self, col: str) -> Column:
@@ -323,4 +456,9 @@ class LabelEncoder:
         return map_expr(F.col(col), m, default=self.missing_value).cast("int")
 
     def transform(self, df: DataFrame, col: str, out_col: str | None = None) -> DataFrame:
-        return df.withColumn(out_col or f"{col}_code", self.expr(col))
+        out_col = out_col or f"{col}_code"
+        if len(self.classes_) > MAP_EXPR_MAX:
+            m = {v: i for i, v in enumerate(self.classes_)}
+            out = with_lookup(df, F.col(col), m, out_col, default=self.missing_value)
+            return out.withColumn(out_col, F.col(out_col).cast("int"))
+        return df.withColumn(out_col, self.expr(col))

@@ -1,0 +1,202 @@
+"""Driver-memory caps and vocabulary-size plan switching.
+
+Two scale contracts, tested by forcing tiny caps on small data:
+1. every fit that collects grouped state goes through limit(cap+1) and
+   falls back to a bounded plan (percentile micro-bins for continuous,
+   top-k-by-frequency for categorical) above the cap;
+2. transforms switch from a literal map expression to a broadcast-hash
+   join above MAP_EXPR_MAX, so a 10^5-entry vocabulary never inlines
+   into codegen.
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from didtool_spark.functions.exprs import with_lookup
+from didtool_spark.operators.binning import (
+    dt_edges,
+    quantile_edges,
+    _value_class_counts,
+)
+from didtool_spark.operators.category import CategoryTransformer, ListTransformer
+from didtool_spark.operators.metrics import _iv_discrete, psi
+from didtool_spark.operators.woe import LabelEncoder, SingleWOETransformer, WOEEncoder
+
+
+def plan_str(df) -> str:
+    from io import StringIO
+    import contextlib
+
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def wide_df(spark):
+    """2000 distinct continuous values + a label correlated with x."""
+    random.seed(7)
+    rows = [
+        (i, i / 1000.0 + random.random() * 0.0001, 1 if i > 1200 and random.random() < 0.8 else 0)
+        for i in range(2000)
+    ]
+    return spark.createDataFrame(rows, ["id", "x", "y"]).repartition(4)
+
+
+def test_value_class_counts_capped_matches_shape(wide_df):
+    v, c0, c1 = _value_class_counts(wide_df, "x", "y", max_distinct=None)
+    vq, c0q, c1q = _value_class_counts(
+        wide_df, "x", "y", max_distinct=200, pre_bins=64
+    )
+    # bounded driver state, exact mass, representatives from the data
+    assert len(vq) <= 64
+    assert (c0q.sum(), c1q.sum()) == (c0.sum(), c1.sum())
+    assert set(vq) <= set(v)
+    assert list(vq) == sorted(vq)
+
+
+def test_dt_edges_capped_close_to_exact(wide_df):
+    exact = dt_edges(wide_df, "x", "y", n_bins=4, max_distinct=None)
+    capped = dt_edges(wide_df, "x", "y", n_bins=4, max_distinct=100, pre_bins=256)
+    assert len(capped) == len(exact)
+    # the dominant split (label flips at x ~= 1.2) survives quantization
+    assert any(abs(e - 1.2) < 0.05 for e in capped[1:-1])
+
+
+def test_quantile_edges_capped_close_to_exact(wide_df):
+    exact = quantile_edges(wide_df, "x", n_bins=5, max_distinct=None)
+    capped = quantile_edges(wide_df, "x", n_bins=5, max_distinct=100, pre_bins=500)
+    assert len(capped) == len(exact)
+    for a, b in zip(exact[1:-1], capped[1:-1]):
+        assert abs(a - b) < 0.02
+
+
+def test_single_woe_continuous_capped(wide_df):
+    t = SingleWOETransformer(cut_method="dt", n_bins=4)
+    t.fit(wide_df, "x", "y")
+    tq = SingleWOETransformer(cut_method="dt", n_bins=4, max_distinct=100, pre_bins=256)
+    tq.fit(wide_df, "x", "y")
+    # quantized edges land within one micro-bin of the exact ones; IV is
+    # edge-sensitive around the sharp label flip, so compare edges
+    for a, b in zip(t.bins[1:-1], tq.bins[1:-1]):
+        assert abs(a - b) < 0.02
+    assert abs(t.var_iv - tq.var_iv) / t.var_iv < 0.25
+    out = tq.transform(wide_df, "x").select("x_woe").collect()
+    assert all(math.isfinite(r[0]) for r in out)
+
+
+def test_single_woe_categorical_top_k(spark):
+    # 10 categories; force top-5 keep — tail hits the unknown path
+    rows = []
+    random.seed(3)
+    for i in range(1000):
+        cat = f"c{i % 10}" if i % 10 < 5 or i < 900 else f"rare{i % 10}"
+        rows.append((cat, 1 if (i % 10) >= 5 and random.random() < 0.7 else 0))
+    df = spark.createDataFrame(rows, ["x", "y"])
+    t = SingleWOETransformer(is_continuous=False, cut_method="quantile", n_bins=4,
+                             max_distinct=5)
+    t.fit(df, "x", "y")
+    assert len(t.value2code) <= 5
+    out = t.transform(df, "x", default=99.0)
+    assert out.where(F.col("x_woe").isNull()).count() == 0
+
+
+def test_woe_encoder_capped_totals_exact(spark):
+    rows = [(f"v{i % 20}", i % 3 == 0) for i in range(600)] + [(None, True)] * 30
+    df = spark.createDataFrame(rows, ["x", "y"])
+    full = WOEEncoder().fit(df, "x", "y")
+    capped = WOEEncoder().fit(df, "x", "y", max_distinct=10)
+    # kept keys carry identical woe (totals exact, not truncated)
+    for k, wv in capped.woe_map.items():
+        assert k in full.woe_map
+        assert abs(full.woe_map[k] - wv) < 1e-12
+    assert WOEEncoder.NA in capped.woe_map
+
+
+def test_label_encoder_cap_raises(spark):
+    df = spark.range(500).select(F.concat(F.lit("k"), F.col("id")).alias("x"))
+    with pytest.raises(ValueError, match="distinct"):
+        LabelEncoder().fit(df, "x", max_distinct=100)
+
+
+def test_label_encoder_big_vocab_join_path(spark):
+    n = 1000  # > MAP_EXPR_MAX=256 -> broadcast join, not literal map
+    df = spark.range(n).select(
+        "id", F.format_string("key%04d", F.col("id")).alias("x")
+    )
+    enc = LabelEncoder().fit(df, "x")
+    out = enc.transform(df, "x")
+    assert "BroadcastHashJoin" in plan_str(out)
+    got = {r["x"]: r["x_code"] for r in out.collect()}
+    assert got["key0000"] == 0 and got["key0999"] == n - 1
+    unknown = enc.transform(
+        spark.createDataFrame([("nope",)], ["x"]), "x"
+    ).first()["x_code"]
+    assert unknown == -1
+
+
+def test_woe_encoder_big_vocab_join_matches_literal(spark):
+    rows = [(f"k{i:04d}", i % 2 == 0) for i in range(800) for _ in (0, 1)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    enc = WOEEncoder().fit(df, "x", "y")
+    assert len(enc.woe_map) > 256
+    out = enc.transform(df, "x")
+    assert "BroadcastHashJoin" in plan_str(out)
+    got = {r["x"]: r["x_woe"] for r in out.distinct().collect()}
+    for k, v in enc.woe_map.items():
+        assert abs(got[k] - v) < 1e-12
+
+
+def test_with_lookup_huge_vocab_runs(spark):
+    # the regression the threshold exists for: a 10^5-entry vocabulary
+    # would previously codegen a megabyte-scale literal expression
+    m = {f"t{i}": float(i) for i in range(100_000)}
+    df = spark.range(2000).select(
+        F.concat(F.lit("t"), (F.col("id") * 7 % 100_000)).alias("x")
+    )
+    out = with_lookup(df, "x", m, "v", default=-1.0)
+    s = out.agg(F.sum("v")).first()[0]
+    assert s == sum((i * 7) % 100_000 for i in range(2000))
+
+
+def test_category_transformer_capped_top_k(spark):
+    rows = [(f"c{i % 50}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["x"])
+    full = CategoryTransformer().fit(df, ["x"], max_bins=5)
+    capped = CategoryTransformer().fit(df, ["x"], max_bins=5, max_distinct=20)
+    assert full.map_encoder == capped.map_encoder
+    with pytest.raises(ValueError, match="max_bins"):
+        CategoryTransformer().fit(df, ["x"], max_distinct=20)
+
+
+def test_list_transformer_capped(spark):
+    rows = [(",".join(f"t{(i + j) % 40}" for j in range(3)),) for i in range(400)]
+    df = spark.createDataFrame(rows, ["x"])
+    full = ListTransformer().fit(df, ["x"], max_bins=8)
+    capped = ListTransformer().fit(df, ["x"], max_bins=8, max_distinct=10)
+    assert full.map_encoder == capped.map_encoder
+
+
+def test_iv_discrete_distributed_matches_driver(spark):
+    rows = [(f"g{i % 30}", i % 4 == 0) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    exact = _iv_discrete(df, F.col("x"), "y", max_distinct=None)
+    dist = _iv_discrete(df, F.col("x"), "y", max_distinct=10)
+    assert abs(exact - dist) < 1e-9
+
+
+def test_psi_categorical_distributed(spark, monkeypatch):
+    import didtool_spark.operators.metrics as m
+
+    rows_e = [(f"g{i % 30}",) for i in range(3000)]
+    rows_a = [(f"g{(i * 3) % 35}",) for i in range(2500)]
+    e = spark.createDataFrame(rows_e, ["x"])
+    a = spark.createDataFrame(rows_a, ["x"])
+    exact = psi(e, a, "x", is_continuous=False)
+    monkeypatch.setattr(m, "MAX_DISTINCT", 10)
+    dist = psi(e, a, "x", is_continuous=False)
+    assert abs(exact - dist) < 1e-9
