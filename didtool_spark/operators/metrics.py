@@ -237,22 +237,107 @@ def psi_all(
 
 # --------------------------------------------------------------- AUC / KS
 
-def _score_table(df: DataFrame, label: str, score: str) -> DataFrame:
+# chunk width for the two-level cumulative sums of the binned path: the
+# per-chunk offsets (<= n_score_bins/CUM_CHUNK entries) are driver-side
+CUM_CHUNK = 256
+
+
+def _score_table(
+    df: DataFrame, label: str, score: str, n_score_bins: int | None = None
+) -> DataFrame:
     """Aggregate to one row per distinct score: (score, n, n1). All
     cumulative statistics run on this table (distinct scores << rows).
-    At 10^12 scale, pre-round the score to a fixed grid first (binned
-    AUC/KS — documented divergence for metric plots only)."""
+
+    ``n_score_bins`` is the scale path: scores are pre-rounded onto a
+    fixed min/max grid, so the table is bounded at n_score_bins rows no
+    matter how many distinct scores the input has (a continuous score at
+    10^12 rows has ~10^12 distinct values — the exact path's cumulative
+    pass would otherwise serialize). The representative score is the bin
+    upper edge (threshold semantics); binned metrics agree with exact to
+    ~1/n_score_bins and the table also carries the integer bin id `b`
+    for the partitioned two-level cumsum."""
     y = F.col(label).cast("double")
+    s = F.col(score).cast("double")
+    if n_score_bins:
+        mn, mx = df.select(F.min(s), F.max(s)).first()
+        width = ((mx - mn) / n_score_bins) if (mn is not None and mx > mn) else 1.0
+        b = F.least(
+            F.greatest(F.floor((s - F.lit(mn)) / F.lit(width)), F.lit(0)),
+            F.lit(n_score_bins - 1),
+        ).cast("int")
+        return (
+            df.select(b.alias("b"), y.alias("y"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n1"))
+            .withColumn("s", F.lit(float(mn or 0.0)) + (F.col("b") + 1) * F.lit(float(width)))
+        )
     return (
-        df.select(F.col(score).cast("double").alias("s"), y.alias("y"))
+        df.select(s.alias("s"), y.alias("y"))
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n1"))
     )
 
 
-def auc(df: DataFrame, label: str, score: str) -> float:
+def _with_cum_before(t: DataFrame) -> tuple[DataFrame, float, float]:
+    """Ascending exclusive prefix sums of (n, n1) over a binned score
+    table WITHOUT a global single-partition sort: a window partitioned
+    by bin chunk (parallel) plus broadcast per-chunk offsets (the only
+    driver state is <= n_score_bins/CUM_CHUNK rows). Returns
+    (table + cum_n_before/cum_n1_before, total_n, total_n1)."""
+    from ..functions.exprs import map_expr
+
+    t = t.withColumn("chunk", (F.col("b") / CUM_CHUNK).cast("int"))
+    chunk_rows = (
+        t.groupBy("chunk")
+        .agg(F.sum("n").alias("cn"), F.sum("n1").alias("cn1"))
+        .collect()
+    )
+    chunk_rows.sort(key=lambda r: r["chunk"])
+    off_n: dict[int, float] = {}
+    off_n1: dict[int, float] = {}
+    acc_n = acc_n1 = 0.0
+    for r in chunk_rows:
+        off_n[r["chunk"]], off_n1[r["chunk"]] = acc_n, acc_n1
+        acc_n += r["cn"]
+        acc_n1 += r["cn1"]
+    w = (
+        Window.partitionBy("chunk")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = t.select(
+        "b", "s", "n", "n1",
+        (
+            F.coalesce(F.sum("n").over(w), F.lit(0.0))
+            + map_expr(F.col("chunk"), off_n, default=0.0)
+        ).alias("cum_n_before"),
+        (
+            F.coalesce(F.sum("n1").over(w), F.lit(0.0))
+            + map_expr(F.col("chunk"), off_n1, default=0.0)
+        ).alias("cum_n1_before"),
+    )
+    return out, acc_n, acc_n1
+
+
+def auc(
+    df: DataFrame, label: str, score: str, n_score_bins: int | None = None
+) -> float:
     """Rank-statistic AUC with average ranks for ties (equals
-    sklearn.roc_auc_score used at model.py:233-242)."""
+    sklearn.roc_auc_score used at model.py:233-242). Pass
+    ``n_score_bins`` (e.g. 10_000) at cluster scale: the cumulative
+    pass then runs over a bounded grid with a chunk-partitioned window
+    instead of one task over every distinct score."""
+    if n_score_bins:
+        t, n, n1 = _with_cum_before(_score_table(df, label, score, n_score_bins))
+        n0 = n - n1
+        if not n1 or not n0:
+            return float("nan")
+        r1 = t.select(
+            F.sum(
+                F.col("n1") * (F.col("cum_n_before") + (F.col("n") + 1) / 2.0)
+            ).alias("r1")
+        ).first()["r1"]
+        return (r1 - n1 * (n1 + 1) / 2.0) / (n0 * n1)
     t = _score_table(df, label, score)
     w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     t = t.select(
@@ -271,10 +356,39 @@ def auc(df: DataFrame, label: str, score: str) -> float:
     return (row["r1"] - n1 * (n1 + 1) / 2.0) / (n0 * n1)
 
 
-def roc_curve(df: DataFrame, label: str, score: str) -> pd.DataFrame:
+def _desc_inclusive(df: DataFrame, label: str, score: str, n_score_bins: int):
+    """Binned score table with descending-inclusive cumulative n/n1
+    (= total - ascending-exclusive from the chunk-partitioned prefix
+    sums — no global single-partition sort anywhere)."""
+    t, n, n1 = _with_cum_before(_score_table(df, label, score, n_score_bins))
+    t = t.select(
+        "b",
+        F.col("s").alias("threshold"),
+        (F.lit(n1) - F.col("cum_n1_before")).alias("cum1"),
+        (F.lit(n) - F.col("cum_n_before")).alias("cumn"),
+    )
+    return t, n, n1
+
+
+def roc_curve(
+    df: DataFrame, label: str, score: str, n_score_bins: int | None = None
+) -> pd.DataFrame:
     """(fpr, tpr, threshold) points over distinct scores desc — the data
     behind plot_roc/compare_roc (metric.py:313-392; rendering is
-    presentation, this container has no matplotlib)."""
+    presentation, this container has no matplotlib). ``n_score_bins``
+    bounds the point count and keeps every window partitioned."""
+    if n_score_bins:
+        t, n, n1 = _desc_inclusive(df, label, score, n_score_bins)
+        n0 = n - n1
+        return (
+            t.select(
+                "threshold",
+                (F.col("cum1") / F.lit(float(max(n1, 1)))).alias("tpr"),
+                ((F.col("cumn") - F.col("cum1")) / F.lit(float(max(n0, 1)))).alias("fpr"),
+            )
+            .orderBy(F.desc("threshold"))
+            .toPandas()
+        )
     t = _score_table(df, label, score)
     w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
     totals = t.select(F.sum("n").alias("n"), F.sum("n1").alias("n1")).first()
@@ -292,8 +406,22 @@ def roc_curve(df: DataFrame, label: str, score: str) -> pd.DataFrame:
     return pts
 
 
-def pr_curve(df: DataFrame, label: str, score: str) -> pd.DataFrame:
+def pr_curve(
+    df: DataFrame, label: str, score: str, n_score_bins: int | None = None
+) -> pd.DataFrame:
     """(precision, recall, threshold) points (metric.py:395-467 data)."""
+    if n_score_bins:
+        t, n, n1 = _desc_inclusive(df, label, score, n_score_bins)
+        return (
+            t.where(F.col("cumn") > 0)
+            .select(
+                "threshold",
+                (F.col("cum1") / F.col("cumn")).alias("precision"),
+                (F.col("cum1") / F.lit(float(n1 or 1))).alias("recall"),
+            )
+            .orderBy(F.desc("threshold"))
+            .toPandas()
+        )
     t = _score_table(df, label, score)
     w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
     n1 = t.select(F.sum("n1")).first()[0] or 1
@@ -308,10 +436,39 @@ def pr_curve(df: DataFrame, label: str, score: str) -> pd.DataFrame:
     )
 
 
-def ks_curve(df: DataFrame, label: str, score: str, n_points: int = 100) -> pd.DataFrame:
+def ks_curve(
+    df: DataFrame, label: str, score: str, n_points: int = 100,
+    n_score_bins: int | None = None,
+) -> pd.DataFrame:
     """Cumulative good/bad share curve decimated to ~n_points (the data
     behind plot_ks_in_cum, metric.py:504-586 incl. its ntile-100
-    sampling)."""
+    sampling). Binned path decimates by equal-width score buckets (an
+    arithmetic bucket id — no global ntile window)."""
+    if n_score_bins:
+        t, n, n1 = _desc_inclusive(df, label, score, n_score_bins)
+        n1 = n1 or 1
+        n0 = (n - n1) or 1
+        cum = t.select(
+            "b", "threshold",
+            (F.col("cum1") / F.lit(float(n1))).alias("cum_bad"),
+            ((F.col("cumn") - F.col("cum1")) / F.lit(float(n0))).alias("cum_good"),
+        ).withColumn("ks", F.col("cum_bad") - F.col("cum_good"))
+        bucket = (
+            F.lit(n_points)
+            - F.floor(F.col("b") * n_points / F.lit(n_score_bins)).cast("int")
+        )
+        return (
+            cum.withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(
+                F.min("threshold").alias("threshold"),
+                F.max("cum_bad").alias("cum_bad"),
+                F.max("cum_good").alias("cum_good"),
+                F.max("ks").alias("ks"),
+            )
+            .orderBy("bucket")
+            .toPandas()
+        )
     t = _score_table(df, label, score)
     w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
     totals = t.select(F.sum("n").alias("n"), F.sum("n1").alias("n1")).first()
@@ -387,9 +544,26 @@ def layer_stability_tables(
     return share, pos_rate
 
 
-def ks(df: DataFrame, label: str, score: str) -> float:
+def ks(
+    df: DataFrame, label: str, score: str, n_score_bins: int | None = None
+) -> float:
     """KS = max |cum_bad_share - cum_good_share| over score thresholds
-    (plot_ks_in_cum semantics, metric.py:536-554)."""
+    (plot_ks_in_cum semantics, metric.py:536-554). ``n_score_bins``
+    selects the bounded-grid scale path (descending-inclusive cumulative
+    = total - ascending-exclusive, so the same chunk-partitioned prefix
+    sums serve both orders)."""
+    if n_score_bins:
+        t, n, n1 = _with_cum_before(_score_table(df, label, score, n_score_bins))
+        n0 = n - n1
+        if not n1 or not n0:
+            return float("nan")
+        cum_bad = (F.lit(n1) - F.col("cum_n1_before")) / F.lit(float(n1))
+        cum_good = (
+            F.lit(n0) - (F.col("cum_n_before") - F.col("cum_n1_before"))
+        ) / F.lit(float(n0))
+        return t.select(
+            F.max(F.abs(cum_bad - cum_good)).alias("ks")
+        ).first()["ks"]
     t = _score_table(df, label, score)
     w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
     totals = t.select(F.sum("n").alias("n"), F.sum("n1").alias("n1")).first()

@@ -104,3 +104,56 @@ def test_auc_ks_vs_oracle(spark):
     cum_good = (t["n"] - t["n1"]).cumsum() / n0
     ks_exp = (cum_bad - cum_good).abs().max()
     assert abs(ks(df, "y", "s") - ks_exp) < 1e-12
+
+
+def test_binned_auc_ks_scale_path(spark):
+    """The n_score_bins path: agrees with exact to ~1/n_score_bins and
+    its cumulative plan has no single-partition stage (the exact path's
+    global-orderBy window does)."""
+    rng = np.random.RandomState(11)
+    y = (rng.rand(4000) < 0.3).astype(int)
+    s = np.clip(y * 0.2 + rng.rand(4000), 0, 2)  # continuous: all distinct
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, s)], "y int, s double"
+    )
+    a_exact, a_binned = auc(df, "y", "s"), auc(df, "y", "s", n_score_bins=2000)
+    k_exact, k_binned = ks(df, "y", "s"), ks(df, "y", "s", n_score_bins=2000)
+    assert abs(a_exact - a_binned) < 1e-3
+    assert abs(k_exact - k_binned) < 1e-3
+
+    from didtool_spark.operators.metrics import _score_table, _with_cum_before
+    from io import StringIO
+    import contextlib
+
+    cum, _, _ = _with_cum_before(_score_table(df, "y", "s", 2000))
+
+    def plan(d):
+        buf = StringIO()
+        with contextlib.redirect_stdout(buf):
+            d.explain("formatted")
+        return buf.getvalue()
+
+    assert "SinglePartition" not in plan(cum), plan(cum)[:3000]
+
+
+def test_binned_curves_match_exact_shape(spark):
+    rng = np.random.RandomState(5)
+    y = (rng.rand(3000) < 0.25).astype(int)
+    s = np.clip(y * 0.3 + rng.rand(3000), 0, 2)
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, s)], "y int, s double"
+    )
+    from didtool_spark.operators.metrics import ks_curve, pr_curve, roc_curve
+
+    r = roc_curve(df, "y", "s", n_score_bins=500)
+    assert len(r) <= 500 and r["tpr"].iloc[-1] == 1.0 and r["fpr"].iloc[-1] == 1.0
+    assert r["tpr"].is_monotonic_increasing
+
+    p = pr_curve(df, "y", "s", n_score_bins=500)
+    assert abs(p["recall"].iloc[-1] - 1.0) < 1e-9
+    # precision at full recall == base rate
+    assert abs(p["precision"].iloc[-1] - y.mean()) < 1e-9
+
+    kc = ks_curve(df, "y", "s", n_points=50, n_score_bins=500)
+    assert len(kc) <= 51
+    assert abs(kc["ks"].max() - ks(df, "y", "s", n_score_bins=500)) < 1e-9
