@@ -429,3 +429,96 @@ def chimerge_edges(
             edges.append(m)
     edges[-1] = edges[-1] + 0.0001
     return edges
+
+
+# ------------------------------------------------------ GBM importance
+
+def _quantile_codes(x: np.ndarray, max_bins: int = 64) -> tuple[np.ndarray, int]:
+    """Per-feature histogram codes: quantile-bin x into <= max_bins codes
+    (NaN -> its own last bin, like LightGBM's default NaN bucket)."""
+    nan_mask = np.isnan(x)
+    finite = x[~nan_mask]
+    if len(finite) == 0:
+        return np.zeros(len(x), dtype=np.int16), 1
+    qs = np.unique(np.quantile(finite, np.linspace(0, 1, max_bins + 1)[1:-1]))
+    codes = np.searchsorted(qs, x, side="left")
+    n_codes = len(qs) + 1
+    codes[nan_mask] = n_codes  # NaN bucket
+    return codes.astype(np.int16), n_codes + 1
+
+
+def gbm_split_importance(
+    X: np.ndarray,
+    y: np.ndarray,
+    n_trees: int = 40,
+    max_depth: int = 3,
+    learning_rate: float = 0.1,
+    max_bins: int = 64,
+    min_child: int = 20,
+    reg_lambda: float = 1.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Split-count feature importance from a from-scratch histogram
+    gradient-boosting classifier (logistic loss, leaf-wise-ish greedy
+    depth-limited trees) — the no-lightgbm fallback for
+    Selector.drop_low_importance (reference selector.py:194-283 trains
+    lgb.LGBMClassifier and reads feature_importances_, which is split
+    count by default). Importance RANKING is the contract here, not
+    bit-parity with LightGBM."""
+    rng = np.random.RandomState(seed)
+    n, f = X.shape
+    codes = np.empty((n, f), dtype=np.int16)
+    n_codes = np.empty(f, dtype=np.int32)
+    for j in range(f):
+        codes[:, j], n_codes[j] = _quantile_codes(X[:, j], max_bins)
+
+    importance = np.zeros(f)
+    base = np.clip(y.mean(), 1e-6, 1 - 1e-6)
+    score = np.full(n, np.log(base / (1 - base)))
+
+    for _ in range(n_trees):
+        p = 1.0 / (1.0 + np.exp(-score))
+        g = p - y
+        h = p * (1.0 - p)
+        # frontier of (row_index_array, depth); greedy best split per node
+        frontier = [(np.arange(n), 0)]
+        leaf_update = np.zeros(n)
+        while frontier:
+            rows, depth = frontier.pop()
+            if depth >= max_depth or len(rows) < 2 * min_child:
+                leaf_update[rows] = -g[rows].sum() / (h[rows].sum() + reg_lambda)
+                continue
+            G, H = g[rows].sum(), h[rows].sum()
+            parent_gain = G * G / (H + reg_lambda)
+            best = None  # (gain, j, split_code)
+            for j in rng.permutation(f):
+                cb = codes[rows, j]
+                gb = np.bincount(cb, weights=g[rows], minlength=n_codes[j])
+                hb = np.bincount(cb, weights=h[rows], minlength=n_codes[j])
+                nb = np.bincount(cb, minlength=n_codes[j])
+                gl, hl, nl = np.cumsum(gb)[:-1], np.cumsum(hb)[:-1], np.cumsum(nb)[:-1]
+                gr, hr, nr = G - gl, H - hl, len(rows) - nl
+                ok = (nl >= min_child) & (nr >= min_child)
+                if not ok.any():
+                    continue
+                gain = np.where(
+                    ok,
+                    gl * gl / (hl + reg_lambda) + gr * gr / (hr + reg_lambda),
+                    -np.inf,
+                )
+                k = int(np.argmax(gain))
+                if gain[k] > parent_gain + 1e-12 and (
+                    best is None or gain[k] > best[0]
+                ):
+                    best = (float(gain[k]), j, k)
+            if best is None:
+                leaf_update[rows] = -G / (H + reg_lambda)
+                continue
+            _, j, k = best
+            importance[j] += 1.0
+            left = rows[codes[rows, j] <= k]
+            right = rows[codes[rows, j] > k]
+            frontier.append((left, depth + 1))
+            frontier.append((right, depth + 1))
+        score = score + learning_rate * leaf_update
+    return importance

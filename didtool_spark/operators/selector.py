@@ -28,6 +28,7 @@ class Selector:
         self.iv_stats: pd.DataFrame | None = None
         self.corr_matrix: pd.DataFrame | None = None
         self.record_correlated: pd.DataFrame | None = None
+        self.importance_stats: pd.DataFrame | None = None
 
     @property
     def features(self) -> list[str]:
@@ -123,19 +124,87 @@ class Selector:
 
     # ---------------------------------------------------- importance
     def drop_low_importance(self, cumulative_importance: float = 0.95,
-                            run_times: int = 10, sample_limit: int = 200_000) -> "Selector":
-        """selector.py:194-283 — requires LightGBM (model training is
-        out of the core engine's scope, SURVEY.md §2.7). When the
-        runtime has lightgbm, runs the reference algorithm on a driver-
-        side sample; otherwise raises."""
+                            run_times: int = 10, sample_limit: int = 200_000,
+                            n_trees: int = 40) -> "Selector":
+        """selector.py:194-283: average split-count feature importance
+        over ``run_times`` seeded GBM fits; keep the top features whose
+        normalized importance reaches ``cumulative_importance``, drop
+        the rest (cumulative > threshold after the sort, exactly the
+        reference's cut).
+
+        Fit is driver-side over a bounded sample (``sample_limit`` rows
+        — model training state is inherently driver-sized; the
+        distributed passes stay in the other stages). Uses LightGBM
+        when importable, matching the reference's LGBMClassifier
+        (n_estimators=1000, lr=0.05, seed=i, 80/20 stratified split,
+        logloss early stopping 20); otherwise a from-scratch numpy
+        histogram GBM (driver_fit.gbm_split_importance) — same
+        split-count importance contract, documented divergence in the
+        exact counts."""
+        if self.label is None:
+            raise ValueError("No training labels provided.")
+        feats = [
+            f_ for f_ in self.features if f_ not in self.categorical_cols
+        ]
+        pdf = self._sample_pandas(feats, sample_limit)
+        X = pdf[feats].to_numpy(dtype=float)
+        y = pdf[self.label].to_numpy(dtype=float)
+
         try:
-            import lightgbm  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "drop_low_importance needs lightgbm on the driver; "
-                "not available in this runtime (documented optional stage)"
-            ) from e
-        raise NotImplementedError("lightgbm path not wired yet")  # pragma: no cover
+            import lightgbm as lgb
+
+            have_lgb = True
+        except ImportError:
+            have_lgb = False
+
+        importance = np.zeros(len(feats))
+        for i in range(run_times):
+            if have_lgb:
+                from sklearn.model_selection import train_test_split
+
+                model = lgb.LGBMClassifier(
+                    n_estimators=1000, learning_rate=0.05, verbose=-1,
+                    random_state=i,
+                )
+                xt, xv, yt, yv = train_test_split(
+                    X, y, test_size=0.2, stratify=y, random_state=i
+                )
+                model.fit(
+                    xt, yt, eval_metric="logloss", eval_set=[(xv, yv)],
+                    callbacks=[lgb.early_stopping(20, verbose=False)],
+                )
+                importance += model.feature_importances_ / run_times
+            else:
+                from ..functions.driver_fit import gbm_split_importance
+
+                importance += gbm_split_importance(
+                    X, y, n_trees=n_trees, seed=i
+                ) / run_times
+
+        imp = pd.DataFrame({"feature": feats, "importance": importance})
+        imp = imp.sort_values("importance", ascending=False).reset_index(drop=True)
+        total = imp["importance"].sum()
+        imp["normalized"] = imp["importance"] / (total if total else 1.0)
+        imp["cumulative"] = np.cumsum(imp["normalized"])
+        to_drop = list(
+            imp.loc[imp["cumulative"] > cumulative_importance, "feature"]
+        )
+        self.importance_stats = imp
+        self._drop(to_drop)
+        return self
+
+    def _sample_pandas(self, feats: list[str], sample_limit: int) -> pd.DataFrame:
+        """Bounded driver-side sample of (feats, label): exact fraction
+        sample when the table is larger than the limit, full table
+        otherwise. Columns are cast to double (the GBM contract)."""
+        cols = [F.col(c).try_cast("double").alias(c) for c in feats] + [
+            F.col(self.label).cast("double").alias(self.label)
+        ]
+        proj = self.df.select(*cols)
+        n = proj.count()
+        if n > sample_limit:
+            proj = proj.sample(fraction=sample_limit / n, seed=0)
+        return proj.toPandas()
 
     def _drop(self, cols: list[str]) -> None:
         if cols:

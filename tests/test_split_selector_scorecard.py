@@ -158,3 +158,65 @@ def test_scorecard_golden(spark):
     assert abs(t.mapping_df["slope"][1] - (-400)) < 1e-6
     assert abs(t.mapping_df["intercept"][1] - 835) < 1e-6
     assert int(t.mapping_df["slope"][1] * 0.05 + t.mapping_df["intercept"][1]) == 815
+
+
+def test_drop_low_importance(spark):
+    """Reference selector.py:194-283 semantics (exercised by reference
+    tests/selector_test.py:94-95): noise features fall past the
+    cumulative-importance cut, signal features survive. Runs on the
+    numpy GBM fallback here (no lightgbm in this container); the
+    lightgbm path follows the reference hyperparameters verbatim."""
+    import numpy as np
+    from didtool_spark.operators.selector import Selector
+
+    rng = np.random.RandomState(0)
+    n = 3000
+    x_sig = rng.rand(n)
+    x_sig2 = rng.rand(n)
+    noise = rng.rand(n, 3)
+    y = ((x_sig * 0.8 + x_sig2 * 0.5 + rng.rand(n) * 0.05) > 0.65).astype(int)
+    rows = [
+        (float(x_sig[i]), float(x_sig2[i]), float(noise[i, 0]),
+         float(noise[i, 1]), float(noise[i, 2]), int(y[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "x_sig double, x_sig2 double, n1 double, n2 double, n3 double, y int"
+    )
+    sel = Selector(df, "y").drop_low_importance(
+        cumulative_importance=0.9, run_times=3, n_trees=25
+    )
+    kept = [c for c in sel.df.columns if c != "y"]
+    assert "x_sig" in kept
+    assert len(sel.drop_cols) >= 1  # some noise dropped
+    st = sel.importance_stats
+    # signals outrank every noise feature
+    order = list(st["feature"])
+    assert max(order.index("x_sig"), order.index("x_sig2")) < min(
+        order.index("n1"), order.index("n2"), order.index("n3")
+    )
+    assert list(st["cumulative"].round(9)) == sorted(st["cumulative"].round(9))
+    assert abs(st["normalized"].sum() - 1.0) < 1e-9
+
+
+def test_drop_low_importance_sampled(spark):
+    """sample_limit bounds the driver-side frame."""
+    import numpy as np
+    from didtool_spark.operators.selector import Selector
+
+    rng = np.random.RandomState(1)
+    rows = [
+        (float(v), float(w), int(v > 0.5))
+        for v, w in zip(rng.rand(4000), rng.rand(4000))
+    ]
+    df = spark.createDataFrame(rows, "x double, noise double, y int")
+    sel = Selector(df, "y")
+    pdf = sel._sample_pandas(["x", "noise"], sample_limit=500)
+    assert len(pdf) < 1200  # fraction sampling, not full collect
+    sel.drop_low_importance(run_times=1, sample_limit=500, n_trees=10)
+    # a perfect single predictor is the reference's degenerate edge: its
+    # own cumulative hits 1.0 > threshold so the literal cut drops it
+    # too — assert the ranking and that the cut ran, not survival
+    st = sel.importance_stats
+    assert list(st["feature"]) == ["x", "noise"]
+    assert "noise" in sel.drop_cols
