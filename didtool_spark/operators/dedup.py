@@ -82,19 +82,29 @@ def minhash_near_dupes(
     max_bucket: int = 1000,
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join -> exact-Jaccard verify.
-    Returns verified pairs (id_a < id_b, jaccard >= threshold)."""
+    Returns verified pairs (id_a < id_b, jaccard >= threshold).
+
+    Shuffle hygiene (the 100 TB path): only (id, band, bucket) rides the
+    band explode and the candidate self-join — carrying the shingle
+    arrays would multiply shuffled bytes by bands x shingle-size. The
+    deduped candidate pair set (orders of magnitude smaller than the
+    corpus) is persisted, its ids are joined back to the source, and
+    shingles are recomputed ONLY for candidate rows: the shingle
+    projection sits above the id join, so the interpreted shingle
+    lambda never runs for non-candidate docs in the verify pass."""
     rows = n_hashes // bands
     # signature computation is expression-heavy (higher-order functions
     # are interpreted, not codegen'd): spread it across the cluster even
     # when the source is a single small file
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        shingles_expr(text_col, k_shingle).alias("sh"),
-    ).withColumn("sig", minhash_expr(F.col("sh"), n_hashes))
+    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    # two-step select so the shingle array materializes once per row
+    # before fanning out into n_hashes minhash lambdas
+    sig = docs.select(
+        "id", shingles_expr(F.col("__text"), k_shingle).alias("sh")
+    ).select("id", minhash_expr(F.col("sh"), n_hashes).alias("sig"))
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -114,7 +124,7 @@ def minhash_near_dupes(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     # bound hot buckets (boilerplate clusters)
     sizes = banded.groupBy("band", "bucket").count()
@@ -133,15 +143,31 @@ def minhash_near_dupes(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .persist()  # reused by the id set and the verify join; bounded
+        # by the pair count, not the corpus (caller may unpersist)
     )
-    verified = cands.withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+    ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .union(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # no broadcast hint: AQE broadcasts when the id set is small; at
+    # scale a shuffle join is correct and shingles still only evaluate
+    # above the join
+    sh_tbl = docs.join(ids, "id").select(
+        "id", shingles_expr(F.col("__text"), k_shingle).alias("sh")
+    )
+    verified = (
+        cands.join(
+            sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+    )
     return verified.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -260,11 +286,14 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(shingles_expr(text_col, k_shingle)).alias("s"),
     )
+    # prune ultra-common shingles (stopword boilerplate) for scalability.
+    # Numerator AND denominators are computed over the retained shingle
+    # universe (sizes post-prune), so the Jaccard is exact over that
+    # universe — with min_df_prune=None it is exact, full stop.
+    if min_df_prune is not None:
+        common = inv.groupBy("s").count().where(F.col("count") > min_df_prune)
+        inv = inv.join(F.broadcast(common), "s", "left_anti")
     sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # prune ultra-common shingles (stopword boilerplate) for scalability
-    # (sizes are computed pre-prune so Jaccard denominators stay exact)
-    common = inv.groupBy("s").count().where(F.col("count") > min_df_prune)
-    inv = inv.join(F.broadcast(common), "s", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
