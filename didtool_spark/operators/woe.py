@@ -167,6 +167,15 @@ class SingleWOETransformer:
             )
             total0 = sum(r["c0"] for r in rows)
             total1 = sum(r["c1"] for r in rows)
+        return self._fit_from_stats(vals, null_c0, null_c1, total0, total1)
+
+    def _fit_from_stats(
+        self, vals: list, null_c0: float, null_c1: float,
+        total0: float, total1: float,
+    ) -> "SingleWOETransformer":
+        """Driver math over aggregated (__x, c0, c1) rows (sorted by
+        __x, nulls removed) — shared by the per-feature fit and
+        WOETransformer's single-pass melted fit."""
         total = total0 + total1
 
         if not vals:
@@ -294,16 +303,67 @@ class WOETransformer:
         self.transformers: dict[str, SingleWOETransformer] = {}
         self.woe_df: pd.DataFrame | None = None
 
-    def fit(self, df: DataFrame, target: str):
+    def fit(self, df: DataFrame, target: str, max_distinct: int = MAX_DISTINCT):
+        """Single-pass melted fit: explode every feature into
+        (feature, value) structs and aggregate class counts with ONE
+        groupBy(feature, value) over ONE source scan — at F features on
+        100 TB this replaces F full scans (the reference's Pool per
+        feature, transformer.py:268; SURVEY §3.1 names this plan). The
+        map-side combine bounds the shuffle at partitions x Σ distinct.
+        Falls back to per-feature fits (concurrent Spark jobs, each
+        with its own driver cap) if the combined distinct count exceeds
+        ``max_distinct``."""
         feats = self.features or [c for c in df.columns if c != target]
         for f_ in feats:
             if f_ not in df.columns:
                 raise ValueError(f"{f_} not in df")
         self.features = feats
 
-        # concurrent per-feature fits: the reference's
-        # multiprocessing.Pool (transformer.py:268) becomes concurrent
-        # Spark jobs from driver threads — the cluster is the pool
+        y = F.col(target).cast("double")
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(f_).alias("f"), _normalize_str(F.col(f_)).alias("x")
+                )
+                for f_ in feats
+            ]
+        )
+        agg = (
+            df.select(F.explode(pairs).alias("p"), y.alias("__y"))
+            .groupBy(F.col("p.f").alias("__f"), F.col("p.x").alias("__x"))
+            .agg(
+                F.sum(F.lit(1.0) - F.col("__y")).alias("c0"),
+                F.sum("__y").alias("c1"),
+            )
+        )
+        rows = collect_capped(agg, max_distinct)
+        if rows is None:
+            return self._fit_per_feature(df, target, feats)
+
+        by_feat: dict[str, list] = {f_: [] for f_ in feats}
+        for r in rows:
+            by_feat[r["__f"]].append(r)
+        for f_ in feats:
+            fr = by_feat[f_]
+            null_c0 = sum(r["c0"] for r in fr if r["__x"] is None)
+            null_c1 = sum(r["c1"] for r in fr if r["__x"] is None)
+            vals = sorted(
+                [r for r in fr if r["__x"] is not None], key=lambda r: r["__x"]
+            )
+            t = SingleWOETransformer(self.cut_method, self.n_bins, is_continuous=False)
+            t.var_name = f_
+            t._fit_from_stats(
+                vals, null_c0, null_c1,
+                sum(r["c0"] for r in fr), sum(r["c1"] for r in fr),
+            )
+            self.transformers[f_] = t
+        self.woe_df = pd.concat([self.transformers[f_].woe_df for f_ in feats])
+        return self
+
+    def _fit_per_feature(self, df: DataFrame, target: str, feats: list[str]):
+        """Fallback above the melt cap: the reference's
+        multiprocessing.Pool (transformer.py:268) becomes concurrent
+        Spark jobs from driver threads — the cluster is the pool."""
         from concurrent.futures import ThreadPoolExecutor
 
         def fit_one(f_):

@@ -200,3 +200,80 @@ def test_psi_categorical_distributed(spark, monkeypatch):
     monkeypatch.setattr(m, "MAX_DISTINCT", 10)
     dist = psi(e, a, "x", is_continuous=False)
     assert abs(exact - dist) < 1e-9
+
+
+# --------------------------------------------------- single-pass melts
+
+def _jobs_for_group(spark, group, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup("", "")
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_woe_transformer_single_pass_matches_per_feature(spark):
+    from didtool_spark.operators.woe import WOETransformer
+
+    rows = [
+        (f"a{i % 4}", f"b{i % 7}", float(i % 5), 1 if i % 3 == 0 else 0)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "f1 string, f2 string, f3 double, y int")
+    one = WOETransformer(cut_method="quantile", n_bins=4,
+                         features=["f1", "f2", "f3"]).fit(df, "y")
+    per = WOETransformer(cut_method="quantile", n_bins=4,
+                         features=["f1", "f2", "f3"])
+    per._fit_per_feature(df, "y", ["f1", "f2", "f3"])
+    for f_ in ["f1", "f2", "f3"]:
+        assert one.transformers[f_].bins == per.transformers[f_].bins
+        assert one.transformers[f_].woe_map == per.transformers[f_].woe_map
+        assert one.transformers[f_].value2code == per.transformers[f_].value2code
+    a = one.transform(df).orderBy("y", "f1", "f2", "f3").collect()
+    b = per.transform(df).orderBy("y", "f1", "f2", "f3").collect()
+    assert a == b
+
+
+def test_woe_transformer_single_pass_is_one_scan(spark):
+    from didtool_spark.operators.woe import WOETransformer
+
+    rows = [(f"a{i % 4}", f"b{i % 7}", str(i % 5), i % 3 == 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "f1 string, f2 string, f3 string, y boolean")
+    n_one = _jobs_for_group(
+        spark, "melt1",
+        lambda: WOETransformer(features=["f1", "f2", "f3"]).fit(df, "y"),
+    )
+    def per_feature():
+        # sequential per-feature fits (job groups are thread-local, so
+        # the threadpool fallback can't be counted directly)
+        for f_ in ["f1", "f2", "f3"]:
+            SingleWOETransformer(is_continuous=False).fit(df, f_, "y")
+
+    n_per = _jobs_for_group(spark, "perfeat1", per_feature)
+    # melt: one aggregation (limit-collect may step a couple of jobs over
+    # the SAME shuffle output); per-feature: >= one job per feature
+    assert n_one < n_per
+    assert n_one <= 3
+
+
+def test_iv_all_single_pass_matches_per_feature(spark):
+    import numpy as np
+    from didtool_spark.operators.metrics import _iv_all_per_feature, iv_all
+
+    rng = np.random.RandomState(2)
+    rows = [
+        (float(rng.rand()), f"c{i % 6}", int(rng.rand() < 0.4))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 string, y int")
+    for method in ["dt", "step", "quantile", "lgb", "chi"]:
+        one = iv_all(df, ["x1", "x2"], "y", categorical_cols=["x2"],
+                     cut_method=method)
+        per = _iv_all_per_feature(df, ["x1", "x2"], "y", {"x2"},
+                                  cut_method=method)
+        for f_ in ["x1", "x2"]:
+            assert abs(one.loc[f_, "iv"] - per.loc[f_, "iv"]) < 1e-9, (
+                method, f_, one.loc[f_, "iv"], per.loc[f_, "iv"],
+            )
