@@ -115,3 +115,30 @@ def test_audit_library_flags_leaky_features(spark, tr):
     clean2, offenders2 = audit_no_leakage(tr, leaky, cut)
     assert not clean2
     assert "L_lead1" in offenders2
+
+
+def test_checkpoint_staged_scan_prunes(spark, tr, tmp_path_factory):
+    """Per-bucket reads hit only their own staged partition: the parquet
+    scan carries a PartitionFilters entry on __bucket instead of
+    filtering a computed column over the full source (B full scans)."""
+    from io import StringIO
+    import contextlib
+
+    out = str(tmp_path_factory.mktemp("ckpt_prune"))
+    run = CheckpointedRun(spark, out, n_buckets=4)
+    src = run._stage_source(tr, "fp-1")
+    part = src.where(F.col("__bucket") == 2)
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        part.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "__bucket" in p.split("PartitionFilters")[1].splitlines()[0], p[:2500]
+
+    # staging is itself resumable: same fingerprint -> no rewrite
+    marker = os.path.join(out, "_staged", "_STAGED.json")
+    mtime = os.path.getmtime(marker)
+    run._stage_source(tr, "fp-1")
+    assert os.path.getmtime(marker) == mtime
+    # changed input fingerprint -> restaged
+    run._stage_source(tr, "fp-2")
+    assert os.path.getmtime(marker) != mtime
