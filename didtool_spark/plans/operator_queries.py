@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.binning import Binner
-from ..operators.category import CategoryTransformer, OneHotTransformer
+from ..operators.category import CategoryTransformer, ListTransformer, OneHotTransformer
 from ..operators.metrics import auc, iv, ks, psi
 from ..operators.scorecard import ScoreCardTransformer
 from ..operators.split import split_data
@@ -113,6 +113,107 @@ SELECT round(sum(
               (greatest(c0, 0.5) / greatest(tot.t0, 0.5)))
        ), 6) AS iv_value
 FROM t, tot
+"""
+
+
+def q_iv_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iv() continuous path with step cut (reference metric.py:106-123
+    via cut.py:15-66). The oracle reuses the validated ceil-grid bin
+    arithmetic of SQL_STEP_BIN; `value` populates every bin at both sf
+    so the empty-bin merge is a no-op (merge path covered by unit
+    goldens)."""
+    ev = _events(spark, sf_dir)
+    v = iv(ev, "value", "y", is_continuous=True, cut_method="step")
+    return spark.createDataFrame([(round(v, 6),)], "iv_value double")
+
+
+SQL_IV_CONTINUOUS = """
+WITH s AS (SELECT min(value) mn, max(value) mx FROM events),
+b AS (
+  SELECT CAST(least(greatest(ceil((e.value - s.mn) / ((s.mx - s.mn) / 10.0)), 1), 10) - 1 AS INT) AS b,
+         CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END AS y
+  FROM events e, s
+),
+t AS (SELECT b, sum(1 - y) c0, sum(y) c1 FROM b GROUP BY b),
+tot AS (SELECT sum(c0) t0, sum(c1) t1 FROM t)
+SELECT round(sum(
+         (greatest(c1, 0.5) / greatest(tot.t1, 0.5) - greatest(c0, 0.5) / greatest(tot.t0, 0.5))
+         * ln((greatest(c1, 0.5) / greatest(tot.t1, 0.5)) /
+              (greatest(c0, 0.5) / greatest(tot.t0, 0.5)))
+       ), 6) AS iv_value
+FROM t, tot
+"""
+
+
+def q_psi_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """psi() continuous: ACTUAL binned with the EXPECTED side's fixed
+    step grid (metric.py:190-193), zero rates floored at 1e-10."""
+    ev = load(spark, sf_dir, "events")
+    expected = ev.where(F.col("event_id") % 2 == 0)
+    actual = ev.where(F.col("event_id") % 2 == 1)
+    v = psi(expected, actual, "value", n_bins=10, is_continuous=True)
+    return spark.createDataFrame([(round(v, 6),)], "psi_value double")
+
+
+SQL_PSI_CONTINUOUS = """
+WITH s AS (SELECT min(value) mn, max(value) mx FROM events WHERE event_id % 2 = 0),
+eb AS (
+  -- outer step edges are +/-inf (cut.py:15-66): out-of-range actuals
+  -- clamp into bins 0/9, which the least/greatest arithmetic already does
+  SELECT CAST(least(greatest(ceil((e.value - s.mn) / ((s.mx - s.mn) / 10.0)), 1), 10) - 1 AS INT) AS b
+  FROM events e, s WHERE e.event_id % 2 = 0
+),
+ab AS (
+  SELECT CAST(least(greatest(ceil((e.value - s.mn) / ((s.mx - s.mn) / 10.0)), 1), 10) - 1 AS INT) AS b
+  FROM events e, s WHERE e.event_id % 2 = 1
+),
+ec AS (SELECT b, count(*) c FROM eb GROUP BY b),
+ac AS (SELECT b, count(*) c FROM ab GROUP BY b),
+keys AS (SELECT CAST(range AS INT) AS b FROM range(0, 10)),
+r AS (
+  SELECT k.b,
+         greatest(coalesce(ec.c, 0) * 1.0 / (SELECT sum(c) FROM ec), 1e-10) er,
+         greatest(coalesce(ac.c, 0) * 1.0 / (SELECT sum(c) FROM ac), 1e-10) ar
+  FROM keys k LEFT JOIN ec ON k.b = ec.b LEFT JOIN ac ON k.b = ac.b
+)
+SELECT round(sum((ar - er) * ln(ar / er)), 6) AS psi_value FROM r
+"""
+
+
+def q_list_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListTransformer membership mode (reference transformer.py:532-643)
+    over a deterministic two-token list column; output columns sorted by
+    name like the reference's transform."""
+    ev = load(spark, sf_dir, "events")
+    lst = F.concat_ws(
+        ",",
+        F.concat(F.lit("t"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")),
+        F.concat(
+            F.lit("t"),
+            F.pmod(F.floor(F.col("value")).cast("long"), F.lit(7)).cast("string"),
+        ),
+    )
+    ev = ev.withColumn("lst", lst)
+    t = ListTransformer(sep=",").fit(ev, ["lst"])
+    return ev.select("event_id", *t.exprs("lst"))
+
+
+SQL_LIST_ENCODE = """
+WITH b AS (
+  SELECT event_id,
+         't' || CAST(user_id % 5 AS VARCHAR) AS ta,
+         't' || CAST(CAST(floor(value) AS BIGINT) % 7 AS VARCHAR) AS tb
+  FROM events
+)
+SELECT event_id,
+       CAST(ta = 't0' OR tb = 't0' AS INT) AS lst_t0,
+       CAST(ta = 't1' OR tb = 't1' AS INT) AS lst_t1,
+       CAST(ta = 't2' OR tb = 't2' AS INT) AS lst_t2,
+       CAST(ta = 't3' OR tb = 't3' AS INT) AS lst_t3,
+       CAST(ta = 't4' OR tb = 't4' AS INT) AS lst_t4,
+       CAST(ta = 't5' OR tb = 't5' AS INT) AS lst_t5,
+       CAST(ta = 't6' OR tb = 't6' AS INT) AS lst_t6
+FROM b
 """
 
 
@@ -266,7 +367,10 @@ OP_QUERIES = {
     "quantile_bin": q_quantile_bin,
     "woe_encode": q_woe_encode,
     "iv_discrete": q_iv_discrete,
+    "iv_continuous": q_iv_continuous,
     "psi_discrete": q_psi_discrete,
+    "psi_continuous": q_psi_continuous,
+    "list_encode": q_list_encode,
     "category_encode": q_category_encode,
     "onehot_encode": q_onehot_encode,
     "label_encode": q_label_encode,
@@ -280,7 +384,10 @@ OP_ORACLES = {
     "quantile_bin": SQL_QUANTILE_BIN,
     "woe_encode": SQL_WOE_ENCODE,
     "iv_discrete": SQL_IV_DISCRETE,
+    "iv_continuous": SQL_IV_CONTINUOUS,
     "psi_discrete": SQL_PSI_DISCRETE,
+    "psi_continuous": SQL_PSI_CONTINUOUS,
+    "list_encode": SQL_LIST_ENCODE,
     "category_encode": SQL_CATEGORY_ENCODE,
     "onehot_encode": SQL_ONEHOT_ENCODE,
     "label_encode": SQL_LABEL_ENCODE,
