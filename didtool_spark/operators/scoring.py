@@ -56,3 +56,58 @@ def with_score(
     out_col: str = "prob",
 ) -> DataFrame:
     return df.withColumn(out_col, score_expr(df, predict, feature_cols))
+
+
+def stacking_evaluate(
+    df: DataFrame,
+    predicts: Sequence[Callable[[pd.DataFrame], "object"]],
+    feature_cols: Sequence[str],
+    group_col: str = "group",
+    label_col: str | None = None,
+) -> tuple[DataFrame, pd.DataFrame | None]:
+    """Fold-stacking evaluation (reference LGBModelStacking.evaluate,
+    model.py:636-704) as pure DataFrame math: every row is scored by
+    every fold model (one broadcast pandas UDF column per fold), and the
+    final ``prob`` is the row's OWN-fold probability for train rows
+    (group k >= 0 — i.e. the model that did NOT see the row in
+    training scores it) and the fold-MEAN for oot rows (group -1,
+    model.py:645-658). Feature columns are dropped from the result like
+    the reference's ``data.drop(feature_names)``.
+
+    With ``label_col`` also returns the reference's per-fold train/val
+    AUC table (model.py:660-668) computed with the engine's rank-
+    statistic auc; else the second element is None.
+    """
+    n_fold = len(predicts)
+    out = df
+    for k, p in enumerate(predicts):
+        out = out.withColumn(f"prob_{k}", score_expr(out, p, list(feature_cols)))
+    g = F.col(group_col)
+    mean_prob = sum(
+        (F.col(f"prob_{k}") for k in range(1, n_fold)), F.col("prob_0")
+    ) / float(n_fold)
+    final = F.when(g < 0, mean_prob)
+    for k in range(n_fold):
+        final = final.when(g == k, F.col(f"prob_{k}"))
+    out = out.withColumn("prob", final).drop(*feature_cols)
+
+    fold_auc = None
+    if label_col is not None:
+        from .metrics import auc as _auc
+
+        train = out.where(g >= 0)
+        rows = []
+        for k in range(n_fold):
+            rows.append(
+                {
+                    "fold": k,
+                    "train_auc": _auc(
+                        train.where(g != k), label_col, f"prob_{k}"
+                    ),
+                    "val_auc": _auc(
+                        train.where(g == k), label_col, f"prob_{k}"
+                    ),
+                }
+            )
+        fold_auc = pd.DataFrame(rows)
+    return out, fold_auc
