@@ -59,16 +59,38 @@ def jaccard_expr(a: Column, b: Column) -> Column:
 
 # ---------------------------------------------------------------- minhash
 
-def minhash_expr(shingles: Column, n_hashes: int = 32) -> Column:
-    """MinHash signature: per seed, min over shingle xxhash64s."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
-            )
-            for seed in range(n_hashes)
-        ]
-    )
+MINHASH_P = (1 << 31) - 1  # Mersenne field for the affine hash family
+
+
+def base_hash_expr(shingles: Column) -> Column:
+    """One xxhash64 per shingle, folded into [0, 2^31-1) — the single
+    string-hash pass every MinHash function derives from."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)))
+
+
+def minhash_expr(hashes: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature from a MATERIALIZED base-hash array: the i-th
+    hash is min over (a_i*h + b_i mod p) with fixed seeded coefficients
+    — string hashing happens once (base_hash_expr), not n_hashes times;
+    the per-function work is two integer ops per element (products stay
+    < 2^62, so no ANSI overflow). Keep ``hashes`` a named column from a
+    previous select: it is referenced n_hashes times and CollapseProject
+    keeps multiply-referenced non-cheap aliases materialized."""
+    import random
+
+    rng = random.Random(0xD1D7)
+
+    def affine(a: int, b: int):
+        # closure factory: pyspark counts lambda params, so default-arg
+        # capture would be mistaken for a 3-arg HOF lambda
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P))
+
+    out = []
+    for _ in range(n_hashes):
+        a = rng.randrange(1, MINHASH_P)
+        b = rng.randrange(0, MINHASH_P)
+        out.append(F.array_min(F.transform(hashes, affine(a, b))))
+    return F.array(*out)
 
 
 def minhash_near_dupes(
@@ -98,11 +120,13 @@ def minhash_near_dupes(
     # when the source is a single small file
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-    # two-step select so the shingle array materializes once per row
-    # before fanning out into n_hashes minhash lambdas
-    sig = docs.select(
-        "id", shingles_expr(F.col("__text"), k_shingle).alias("sh")
-    ).select("id", minhash_expr(F.col("sh"), n_hashes).alias("sig"))
+    # staged selects so each expensive array materializes once per row:
+    # shingles -> one string-hash pass -> n_hashes cheap affine mins
+    sig = (
+        docs.select("id", shingles_expr(F.col("__text"), k_shingle).alias("sh"))
+        .select("id", base_hash_expr(F.col("sh")).alias("hs"))
+        .select("id", minhash_expr(F.col("hs"), n_hashes).alias("sig"))
+    )
     banded = sig.select(
         "id",
         F.explode(
@@ -126,6 +150,13 @@ def minhash_near_dupes(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    # the slim (id, band, bucket) table feeds THREE consumers (bucket
+    # sizes, both self-join sides): eager-cache it so the signature
+    # pipeline runs once — it is bands x 20 bytes per doc, far smaller
+    # than the corpus
+    banded = banded.persist()
+    banded.count()
+
     # bound hot buckets (boilerplate clusters)
     sizes = banded.groupBy("band", "bucket").count()
     banded = banded.join(
@@ -145,17 +176,24 @@ def minhash_near_dupes(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .persist()  # reused by the id set and the verify join; bounded
-        # by the pair count, not the corpus (caller may unpersist)
+        .persist()
     )
+    # eager fill: the pair cache feeds TWO consumers (the id set and the
+    # verify join) — filling it in its own job first guarantees the LSH
+    # DAG runs exactly once (lazy caching would race the two branch
+    # stages into computing it twice inside one action)
+    cands.count()
     ids = (
         cands.select(F.col("id_a").alias("id"))
         .union(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    # no broadcast hint: AQE broadcasts when the id set is small; at
-    # scale a shuffle join is correct and shingles still only evaluate
-    # above the join
+    # shingles recomputed ONLY for candidate rows: the projection sits
+    # above the id join (non-candidates never evaluate the lambda) and
+    # below the pair joins (a join boundary, so CollapseProject cannot
+    # inline the interpreted shingle lambda into the jaccard expression
+    # and re-evaluate it per reference). No broadcast hint: AQE
+    # broadcasts the small side; at scale a shuffle join is correct.
     sh_tbl = docs.join(ids, "id").select(
         "id", shingles_expr(F.col("__text"), k_shingle).alias("sh")
     )
