@@ -364,10 +364,132 @@ def psi_all(
     expected: DataFrame | None = None,
     categorical_cols: list[str] | None = None,
     n_bins: int = DEFAULT_BINS,
+    max_distinct: int = MAX_DISTINCT,
 ) -> pd.DataFrame:
     """stats.py:70-123: drift per feature per group — each group vs the
-    previous one (expected=None) or vs a fixed expected frame."""
+    previous one (expected=None) or vs a fixed expected frame.
+
+    Single-pass plan: melt every feature into (group, feature, value)
+    structs and aggregate counts with ONE groupBy over ONE source scan
+    (plus one scan of ``expected`` if given); every (feature x group)
+    PSI — including the step grids derived from each expected side — is
+    then driver math over the aggregated count table. The naive shape
+    is 2-3 aggregations x F features x G groups. Falls back to the
+    per-pair loop above the combined distinct cap."""
+    import numpy as np
+
     cat = set(categorical_cols or [])
+
+    def melt(frame: DataFrame, is_expected: bool) -> DataFrame:
+        dtypes = dict(frame.dtypes)
+        structs = []
+        for f_ in features:
+            xd = F.col(f_).try_cast("double")
+            xd = F.when(F.isnan(xd), F.lit(None)).otherwise(xd)
+            if f_ in cat:
+                xs = handle_categorical_expr(f_, dtypes.get(f_, "double"))
+            else:
+                xs = F.lit(None).cast("string")
+            structs.append(
+                F.struct(F.lit(f_).alias("f"), xd.alias("xd"), xs.alias("xs"))
+            )
+        g = (
+            F.lit(None).cast(dict(df.dtypes)[group_col])
+            if is_expected
+            else F.col(group_col)
+        )
+        return frame.select(
+            g.alias("__g"),
+            F.lit(is_expected).alias("__exp"),
+            F.explode(F.array(*structs)).alias("p"),
+        )
+
+    base = melt(df, False)
+    if expected is not None:
+        base = base.unionByName(melt(expected, True))
+    agg = base.groupBy("__g", "__exp", "p.f", "p.xd", "p.xs").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rows = collect_capped(agg, max_distinct)
+    if rows is None:
+        return _psi_all_per_pair(
+            df, features, group_col, expected, cat, n_bins
+        )
+
+    groups = sorted({r["__g"] for r in rows if not r["__exp"]})
+    # counts[(key, feature)] -> list of (xd, xs, n); key is a group or EXP
+    EXP = object()
+    counts: dict[tuple, list] = {}
+    for r in rows:
+        key = EXP if r["__exp"] else r["__g"]
+        counts.setdefault((key, r["f"]), []).append((r["xd"], r["xs"], r["n"]))
+
+    def psi_pair(e_rows: list, a_rows: list, continuous: bool) -> float:
+        if continuous:
+            # expected-side fixed step grid (metric.py:190-193), outer
+            # edges +/-inf (clamp), NULL/NaN -> -1
+            e_num = [x for x, _, _ in e_rows if x is not None]
+            if e_num:
+                mn, mx = min(e_num), max(e_num)
+                interior = np.linspace(mn, mx, n_bins + 1)[1:-1]
+                n_keys = n_bins
+            else:
+                interior = np.array([])
+                n_keys = 1
+
+            def bin_counts(rws):
+                out: dict[int, float] = {}
+                for x, _, n in rws:
+                    b = -1 if x is None else int(
+                        np.searchsorted(interior, x, side="left")
+                    )
+                    out[b] = out.get(b, 0) + n
+                return out
+
+            e_counts, a_counts = bin_counts(e_rows), bin_counts(a_rows)
+            has_nan = (-1 in e_counts) or (-1 in a_counts)
+            keys = ([-1] if has_nan else []) + list(range(n_keys))
+        else:
+            e_counts = {}
+            for _, s, n in e_rows:
+                e_counts[s] = e_counts.get(s, 0) + n
+            a_counts = {}
+            for _, s, n in a_rows:
+                a_counts[s] = a_counts.get(s, 0) + n
+            keys = sorted(set(e_counts) | set(a_counts))
+        e_total = sum(e_counts.values())
+        a_total = sum(a_counts.values())
+        e_rate = _rates(e_counts, keys, e_total)
+        a_rate = _rates(a_counts, keys, a_total)
+        return sum((a - e) * math.log(a / e) for a, e in zip(a_rate, e_rate))
+
+    result = pd.DataFrame(index=features, columns=groups, dtype=float)
+    for i, g in enumerate(groups):
+        if expected is None:
+            if i == 0:
+                continue
+            exp_key = groups[i - 1]
+        else:
+            exp_key = EXP
+        for f_ in features:
+            result.loc[f_, g] = psi_pair(
+                counts.get((exp_key, f_), []),
+                counts.get((g, f_), []),
+                f_ not in cat,
+            )
+    return result
+
+
+def _psi_all_per_pair(
+    df: DataFrame,
+    features: list[str],
+    group_col: str,
+    expected: DataFrame | None,
+    cat: set,
+    n_bins: int,
+) -> pd.DataFrame:
+    """Fallback above the melt cap: one psi() (2-3 Spark jobs) per
+    feature per group pair."""
     groups = sorted(r[0] for r in df.select(group_col).distinct().collect())
     result = pd.DataFrame(index=features, columns=groups, dtype=float)
     by_group = {g: df.where(F.col(group_col) == g) for g in groups}

@@ -277,3 +277,31 @@ def test_iv_all_single_pass_matches_per_feature(spark):
             assert abs(one.loc[f_, "iv"] - per.loc[f_, "iv"]) < 1e-9, (
                 method, f_, one.loc[f_, "iv"], per.loc[f_, "iv"],
             )
+
+
+def test_psi_all_single_pass_matches_per_pair(spark):
+    import numpy as np
+    from didtool_spark.operators.metrics import _psi_all_per_pair, psi_all
+
+    rng = np.random.RandomState(6)
+    rows = [
+        (int(i % 4), float(rng.rand() + (i % 4) * 0.1), f"c{int(rng.rand() * 5)}")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "month int, x1 double, x2 string")
+    one = psi_all(df, ["x1", "x2"], "month", categorical_cols=["x2"], n_bins=5)
+    per = _psi_all_per_pair(df, ["x1", "x2"], "month", None, {"x2"}, 5)
+    for f_ in ["x1", "x2"]:
+        for g in [1, 2, 3]:
+            assert abs(one.loc[f_, g] - per.loc[f_, g]) < 1e-12, (f_, g)
+
+    # fixed expected frame
+    exp = spark.createDataFrame(
+        [(0, float(rng.rand()), f"c{int(rng.rand() * 5)}") for _ in range(900)],
+        "month int, x1 double, x2 string",
+    )
+    one2 = psi_all(df, ["x1", "x2"], "month", expected=exp, categorical_cols=["x2"], n_bins=5)
+    per2 = _psi_all_per_pair(df, ["x1", "x2"], "month", exp, {"x2"}, 5)
+    for f_ in ["x1", "x2"]:
+        for g in [0, 1, 2, 3]:
+            assert abs(one2.loc[f_, g] - per2.loc[f_, g]) < 1e-12, (f_, g)
