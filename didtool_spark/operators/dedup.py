@@ -213,19 +213,22 @@ def minhash_near_dupes(
 
 # ---------------------------------------------------------------- simhash
 
-def simhash_votes_expr(text_col: str | Column, bits: int = 64) -> Column:
-    """Per-bit vote sums (array<long>[bits]): Σ over tokens of ±1 from
-    each token's xxhash64 bit — pure aggregate/zip_with lambdas."""
-    toks = tokens_expr(text_col)
-    votes = F.aggregate(
-        toks,
+def simhash_votes_expr(hashes: Column, bits: int = 64) -> Column:
+    """Per-bit vote sums (array<long>[bits]) from a MATERIALIZED
+    token-hash array: Σ over tokens of ±1 per bit. The lambda variable
+    ``h`` is a bound value, so referencing it ``bits`` times costs bit
+    ops only — hashing each token string happens ONCE, in the caller's
+    prior select (inlining xxhash64 here would re-hash every token
+    ``bits`` times)."""
+    return F.aggregate(
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
                     (
-                        F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) * 2 - 1
+                        F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
                     ).cast("long")
                     for j in range(bits)
                 ]
@@ -233,7 +236,6 @@ def simhash_votes_expr(text_col: str | Column, bits: int = 64) -> Column:
             lambda x, y: x + y,
         ),
     )
-    return votes
 
 
 def simhash_from_votes(votes: Column, bits: int = 64) -> Column:
@@ -262,8 +264,11 @@ def simhash_near_dupes(
     verify hamming distance."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sig = df.select(
-        F.col(id_col).alias("id"), simhash_votes_expr(text_col).alias("votes")
-    ).select("id", simhash_from_votes(F.col("votes")).alias("sim"))
+        F.col(id_col).alias("id"),
+        F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t)).alias("hs"),
+    ).select("id", simhash_votes_expr(F.col("hs")).alias("votes")).select(
+        "id", simhash_from_votes(F.col("votes")).alias("sim")
+    )
     chunks = sig.select(
         "id",
         "sim",
