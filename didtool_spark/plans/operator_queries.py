@@ -312,6 +312,75 @@ FROM events GROUP BY 1
 """
 
 
+def q_split_stacking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_data_stacking mask semantics (reference split.py:95-141):
+    oot rows -> -1, the rest -> folds 0..k-1. Fold membership is a
+    deterministic xxhash64 (documented divergence from KFold shuffle,
+    not SQL-expressible), so the oracle checks the oot/train partition
+    and that all rows land in exactly one group; a unit test covers the
+    fold proportions."""
+    from ..operators.split import split_data_stacking
+
+    ev = load(spark, sf_dir, "events")
+    out = split_data_stacking(
+        ev, F.col("event_id") % 10 >= 8, n_fold=5, key_cols=["event_id"]
+    )
+    return out.groupBy((F.col("group") >= 0).alias("is_train")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_SPLIT_STACKING = """
+SELECT (event_id % 10 < 8) AS is_train, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_auc_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n_score_bins scale path of auc/ks (bounded grid +
+    chunk-partitioned prefix sums) against a full SQL replication of
+    the binned formula — same grid arithmetic, same tie-averaged rank
+    statistic over bins."""
+    ev = _events(spark, sf_dir).withColumn("score", F.col("value") / 500.0)
+    a = auc(ev, "y", "score", n_score_bins=1000)
+    k = ks(ev, "y", "score", n_score_bins=1000)
+    return spark.createDataFrame(
+        [(round(a, 6), round(k, 6))], "auc_value double, ks_value double"
+    )
+
+
+SQL_AUC_KS_BINNED = """
+WITH base AS (
+  SELECT value / 500.0 AS s,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+  FROM events
+), g AS (SELECT min(s) mn, max(s) mx FROM base),
+binned AS (
+  SELECT CAST(least(greatest(floor((b.s - g.mn) / ((g.mx - g.mn) / 1000.0)), 0), 999) AS INT) AS b,
+         y
+  FROM base b, g
+),
+per AS (SELECT b, count(*) n, sum(y) n1 FROM binned GROUP BY b),
+tot AS (SELECT sum(n1) n1, sum(n) - sum(n1) AS n0 FROM per),
+cum AS (
+  SELECT b, n, n1,
+         coalesce(sum(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         coalesce(sum(n1) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb1
+  FROM per
+),
+shares AS (
+  SELECT (tot.n1 - cb1) * 1.0 / tot.n1 AS cum_bad,
+         (tot.n0 - (cb - cb1)) * 1.0 / tot.n0 AS cum_good
+  FROM cum, tot
+)
+SELECT
+  (SELECT round((sum(cum.n1 * (cum.cb + (cum.n + 1) / 2.0)) - tot.n1 * (tot.n1 + 1) / 2.0)
+                / (tot.n0 * tot.n1), 6)
+   FROM cum, tot GROUP BY tot.n1, tot.n0) AS auc_value,
+  (SELECT round(max(abs(cum_bad - cum_good)), 6) FROM shares) AS ks_value
+"""
+
+
 def q_auc_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn("score", F.col("value") / 500.0)
     a = auc(ev, "y", "score")
@@ -375,7 +444,9 @@ OP_QUERIES = {
     "onehot_encode": q_onehot_encode,
     "label_encode": q_label_encode,
     "split_groups": q_split_groups,
+    "split_stacking": q_split_stacking,
     "auc_ks": q_auc_ks,
+    "auc_ks_binned": q_auc_ks_binned,
     "scorecard": q_scorecard,
 }
 
@@ -392,7 +463,9 @@ OP_ORACLES = {
     "onehot_encode": SQL_ONEHOT_ENCODE,
     "label_encode": SQL_LABEL_ENCODE,
     "split_groups": SQL_SPLIT_GROUPS,
+    "split_stacking": SQL_SPLIT_STACKING,
     "auc_ks": SQL_AUC_KS,
+    "auc_ks_binned": SQL_AUC_KS_BINNED,
     # scorecard: intentionally no oracle (driver-side sequential odds
     # adjustment is not ANSI-SQL-expressible) -> rows-only check
 }
