@@ -50,15 +50,20 @@ def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     digits = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0))
     alpha = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]"), 0))
     sw = stopword_hits(col, "en")
+    # later columns reference the ALREADY-MATERIALIZED ones (F.col) —
+    # re-inlining n_tok/n_chars would re-split/re-scan the text per use
     out = (
         df.withColumn("n_chars_calc", n_chars)
         .withColumn("n_tokens", n_tok)
         .withColumn("n_tokens_bpe", n_tokens_bpe(col))
-        .withColumn("mean_token_len", n_chars / F.greatest(n_tok, F.lit(1)))
-        .withColumn("punct_ratio", punct / F.greatest(n_chars, F.lit(1)))
-        .withColumn("digit_ratio", digits / F.greatest(n_chars, F.lit(1)))
-        .withColumn("alpha_ratio", alpha / F.greatest(n_chars, F.lit(1)))
-        .withColumn("stopword_ratio", sw / F.greatest(n_tok, F.lit(1)))
+        .withColumn(
+            "mean_token_len",
+            F.col("n_chars_calc") / F.greatest(F.col("n_tokens"), F.lit(1)),
+        )
+        .withColumn("punct_ratio", punct / F.greatest(F.col("n_chars_calc"), F.lit(1)))
+        .withColumn("digit_ratio", digits / F.greatest(F.col("n_chars_calc"), F.lit(1)))
+        .withColumn("alpha_ratio", alpha / F.greatest(F.col("n_chars_calc"), F.lit(1)))
+        .withColumn("stopword_ratio", sw / F.greatest(F.col("n_tokens"), F.lit(1)))
     )
     # simple composite: long-enough, alphabetic, not punct/digit-heavy
     q = (
@@ -70,18 +75,59 @@ def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", q)
 
 
-def lang_id_expr(col: str | Column) -> Column:
-    """Heuristic language ID: CJK-character ratio, else stopword votes.
-    Returns 'zh'/'en'/'de'/'fr'/'es'/'unk'."""
+LANGS = ("en", "de", "fr", "es")
+
+
+def lang_votes_expr(col: str | Column) -> Column:
+    """ONE pass over the token array accumulating stopword hits for all
+    languages at once (array<int>[len(LANGS)]) — building a separate
+    aggregate per language would re-scan the tokens per language, per
+    reference to the vote."""
+    toks = tokens_expr(col)
+    vocabs = [
+        F.array(*[F.lit(w) for w in STOPWORDS[lang]]) for lang in LANGS
+    ]
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), len(LANGS)),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[F.array_contains(v, t).cast("int") for v in vocabs]),
+            lambda x, y: x + y,
+        ),
+    )
+
+
+def lang_id_from_votes(col: str | Column, votes: Column) -> Column:
+    """Decision expression over a MATERIALIZED vote array (cheap element
+    references; keep ``votes`` a named column from a prior select)."""
     c = F.col(col) if isinstance(col, str) else col
     cjk = F.size(F.regexp_extract_all(c, F.lit(r"[\x{4e00}-\x{9fff}]"), 0))
-    votes = {lang: stopword_hits(c, lang) for lang in STOPWORDS}
-    best = F.greatest(*votes.values())
+    best = F.greatest(*[votes[i] for i in range(len(LANGS))])
     expr = F.when(cjk > F.length(c) * 0.2, F.lit("zh")).when(best == 0, F.lit("unk"))
     # deterministic priority order on ties: en, de, fr, es
-    for lang in ("en", "de", "fr", "es"):
-        expr = expr.when(votes[lang] == best, F.lit(lang))
+    for i, lang in enumerate(LANGS):
+        expr = expr.when(votes[i] == best, F.lit(lang))
     return expr.otherwise(F.lit("unk"))
+
+
+def with_lang_id(df: DataFrame, col: str = "text", out_col: str = "lang") -> DataFrame:
+    """Heuristic language ID: CJK-character ratio, else stopword votes
+    ('zh'/'en'/'de'/'fr'/'es'/'unk'). Two-stage select so the one-pass
+    vote aggregate materializes before the multi-reference decision."""
+    return (
+        df.withColumn("__lv", lang_votes_expr(col))
+        .withColumn(out_col, lang_id_from_votes(col, F.col("__lv")))
+        .drop("__lv")
+    )
+
+
+def lang_id_expr(col: str | Column) -> Column:
+    """Single-expression variant (inline-friendly, but the vote
+    aggregate is re-evaluated per reference — prefer with_lang_id for
+    the scan path)."""
+    votes = lang_votes_expr(col)
+    return lang_id_from_votes(col, votes)
 
 
 def fingerprint_exprs(col: str | Column) -> dict[str, Column]:

@@ -69,8 +69,10 @@ FROM f
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import with_lang_id
+
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id_expr("text").alias("lang_pred"))
+    return with_lang_id(docs, "text", "lang_pred").select("doc_id", "lang_pred")
 
 
 _VOTES = ", ".join(
