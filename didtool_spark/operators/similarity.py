@@ -42,15 +42,22 @@ def cosine_topk(
     """Exact top-k neighbors per query (excluding self-matches by id).
     Queries are broadcast — keep the query set small; the corpus scan
     is embarrassingly parallel."""
+    # norms materialize per ROW below the join (the projections sit
+    # under the join node, so they cannot collapse into the per-pair
+    # cosine) — cosine then costs ONE array aggregate per pair, not 3
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -107,11 +114,12 @@ def lsh_topk(
             F.col(id_col).alias(f"{role}_id"),
             F.col(vec_col).alias(f"{role}v"),
             sig.alias("sig"),
-        )
+        ).withColumn(f"{role}n", _norm(F.col(f"{role}v")))
         mask = (1 << rows) - 1
         return d.select(
             f"{role}_id",
             f"{role}v",
+            f"{role}n",
             F.explode(
                 F.array(
                     *[
@@ -126,7 +134,7 @@ def lsh_topk(
                 )
             ).alias("bk"),
         ).select(
-            f"{role}_id", f"{role}v",
+            f"{role}_id", f"{role}v", f"{role}n",
             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
         )
 
@@ -136,7 +144,11 @@ def lsh_topk(
         qb.join(cb, ["band", "key"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", cosine_expr(F.col("queryv"), F.col("neighborv")))
+        .withColumn(
+            "cosine",
+            _dot(F.col("queryv"), F.col("neighborv"))
+            / (F.col("queryn") * F.col("neighborn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -220,13 +232,13 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _cluster_expr(F.col(vec_col), centroids).alias("cluster"),
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     m = len(centroids)
     qd = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids]).alias("__d"),
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     ranked = F.slice(
         F.array_sort(
             F.arrays_zip(F.col("__d").alias("d"), F.sequence(F.lit(0), F.lit(m - 1)).alias("i"))
@@ -235,13 +247,15 @@ def ivf_topk(
         n_probe,
     )
     probes = qd.select(
-        "query_id", "qv", F.explode(ranked).alias("__p")
-    ).select("query_id", "qv", F.col("__p.i").cast("int").alias("cluster"))
+        "query_id", "qv", "qn", F.explode(ranked).alias("__p")
+    ).select("query_id", "qv", "qn", F.col("__p.i").cast("int").alias("cluster"))
 
     cands = (
         probes.join(c_assigned, "cluster")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
