@@ -263,3 +263,86 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def embedding_near_dupes(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "lsh",
+    dim: int = 64,
+    n_bits: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine >= threshold) — the embedding-space sibling of
+    dedup.minhash_near_dupes.
+
+    strategy='exact': all-pairs ground truth (O(n^2) — the oracle-grade
+    validation tool, like ngram_jaccard_pairs for text).
+    strategy='lsh': random-hyperplane banded candidates + exact cosine
+    re-check — one equi-join shuffle on (band, key); the 100 TB path.
+    Recall for pairs near the threshold grows with ``bands`` (rows per
+    band shrink); pairs sharing no band are missed — documented
+    approximation."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("n", _norm(F.col("v")))
+    if strategy == "exact":
+        a = base.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+        )
+        b = base.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+        )
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    elif strategy == "lsh":
+        rows = n_bits // bands
+        mask = (1 << rows) - 1
+        sig = base.select(
+            "id", "v", "n",
+            hyperplane_bits_expr(F.col("v"), dim, n_bits).alias("sig"),
+        )
+        banded = sig.select(
+            "id", "v", "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b_).alias("band"),
+                            F.shiftright(F.col("sig"), b_ * rows)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("key"),
+                        )
+                        for b_ in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            "id", "v", "n",
+            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+                F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown strategy `{strategy}`")
+    out = pairs.withColumn(
+        "cosine", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    )
+    return out.where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )

@@ -225,6 +225,58 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, emb, k=5, dim=64, n_bits=16, bands=4)
 
 
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs strategy — the
+    oracle-grade ground truth (similarity.embedding_near_dupes)."""
+    from ..operators.similarity import embedding_near_dupes
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dupes(emb, threshold=0.45, strategy="exact")
+
+
+SQL_EMBEDDING_DEDUP = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.45
+"""
+
+
+def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-hyperplane scale path — rows-only (recall vs the exact
+    strategy asserted in unit tests)."""
+    from ..operators.similarity import embedding_near_dupes
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dupes(emb, threshold=0.45, strategy="lsh", bands=8)
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints (text.fingerprint_exprs): the exact
+    (md5-of-normalized-text) fingerprint is oracle-checked; the 64-bit
+    rolling trigram hash uses xxhash64 (not expressible in DuckDB) and
+    is covered by unit tests."""
+    from ..operators.text import fingerprint_exprs
+
+    docs = load(spark, sf_dir, "documents")
+    fps = fingerprint_exprs("text")
+    return docs.select("doc_id", fps["fp_exact"].alias("fp_exact"))
+
+
+SQL_FINGERPRINTS = """
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp_exact
+FROM documents
+"""
+
+
 # ------------------------------------------------------------- multimodal
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,6 +297,9 @@ PIPELINE_QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_lsh": q_embedding_topk_lsh,
+    "embedding_dedup": q_embedding_dedup,
+    "embedding_dedup_lsh": q_embedding_dedup_lsh,
+    "fingerprints": q_fingerprints,
     "media_features": q_media_features,
 }
 
@@ -255,5 +310,8 @@ PIPELINE_ORACLES = {
     "minhash_dedup": SQL_NEAR_DUP_PAIRS,
     "ngram_jaccard": SQL_NEAR_DUP_PAIRS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
-    # simhash_dedup / embedding_topk_lsh / media_features: rows-only
+    "embedding_dedup": SQL_EMBEDDING_DEDUP,
+    "fingerprints": SQL_FINGERPRINTS,
+    # simhash_dedup / embedding_topk_lsh / embedding_dedup_lsh /
+    # media_features: rows-only
 }

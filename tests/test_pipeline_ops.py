@@ -175,3 +175,31 @@ def test_ivf_topk_recall(spark):
     e = set(zip(exact["query_id"], exact["neighbor_id"]))
     a = set(zip(approx["query_id"], approx["neighbor_id"]))
     assert len(e & a) / len(e) >= 0.9
+
+
+def test_embedding_near_dupes_exact_and_lsh(spark):
+    """Planted near-identical vectors: the exact strategy finds exactly
+    the planted pairs; at near-dup-realistic cosine (~0.999) the banded
+    hyperplane LSH keeps (near-)full recall because the two signatures
+    almost surely agree on every band."""
+    import numpy as np
+    from didtool_spark.operators.similarity import embedding_near_dupes
+
+    rng = np.random.RandomState(8)
+    rows = []
+    for i in range(200):
+        v = rng.randn(64)
+        rows.append((i, [float(x) for x in v]))
+        if i < 20:  # plant a near-dup of the first 20
+            w = v + rng.randn(64) * 0.01
+            rows.append((1000 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = embedding_near_dupes(df, threshold=0.95, strategy="exact").collect()
+    got = {(r["id_a"], r["id_b"]) for r in exact}
+    assert got == {(i, 1000 + i) for i in range(20)}
+
+    lsh = embedding_near_dupes(df, threshold=0.95, strategy="lsh", bands=8).collect()
+    got_lsh = {(r["id_a"], r["id_b"]) for r in lsh}
+    assert got_lsh <= got          # no false positives (exact re-check)
+    assert len(got_lsh) >= 18      # >= 90% recall at cosine ~0.9999
