@@ -167,3 +167,25 @@ def streaming_running_features(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop turns whose normalized-text hash was
+    already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state is evicted once the hash
+    is older than the watermark, so state size is bounded by the
+    dedup-window arrival rate, not the stream's history). The batch
+    counterpart is dedup.exact_dupes; the same md5-of-normalized-text
+    key keeps the two paths consistent."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return (
+        stream.withColumn("__h", F.md5(norm))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )

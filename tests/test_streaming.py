@@ -132,3 +132,34 @@ def test_stateful_running_features(spark, stream_dirs, tmp_path_factory):
     assert (got["turn_number"].values == expect["turn_number"].values).all()
     assert (got["cum_text_len"].values == expect["cum_text_len"].values).all()
     assert (got["session_id"].values == expect["session_id"].values).all()
+
+
+def test_streaming_exact_dedup(spark, tmp_path_factory):
+    """Duplicated texts within the watermark horizon are emitted once;
+    the survivor set matches the batch exact-dedup canonical set."""
+    from didtool_spark.operators.dedup import exact_dupes
+    from didtool_spark.streaming.stream import streaming_exact_dedup
+
+    root = tmp_path_factory.mktemp("sdedup")
+    src, out, ck = str(root / "src"), str(root / "out"), str(root / "ck")
+    tr = generate_transcripts(spark, n_convs=10, avg_turns=8)
+    # plant duplicates: every text appears twice under different ids
+    dup = tr.withColumn("turn_idx", F.col("turn_idx") + 1000)
+    tr.unionByName(dup).write.mode("overwrite").parquet(src)
+
+    run_stream_once(
+        streaming_exact_dedup(read_transcript_stream(spark, src), watermark="0 seconds"),
+        ck, out,
+    )
+    got = spark.read.parquet(out)
+    batch = spark.read.parquet(src)
+    n_distinct = batch.select(
+        F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    ).distinct().count()
+    assert got.count() == n_distinct
+    # batch path agrees on the number of canonical survivors
+    b = exact_dupes(
+        batch.withColumn("doc_id", F.monotonically_increasing_id()),
+        "text", "doc_id",
+    )
+    assert b.where(F.col("is_dup") == 0).count() == n_distinct
