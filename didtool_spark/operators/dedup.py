@@ -329,6 +329,15 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(shingles_expr(text_col, k_shingle)).alias("s"),
     )
+    # the inverted index feeds up to four consumers (df-prune counts,
+    # per-doc sizes, both self-join sides): eager-cache so the
+    # interpreted shingle lambda runs once — caching the exploded index
+    # is the standard trade for this oracle-grade exact tool (MinHash is
+    # the low-memory 100 TB path)
+    from pyspark import StorageLevel
+
+    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
+    inv.count()
     # prune ultra-common shingles (stopword boilerplate) for scalability.
     # Numerator AND denominators are computed over the retained shingle
     # universe (sizes post-prune), so the Jaccard is exact over that
