@@ -69,28 +69,68 @@ def cosine_topk(
     )
 
 
+def mean_vector(df: DataFrame, vec_col: str, dim: int) -> list[float]:
+    """Per-dimension corpus mean — ONE aggregation. Hyperplane bits must
+    be computed on CENTERED vectors: with an off-center corpus (e.g.
+    all-positive embeddings) dot(mean, r_j) dominates every projection,
+    most vectors share most sign bits, and the buckets collapse toward
+    all-pairs."""
+    row = df.select(
+        F.array(*[F.avg(F.col(vec_col)[i]) for i in range(dim)]).alias("m")
+    ).first()
+    return [float(x or 0.0) for x in row["m"]]
+
+
+def center_expr(vec: Column, mean: list[float]) -> Column:
+    lit_m = F.array(*[F.lit(float(x)) for x in mean])
+    return F.zip_with(vec, lit_m, lambda x, m: x.cast("double") - m)
+
+
 def hyperplane_bits_expr(vec: Column, dim: int, n_bits: int, seed: int = 7) -> Column:
-    """Sign bits of dot(vec, r_j) for n_bits deterministic Rademacher
-    hyperplanes r_j[i] = ±1 from xxhash64(i, j, seed)."""
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    bits = []
-    for j in range(n_bits):
-        plane = F.transform(
-            idx,
-            lambda i, j=j: (
-                F.pmod(F.xxhash64(i, F.lit(j), F.lit(seed)), F.lit(2)) * 2 - 1
-            ).cast("double"),
-        )
-        d = F.aggregate(
-            F.zip_with(vec, plane, lambda x, r: x.cast("double") * r),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)))
-    out = F.lit(0).cast("long")
-    for j, b in enumerate(bits):
-        out = out.bitwiseOR(F.shiftleft(b.cast("long"), j))
-    return out
+    """array<int>[n_bits] of sign bits of dot(vec, r_j) for n_bits
+    seeded Rademacher hyperplanes — ONE transform over a single literal
+    plane matrix (driver-generated from ``seed``: deterministic at any
+    parallelism, zero per-row hashing, and the whole signature is one
+    lambda in the plan instead of n_bits separate aggregates — plan
+    analysis time matters when n_bits is 64). Pass a CENTERED vector
+    (see mean_vector)."""
+    import random
+
+    rng = random.Random(seed)
+    # one F.expr parse instead of dim x n_bits F.lit py4j round trips —
+    # constructing 4096 Column objects costs seconds of driver time
+    rows_sql = ",".join(
+        "array("
+        + ",".join("1.0D" if rng.random() < 0.5 else "-1.0D" for _ in range(dim))
+        + ")"
+        for _ in range(n_bits)
+    )
+    planes = F.expr(f"array({rows_sql})")
+    return F.transform(
+        planes,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda x, r: x.cast("double") * r),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def band_keys_expr(bits: Column, bands: int, rows: int) -> Column:
+    """array<int>[bands] of band keys from a MATERIALIZED bits column:
+    key_b = Σ_r bits[b*rows + r] << r (small ints — no 64-bit packing,
+    no ANSI overflow edge at the sign bit)."""
+    keys = []
+    for b in range(bands):
+        k = F.lit(0)
+        for r in range(rows):
+            k = k + bits[b * rows + r] * F.lit(1 << r)
+        keys.append(k)
+    return F.array(*keys)
 
 
 def lsh_topk(
@@ -105,37 +145,27 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature split into bands;
     candidates share >= 1 exact band; exact cosine re-rank. Recall grows
-    with bands; cost is one shuffle on (band, key)."""
+    with bands; cost is one shuffle on (band, key). Signatures are
+    computed on corpus-mean-centered vectors (both sides use the CORPUS
+    mean) so bucket occupancy stays balanced — see mean_vector."""
     rows = n_bits // bands
+    m = mean_vector(corpus, vec_col, dim)
 
     def banded(df: DataFrame, role: str) -> DataFrame:
-        sig = hyperplane_bits_expr(F.col(vec_col), dim, n_bits)
-        d = df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}v"),
-            sig.alias("sig"),
-        ).withColumn(f"{role}n", _norm(F.col(f"{role}v")))
-        mask = (1 << rows) - 1
-        return d.select(
-            f"{role}_id",
-            f"{role}v",
-            f"{role}n",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.shiftright(F.col("sig"), b * rows)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("key"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(
-            f"{role}_id", f"{role}v", f"{role}n",
-            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        return (
+            df.select(
+                F.col(id_col).alias(f"{role}_id"),
+                F.col(vec_col).alias(f"{role}v"),
+            )
+            .withColumn("__c", center_expr(F.col(f"{role}v"), m))
+            .withColumn("__bits", hyperplane_bits_expr(F.col("__c"), dim, n_bits))
+            .withColumn(f"{role}n", _norm(F.col(f"{role}v")))
+            .select(
+                f"{role}_id", f"{role}v", f"{role}n",
+                F.posexplode(
+                    band_keys_expr(F.col("__bits"), bands, rows)
+                ).alias("band", "key"),
+            )
         )
 
     qb = banded(queries, "query")
@@ -272,7 +302,7 @@ def embedding_near_dupes(
     vec_col: str = "embedding",
     strategy: str = "lsh",
     dim: int = 64,
-    n_bits: int = 16,
+    n_bits: int = 64,
     bands: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b,
@@ -283,9 +313,12 @@ def embedding_near_dupes(
     validation tool, like ngram_jaccard_pairs for text).
     strategy='lsh': random-hyperplane banded candidates + exact cosine
     re-check — one equi-join shuffle on (band, key); the 100 TB path.
-    Recall for pairs near the threshold grows with ``bands`` (rows per
-    band shrink); pairs sharing no band are missed — documented
-    approximation."""
+    Defaults (64 bits / 8 bands = 8-bit band keys) give ~256 buckets
+    per band — recall ~100% at near-dup cosines (>= ~0.9) while keeping
+    buckets small; pairs far below that (e.g. cosine 0.5) rarely share
+    a band — that regime is what `exact` is for. Recall grows with
+    ``bands``; too few bits per band collapses buckets and degenerates
+    toward all-pairs."""
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("n", _norm(F.col("v")))
@@ -299,29 +332,16 @@ def embedding_near_dupes(
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     elif strategy == "lsh":
         rows = n_bits // bands
-        mask = (1 << rows) - 1
-        sig = base.select(
-            "id", "v", "n",
-            hyperplane_bits_expr(F.col("v"), dim, n_bits).alias("sig"),
-        )
-        banded = sig.select(
-            "id", "v", "n",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b_).alias("band"),
-                            F.shiftright(F.col("sig"), b_ * rows)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("key"),
-                        )
-                        for b_ in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(
-            "id", "v", "n",
-            F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        m = mean_vector(base, "v", dim)
+        banded = (
+            base.withColumn("__c", center_expr(F.col("v"), m))
+            .withColumn("__bits", hyperplane_bits_expr(F.col("__c"), dim, n_bits))
+            .select(
+                "id", "v", "n",
+                F.posexplode(
+                    band_keys_expr(F.col("__bits"), bands, rows)
+                ).alias("band", "key"),
+            )
         )
         a, b = banded.alias("a"), banded.alias("b")
         pairs = (

@@ -227,15 +227,18 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs strategy — the
-    oracle-grade ground truth (similarity.embedding_near_dupes)."""
+    oracle-grade ground truth (similarity.embedding_near_dupes). The
+    driver query bounds the all-pairs work to a deterministic id subset
+    (it is the validation tool; the LSH strategy is the corpus-scale
+    path)."""
     from ..operators.similarity import embedding_near_dupes
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
     return embedding_near_dupes(emb, threshold=0.45, strategy="exact")
 
 
 SQL_EMBEDDING_DEDUP = """
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -250,12 +253,25 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.45
 
 
 def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-hyperplane scale path — rows-only (recall vs the exact
-    strategy asserted in unit tests)."""
+    """Banded-hyperplane scale path over a corpus with PLANTED near-dups
+    (each vector also appears deterministically perturbed at
+    vec_id+10^6, cosine ~0.998) — the realistic near-dup regime where
+    banded LSH holds ~full recall. Rows-only check; recall vs exact is
+    asserted in unit tests."""
     from ..operators.similarity import embedding_near_dupes
 
-    emb = load(spark, sf_dir, "embeddings")
-    return embedding_near_dupes(emb, threshold=0.45, strategy="lsh", bands=8)
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    # perturb: w_i = v_i + 0.05 * v_{(i+1) mod d} — NOT a pure scaling
+    # (scaling keeps cosine exactly 1), deterministic, cosine ~0.998
+    shifted = F.expr(
+        "transform(sequence(0, 63), i -> embedding[i] + 0.05f * embedding[(i + 1) % 64])"
+    )
+    planted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        shifted.alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    return embedding_near_dupes(corpus, threshold=0.95, strategy="lsh")
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
