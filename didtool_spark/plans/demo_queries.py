@@ -266,8 +266,55 @@ WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
 """
 
 
+def q_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-level curation rollup: per user, event/session counts,
+    value mass and activity span — the conversation-level table a
+    training-data pipeline filters on (sessionize feeds a one-shuffle
+    groupBy on the same key, so the rollup adds no extra exchange over
+    the session ids)."""
+    ev = load(spark, sf_dir, "events")
+    s = sessionize(
+        ev, gap_seconds=GAP_S, keys="user_id", ts_col="ts", order=("ts", "event_id")
+    )
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+SQL_USER_ROLLUP = f"""
+WITH g AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > {GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_type, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id,
+       count(*) AS n_events,
+       max(session_id) + 1 AS n_sessions,
+       round(sum(value), 6) AS value_sum,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM s GROUP BY user_id
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
+    "user_rollup": q_user_rollup,
     "lag_lead": q_lag_lead,
     "rolling": q_rolling,
     "rolling_time": q_rolling_time,
@@ -279,6 +326,7 @@ QUERIES = {
 
 ORACLES = {
     "sessionize": SQL_SESSIONIZE,
+    "user_rollup": SQL_USER_ROLLUP,
     "lag_lead": SQL_LAG_LEAD,
     "rolling": SQL_ROLLING,
     "rolling_time": SQL_ROLLING_TIME,
