@@ -71,3 +71,14 @@ def test_whole_stage_codegen_covers_transform(spark):
     # formatted mode marks codegen stages as "[codegen id : N]"
     assert "codegen id" in p, p[:1500]
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_user_rollup_single_exchange(spark):
+    """sessionize + same-key groupBy share ONE hash partitioning: the
+    rollup adds no exchange over the window's."""
+    import re
+
+    from didtool_spark.plans.demo_queries import q_user_rollup
+
+    p = plan_str(q_user_rollup(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:3000]
