@@ -786,6 +786,16 @@ def distribution(df: DataFrame, col: str, n_bins: int = DEFAULT_BINS) -> pd.Data
     return pd.DataFrame(out)
 
 
+def distributions(
+    dfs: list[DataFrame], col: str, n_bins: int = DEFAULT_BINS
+) -> list[pd.DataFrame]:
+    """Data behind metric.py:287-310 ``distributions`` (the reference
+    renders seaborn distplots; rendering is presentation): one
+    histogram table per input frame, each on its own step grid like the
+    reference's per-series distplot binning."""
+    return [distribution(df, col, n_bins) for df in dfs]
+
+
 def layer_stability_tables(
     df: DataFrame, prob_col: str, group_col: str, label_col: str,
     n_bins: int = DEFAULT_BINS,

@@ -305,3 +305,38 @@ def test_psi_all_single_pass_matches_per_pair(spark):
     for f_ in ["x1", "x2"]:
         for g in [0, 1, 2, 3]:
             assert abs(one2.loc[f_, g] - per2.loc[f_, g]) < 1e-12, (f_, g)
+
+
+# ------------------------------------------------ hypothesis: lookup paths
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_keys = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4),
+    min_size=1, max_size=12, unique=True,
+)
+
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=_keys, data=st.data())
+def test_with_lookup_literal_equals_join(spark, keys, data):
+    """The literal-map and broadcast-join forms of with_lookup are the
+    same function: force each path via max_literal and compare."""
+    import didtool_spark.functions.exprs as ex
+
+    mapping = {k: float(i) for i, k in enumerate(keys)}
+    probe = data.draw(
+        st.lists(
+            st.one_of(st.sampled_from(keys), st.just("zz"), st.just(None)),
+            min_size=1, max_size=20,
+        )
+    )
+    df = spark.createDataFrame([(p,) for p in probe], "x string")
+    lit = ex.with_lookup(df, "x", mapping, "v", default=-1.0, max_literal=10**6)
+    join = ex.with_lookup(df, "x", mapping, "v", default=-1.0, max_literal=0)
+    a = sorted(((r["x"] or "", r["v"]) for r in lit.collect()))
+    b = sorted(((r["x"] or "", r["v"]) for r in join.collect()))
+    assert a == b
