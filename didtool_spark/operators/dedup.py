@@ -8,8 +8,10 @@ an exact shingle-Jaccard on candidate pairs only.
 
 Scale notes: at 10^12 docs the band-bucket groupBy is the only shuffle;
 hot buckets (boilerplate shingles) are bounded by ``max_bucket`` —
-buckets above it are dropped with a logged count (standard practice;
-they are near-identical boilerplate clusters handled by exact dedup).
+buckets above it are dropped — no silent cap: ``minhash_bucket_stats``
+returns the dropped-bucket table (band, bucket, count) so a pipeline
+can report exactly what was excluded (they are near-identical
+boilerplate clusters handled by exact dedup).
 """
 
 from __future__ import annotations
@@ -208,6 +210,54 @@ def minhash_near_dupes(
     )
     return verified.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def minhash_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    n_hashes: int = 32,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The (band, bucket, count) rows that minhash_near_dupes' hot-bucket
+    bound EXCLUDES with the same parameters — report these alongside the
+    pair output so the cap is never silent."""
+    rows = n_hashes // bands
+    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    sig = (
+        docs.select("id", shingles_expr(F.col("__text"), k_shingle).alias("sh"))
+        .select("id", base_hash_expr(F.col("sh")).alias("hs"))
+        .select("id", minhash_expr(F.col("hs"), n_hashes).alias("sig"))
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return (
+        banded.groupBy("band", "bucket")
+        .count()
+        .where(F.col("count") > max_bucket)
     )
 
 

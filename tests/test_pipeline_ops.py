@@ -203,3 +203,16 @@ def test_embedding_near_dupes_exact_and_lsh(spark):
     got_lsh = {(r["id_a"], r["id_b"]) for r in lsh}
     assert got_lsh <= got          # no false positives (exact re-check)
     assert len(got_lsh) >= 18      # >= 90% recall at cosine ~0.9999
+
+
+def test_minhash_bucket_stats_reports_dropped(spark):
+    """The hot-bucket cap is not silent: identical boilerplate docs land
+    in one bucket per band, and the stats table reports it."""
+    from didtool_spark.operators.dedup import minhash_bucket_stats
+
+    rows = [(i, "the same boilerplate text repeated for every doc here") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dropped = minhash_bucket_stats(df, max_bucket=10)
+    got = dropped.collect()
+    assert len(got) >= 1
+    assert all(r["count"] == 40 for r in got)
