@@ -37,13 +37,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in entrymod.queries().items():
-        df = fn(spark, SF_DIR)
+    queries = entrymod.queries()
+    # one untimed warmup: first-touch costs (parquet schema inference,
+    # Hadoop FS init, C2 JIT of the codegen hot paths) belong to the
+    # session, not to whichever query happens to run first
+    warm = next(iter(queries.values()))
+    warm(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    for name, fn in queries.items():
+        # timed section covers plan CONSTRUCTION too — some operators
+        # run eager bounded passes while building (cached candidate
+        # tables, corpus means); timing only the final action would
+        # undercount them
         t0 = time.time()
+        df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
+        spark.catalog.clearCache()
 
     # flagship throughput: ~40k convs x ~50 avg turns ≈ 2M turns
     thr = run_throughput(spark, n_convs=BENCH_CONVS, avg_turns=50)
@@ -55,6 +67,12 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
+                # r1 timed only the final action; fitted operators do
+                # real work (driver-collect fits, eager candidate
+                # caches) during plan construction, so r2+ times
+                # construction+execution per query (see BENCH/NOTES.md —
+                # action-only totals are NOT comparable across rounds)
+                "timing": "construction+execution, steady-state (1 warmup), cache cleared per query",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "materialize_turns": thr["n_turns"],
