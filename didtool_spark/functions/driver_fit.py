@@ -447,6 +447,204 @@ def _quantile_codes(x: np.ndarray, max_bins: int = 64) -> tuple[np.ndarray, int]
     return codes.astype(np.int16), n_codes + 1
 
 
+class NumpyGBM:
+    """From-scratch histogram gradient-boosting binary classifier —
+    the no-lightgbm driver-side model for Selector.drop_low_importance
+    and the GBMModelSingle/Stacking wrappers (reference model.py trains
+    lgb.LGBMClassifier; this reproduces the shape: logistic loss,
+    quantile-binned features with a NaN bucket, greedy depth-limited
+    trees, split-count feature_importances_, logloss early stopping on
+    an eval set). RANKING/behavioral parity is the contract, not
+    bit-parity with LightGBM.
+
+    sklearn-ish surface: fit(X, y, eval_set=..., early_stopping_rounds),
+    predict_proba(X) -> (n, 2), feature_importances_, best_iteration_.
+    """
+
+    def __init__(
+        self,
+        n_estimators: int = 100,
+        learning_rate: float = 0.1,
+        max_depth: int = 3,
+        min_child_samples: int = 20,
+        reg_lambda: float = 1.0,
+        max_bins: int = 64,
+        random_state: int = 0,
+    ):
+        self.n_estimators = int(n_estimators)
+        self.learning_rate = float(learning_rate)
+        self.max_depth = int(max_depth)
+        self.min_child_samples = int(min_child_samples)
+        self.reg_lambda = float(reg_lambda)
+        self.max_bins = int(max_bins)
+        self.random_state = int(random_state)
+        self._qs: list[np.ndarray] = []
+        self._trees: list = []
+        self._tree_splits: list[np.ndarray] = []
+        self._base: float = 0.0
+        self.feature_importances_: np.ndarray | None = None
+        self.best_iteration_: int | None = None
+
+    # ------------------------------------------------------- binning
+    def _fit_codes(self, X: np.ndarray) -> np.ndarray:
+        self._qs = []
+        codes = np.empty(X.shape, dtype=np.int16)
+        for j in range(X.shape[1]):
+            x = X[:, j]
+            nan_mask = np.isnan(x)
+            finite = x[~nan_mask]
+            qs = (
+                np.unique(
+                    np.quantile(finite, np.linspace(0, 1, self.max_bins + 1)[1:-1])
+                )
+                if len(finite)
+                else np.array([])
+            )
+            self._qs.append(qs)
+            c = np.searchsorted(qs, x, side="left")
+            c[nan_mask] = len(qs) + 1  # NaN bucket
+            codes[:, j] = c
+        return codes
+
+    def _transform_codes(self, X: np.ndarray) -> np.ndarray:
+        codes = np.empty(X.shape, dtype=np.int16)
+        for j, qs in enumerate(self._qs):
+            x = X[:, j]
+            nan_mask = np.isnan(x)
+            c = np.searchsorted(qs, x, side="left")
+            c[nan_mask] = len(qs) + 1
+            codes[:, j] = c
+        return codes
+
+    # ---------------------------------------------------------- trees
+    def _grow_tree(self, codes, g, h, n_codes, rng, importance):
+        """One greedy depth-limited tree; returns (tree, leaf_update)."""
+        n = len(g)
+        leaf_update = np.zeros(n)
+
+        def build(rows, depth):
+            G, H = g[rows].sum(), h[rows].sum()
+            if depth >= self.max_depth or len(rows) < 2 * self.min_child_samples:
+                v = -G / (H + self.reg_lambda)
+                leaf_update[rows] = v
+                return {"v": float(v)}
+            parent_gain = G * G / (H + self.reg_lambda)
+            best = None
+            for j in rng.permutation(codes.shape[1]):
+                cb = codes[rows, j]
+                gb = np.bincount(cb, weights=g[rows], minlength=n_codes[j])
+                hb = np.bincount(cb, weights=h[rows], minlength=n_codes[j])
+                nb = np.bincount(cb, minlength=n_codes[j])
+                gl, hl, nl = np.cumsum(gb)[:-1], np.cumsum(hb)[:-1], np.cumsum(nb)[:-1]
+                gr, hr, nr = G - gl, H - hl, len(rows) - nl
+                ok = (nl >= self.min_child_samples) & (nr >= self.min_child_samples)
+                if not ok.any():
+                    continue
+                gain = np.where(
+                    ok,
+                    gl * gl / (hl + self.reg_lambda)
+                    + gr * gr / (hr + self.reg_lambda),
+                    -np.inf,
+                )
+                k = int(np.argmax(gain))
+                if gain[k] > parent_gain + 1e-12 and (
+                    best is None or gain[k] > best[0]
+                ):
+                    best = (float(gain[k]), int(j), k)
+            if best is None:
+                v = -G / (H + self.reg_lambda)
+                leaf_update[rows] = v
+                return {"v": float(v)}
+            _, j, k = best
+            importance[j] += 1.0
+            mask = codes[rows, j] <= k
+            return {
+                "f": j,
+                "k": int(k),
+                "l": build(rows[mask], depth + 1),
+                "r": build(rows[~mask], depth + 1),
+            }
+
+        tree = build(np.arange(n), 0)
+        return tree, leaf_update
+
+    @staticmethod
+    def _apply_tree(tree, codes):
+        out = np.empty(len(codes))
+
+        def walk(node, rows):
+            if "v" in node:
+                out[rows] = node["v"]
+                return
+            mask = codes[rows, node["f"]] <= node["k"]
+            walk(node["l"], rows[mask])
+            walk(node["r"], rows[~mask])
+
+        walk(tree, np.arange(len(codes)))
+        return out
+
+    # ------------------------------------------------------------ fit
+    def fit(self, X, y, eval_set=None, early_stopping_rounds=None):
+        X = np.asarray(X, dtype=float)
+        y = np.asarray(y, dtype=float)
+        rng = np.random.RandomState(self.random_state)
+        codes = self._fit_codes(X)
+        n_codes = np.array([len(q) + 2 for q in self._qs], dtype=np.int32)
+        base = float(np.clip(y.mean(), 1e-6, 1 - 1e-6))
+        self._base = float(np.log(base / (1 - base)))
+        score = np.full(len(y), self._base)
+
+        if eval_set is not None:
+            Xv, yv = eval_set
+            Xv = np.asarray(Xv, dtype=float)
+            yv = np.asarray(yv, dtype=float)
+            codes_v = self._transform_codes(Xv)
+            score_v = np.full(len(yv), self._base)
+
+        self._trees, self._tree_splits = [], []
+        importance_total = np.zeros(X.shape[1])
+        best_loss, best_iter, stall = np.inf, 0, 0
+        for t in range(self.n_estimators):
+            p = 1.0 / (1.0 + np.exp(-score))
+            g = p - y
+            h = p * (1.0 - p)
+            imp_t = np.zeros(X.shape[1])
+            tree, leaf_update = self._grow_tree(codes, g, h, n_codes, rng, imp_t)
+            self._trees.append(tree)
+            self._tree_splits.append(imp_t)
+            importance_total += imp_t
+            score = score + self.learning_rate * leaf_update
+            if eval_set is not None:
+                score_v = score_v + self.learning_rate * self._apply_tree(
+                    tree, codes_v
+                )
+                pv = np.clip(1.0 / (1.0 + np.exp(-score_v)), 1e-12, 1 - 1e-12)
+                loss = float(-(yv * np.log(pv) + (1 - yv) * np.log(1 - pv)).mean())
+                if loss < best_loss - 1e-9:
+                    best_loss, best_iter, stall = loss, t + 1, 0
+                else:
+                    stall += 1
+                    if early_stopping_rounds and stall >= early_stopping_rounds:
+                        break
+        if eval_set is not None and early_stopping_rounds and best_iter:
+            self.best_iteration_ = best_iter
+            self._trees = self._trees[:best_iter]
+            importance_total = np.sum(self._tree_splits[:best_iter], axis=0)
+        else:
+            self.best_iteration_ = len(self._trees)
+        self.feature_importances_ = importance_total
+        return self
+
+    def predict_proba(self, X) -> np.ndarray:
+        X = np.asarray(X, dtype=float)
+        codes = self._transform_codes(X)
+        score = np.full(len(X), self._base)
+        for tree in self._trees:
+            score = score + self.learning_rate * self._apply_tree(tree, codes)
+        p1 = 1.0 / (1.0 + np.exp(-score))
+        return np.column_stack([1.0 - p1, p1])
+
+
 def gbm_split_importance(
     X: np.ndarray,
     y: np.ndarray,
@@ -458,67 +656,13 @@ def gbm_split_importance(
     reg_lambda: float = 1.0,
     seed: int = 0,
 ) -> np.ndarray:
-    """Split-count feature importance from a from-scratch histogram
-    gradient-boosting classifier (logistic loss, leaf-wise-ish greedy
-    depth-limited trees) — the no-lightgbm fallback for
-    Selector.drop_low_importance (reference selector.py:194-283 trains
-    lgb.LGBMClassifier and reads feature_importances_, which is split
-    count by default). Importance RANKING is the contract here, not
-    bit-parity with LightGBM."""
-    rng = np.random.RandomState(seed)
-    n, f = X.shape
-    codes = np.empty((n, f), dtype=np.int16)
-    n_codes = np.empty(f, dtype=np.int32)
-    for j in range(f):
-        codes[:, j], n_codes[j] = _quantile_codes(X[:, j], max_bins)
-
-    importance = np.zeros(f)
-    base = np.clip(y.mean(), 1e-6, 1 - 1e-6)
-    score = np.full(n, np.log(base / (1 - base)))
-
-    for _ in range(n_trees):
-        p = 1.0 / (1.0 + np.exp(-score))
-        g = p - y
-        h = p * (1.0 - p)
-        # frontier of (row_index_array, depth); greedy best split per node
-        frontier = [(np.arange(n), 0)]
-        leaf_update = np.zeros(n)
-        while frontier:
-            rows, depth = frontier.pop()
-            if depth >= max_depth or len(rows) < 2 * min_child:
-                leaf_update[rows] = -g[rows].sum() / (h[rows].sum() + reg_lambda)
-                continue
-            G, H = g[rows].sum(), h[rows].sum()
-            parent_gain = G * G / (H + reg_lambda)
-            best = None  # (gain, j, split_code)
-            for j in rng.permutation(f):
-                cb = codes[rows, j]
-                gb = np.bincount(cb, weights=g[rows], minlength=n_codes[j])
-                hb = np.bincount(cb, weights=h[rows], minlength=n_codes[j])
-                nb = np.bincount(cb, minlength=n_codes[j])
-                gl, hl, nl = np.cumsum(gb)[:-1], np.cumsum(hb)[:-1], np.cumsum(nb)[:-1]
-                gr, hr, nr = G - gl, H - hl, len(rows) - nl
-                ok = (nl >= min_child) & (nr >= min_child)
-                if not ok.any():
-                    continue
-                gain = np.where(
-                    ok,
-                    gl * gl / (hl + reg_lambda) + gr * gr / (hr + reg_lambda),
-                    -np.inf,
-                )
-                k = int(np.argmax(gain))
-                if gain[k] > parent_gain + 1e-12 and (
-                    best is None or gain[k] > best[0]
-                ):
-                    best = (float(gain[k]), j, k)
-            if best is None:
-                leaf_update[rows] = -G / (H + reg_lambda)
-                continue
-            _, j, k = best
-            importance[j] += 1.0
-            left = rows[codes[rows, j] <= k]
-            right = rows[codes[rows, j] > k]
-            frontier.append((left, depth + 1))
-            frontier.append((right, depth + 1))
-        score = score + learning_rate * leaf_update
-    return importance
+    """Split-count feature importance from NumpyGBM — the no-lightgbm
+    fallback for Selector.drop_low_importance (reference
+    selector.py:194-283 reads LGBMClassifier.feature_importances_,
+    split count by default)."""
+    m = NumpyGBM(
+        n_estimators=n_trees, learning_rate=learning_rate,
+        max_depth=max_depth, min_child_samples=min_child,
+        reg_lambda=reg_lambda, max_bins=max_bins, random_state=seed,
+    ).fit(np.asarray(X, dtype=float), np.asarray(y, dtype=float))
+    return m.feature_importances_
