@@ -152,20 +152,16 @@ def minhash_near_dupes(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # the slim (id, band, bucket) table feeds THREE consumers (bucket
-    # sizes, both self-join sides): eager-cache it so the signature
-    # pipeline runs once — it is bands x 20 bytes per doc, far smaller
-    # than the corpus
-    banded = banded.persist()
-    banded.count()
+    # bound hot buckets (boilerplate clusters): bucket size via a
+    # count-over-window on the SAME (band, bucket) partitioning the
+    # self-join shuffles on — one lineage, and the exchange is reused
+    # for both self-join sides (no separate sizes branch re-running the
+    # signature pipeline, no extra cache)
+    from pyspark.sql.window import Window
 
-    # bound hot buckets (boilerplate clusters)
-    sizes = banded.groupBy("band", "bucket").count()
-    banded = banded.join(
-        F.broadcast(sizes.where(F.col("count") > max_bucket)),
-        ["band", "bucket"],
-        "left_anti",
-    )
+    banded = banded.withColumn(
+        "__bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).where(F.col("__bsz") <= max_bucket).drop("__bsz")
 
     a = banded.alias("a")
     b = banded.alias("b")
