@@ -104,9 +104,13 @@ def minhash_near_dupes(
     bands: int = 16,
     threshold: float = 0.6,
     max_bucket: int = 1000,
+    hot_bucket_strategy: str = "broadcast",
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join -> exact-Jaccard verify.
     Returns verified pairs (id_a < id_b, jaccard >= threshold).
+    ``hot_bucket_strategy``: 'broadcast' (default — map-side anti-join
+    drop of hot buckets, skew-safe at any bucket size) or 'window'
+    (lower latency, one lineage; a hot bucket transits one task).
 
     Shuffle hygiene (the 100 TB path): only (id, band, bucket) rides the
     band explode and the candidate self-join — carrying the shingle
@@ -152,16 +156,34 @@ def minhash_near_dupes(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # bound hot buckets (boilerplate clusters): bucket size via a
-    # count-over-window on the SAME (band, bucket) partitioning the
-    # self-join shuffles on — one lineage, and the exchange is reused
-    # for both self-join sides (no separate sizes branch re-running the
-    # signature pipeline, no extra cache)
-    from pyspark.sql.window import Window
+    # bound hot buckets (boilerplate clusters)
+    if hot_bucket_strategy == "window":
+        # count-over-window on the SAME (band, bucket) partitioning the
+        # self-join shuffles on — one lineage, exchange reused for both
+        # self-join sides, no extra cache. Caveat: a hot bucket lands in
+        # ONE window task before being filtered (linear scan, but a
+        # straggler at extreme skew) — low-latency variant for corpora
+        # without pathological boilerplate.
+        from pyspark.sql.window import Window
 
-    banded = banded.withColumn(
-        "__bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).where(F.col("__bsz") <= max_bucket).drop("__bsz")
+        banded = banded.withColumn(
+            "__bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+        ).where(F.col("__bsz") <= max_bucket).drop("__bsz")
+    else:
+        # skew-safe default: bucket sizes via partial-aggregated groupBy
+        # (map-side combine — no task ever holds a whole hot bucket) and
+        # a broadcast anti-join that drops hot rows MAP-SIDE, before any
+        # shuffle co-locates them. The slim (id, band, bucket) table is
+        # eager-cached so the signature pipeline still runs once for its
+        # three consumers.
+        banded = banded.persist()
+        banded.count()
+        sizes = banded.groupBy("band", "bucket").count()
+        banded = banded.join(
+            F.broadcast(sizes.where(F.col("count") > max_bucket)),
+            ["band", "bucket"],
+            "left_anti",
+        )
 
     a = banded.alias("a")
     b = banded.alias("b")

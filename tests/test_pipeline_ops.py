@@ -216,3 +216,15 @@ def test_minhash_bucket_stats_reports_dropped(spark):
     got = dropped.collect()
     assert len(got) >= 1
     assert all(r["count"] == 40 for r in got)
+
+
+def test_minhash_hot_bucket_strategies_agree(spark):
+    """broadcast (skew-safe default) and window (low-latency) hot-bucket
+    bounds produce identical verified pairs."""
+    from didtool_spark.operators.dedup import minhash_near_dupes
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = minhash_near_dupes(docs, hot_bucket_strategy="broadcast").collect()
+    b = minhash_near_dupes(docs, hot_bucket_strategy="window").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
