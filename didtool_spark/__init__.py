@@ -4,8 +4,67 @@ Reimplements the capabilities of the reference feature-engineering
 toolkit (dustless/didtool) Spark-first: fit = distributed aggregation
 -> small broadcastable state; transform = generated column expressions;
 plus the point-in-time temporal core (as-of join, lag/lead, rolling,
-sessionization, backfill) the reference lacks.
+sessionization, backfill) and the training-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal) the reference
+lacks.
+
+The flat namespace mirrors the reference's ``didtool/__init__.py`` so a
+user can port imports one-for-one (APIs take (df, col, ...) instead of
+pandas arrays — inherent to the engine being distributed).
 """
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from .session import get_spark  # noqa: F401
+
+# binning (reference cut.py)
+from .operators.binning import (  # noqa: F401
+    Binner, chi_edges, cut_with_edges, dt_edges, lgb_edges,
+    quantile_edges, step_edges,
+)
+
+# splits (reference split.py)
+from .operators.split import (  # noqa: F401
+    split_data, split_data_random, split_data_stacking,
+)
+
+# metrics / stats (reference metric.py, stats.py)
+from .operators.metrics import (  # noqa: F401
+    auc, distribution, distributions, iv, iv_all, ks, ks_curve,
+    layer_stability_tables, pr_curve, psi, psi_all, roc_curve,
+)
+
+# transformers / encoders (reference transformer.py, encoder.py)
+from .operators.woe import (  # noqa: F401
+    LabelEncoder, SingleWOETransformer, WOEEncoder, WOETransformer,
+)
+from .operators.category import (  # noqa: F401
+    CategoryTransformer, ListTransformer, OneHotTransformer,
+)
+
+WrappedLabelEncoder = LabelEncoder  # reference encoder.py:84 name
+
+# selection / scorecard / models (reference selector.py, scorecard.py,
+# model.py)
+from .operators.selector import Selector  # noqa: F401
+from .operators.scorecard import ScoreCardTransformer  # noqa: F401
+from .operators.model import GBMModelSingle, GBMModelStacking  # noqa: F401
+from .operators.mapper import FeatureMapper  # noqa: F401
+from .operators.scoring import stacking_evaluate, with_score  # noqa: F401
+
+# temporal core (north rule; no reference counterpart)
+from .operators.temporal import (  # noqa: F401
+    asof_join, forward_fill, sessionize, with_lags, with_rolling,
+)
+
+# training-data pipeline operators
+from .operators.dedup import (  # noqa: F401
+    exact_dupes, minhash_bucket_stats, minhash_near_dupes,
+    ngram_jaccard_pairs, simhash_near_dupes,
+)
+from .operators.similarity import (  # noqa: F401
+    cosine_topk, embedding_near_dupes, ivf_fit_centroids, ivf_topk,
+    lsh_topk,
+)
+from .operators.text import (  # noqa: F401
+    fingerprint_exprs, with_lang_id, with_text_features,
+)
