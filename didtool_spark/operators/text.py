@@ -30,7 +30,8 @@ def n_tokens_ws(col: str | Column) -> Column:
 
 def n_tokens_bpe(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH), 0))
+    # regexp_count: no match-array materialization (vs regexp_extract_all)
+    return F.regexp_count(c, F.lit(BPE_ISH))
 
 
 def stopword_hits(col: str | Column, lang: str = "en") -> Column:
@@ -46,9 +47,9 @@ def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     c = F.col(col)
     n_chars = F.length(c)
     n_tok = n_tokens_ws(col)
-    punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
-    digits = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0))
-    alpha = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]"), 0))
+    punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    digits = F.regexp_count(c, F.lit(r"[0-9]"))
+    alpha = F.regexp_count(c, F.lit(r"[A-Za-z]"))
     sw = stopword_hits(col, "en")
     # later columns reference the ALREADY-MATERIALIZED ones (F.col) —
     # re-inlining n_tok/n_chars would re-split/re-scan the text per use
@@ -102,7 +103,7 @@ def lang_id_from_votes(col: str | Column, votes: Column) -> Column:
     """Decision expression over a MATERIALIZED vote array (cheap element
     references; keep ``votes`` a named column from a prior select)."""
     c = F.col(col) if isinstance(col, str) else col
-    cjk = F.size(F.regexp_extract_all(c, F.lit(r"[\x{4e00}-\x{9fff}]"), 0))
+    cjk = F.regexp_count(c, F.lit(r"[\x{4e00}-\x{9fff}]"))
     best = F.greatest(*[votes[i] for i in range(len(LANGS))])
     expr = F.when(cjk > F.length(c) * 0.2, F.lit("zh")).when(best == 0, F.lit("unk"))
     # deterministic priority order on ties: en, de, fr, es
