@@ -157,3 +157,19 @@ def test_binned_curves_match_exact_shape(spark):
     kc = ks_curve(df, "y", "s", n_points=50, n_score_bins=500)
     assert len(kc) <= 51
     assert abs(kc["ks"].max() - ks(df, "y", "s", n_score_bins=500)) < 1e-9
+
+
+def test_binned_auc_ks_property(spark):
+    """Property sweep: binned AUC/KS track exact within ~1/n_score_bins
+    across label skews and score distributions (fixed seeds — a full
+    hypothesis engine adds Spark-session health-check friction for no
+    extra coverage here)."""
+    for seed, rate, scale in [(0, 0.5, 1.0), (1, 0.05, 3.0), (2, 0.9, 0.1)]:
+        rng = np.random.RandomState(seed)
+        y = (rng.rand(3000) < rate).astype(int)
+        s = y * 0.3 * scale + rng.rand(3000) * scale
+        df = spark.createDataFrame(
+            [(int(a), float(b)) for a, b in zip(y, s)], "y int, s double"
+        )
+        assert abs(auc(df, "y", "s") - auc(df, "y", "s", n_score_bins=2000)) < 2e-3
+        assert abs(ks(df, "y", "s") - ks(df, "y", "s", n_score_bins=2000)) < 2e-3
