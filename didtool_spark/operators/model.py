@@ -200,6 +200,49 @@ class GBMModelSingle:
                 metrics[f"{name}_ks"] = spark_ks(part, self.target, "prob")
         return result, metrics
 
+    def export(self, out_path: str, model_name: str = "model") -> dict:
+        """Reference model.py:282-304 export, minus PMML (runtime
+        concern): pickles (mapper, model, feature_names) as one scoring
+        bundle, writes used_feature.txt (importance > 0, original
+        order), feature_list.txt and feature_importance.csv. Returns
+        the written paths. ``load_model_bundle`` restores a predict
+        closure for the broadcast scorer."""
+        import os
+        import pickle
+        import time as _time
+
+        os.makedirs(out_path, exist_ok=True)
+        date_str = _time.strftime("%Y%m%d")
+        paths = {}
+        used = [
+            f for f in self.feature_names
+            if f in set(
+                self.importance_df[self.importance_df.importance > 0].feature
+            )
+        ]
+        paths["used_features"] = os.path.join(out_path, "used_feature.txt")
+        with open(paths["used_features"], "w") as fh:
+            fh.writelines(c + "\n" for c in used)
+        paths["feature_list"] = os.path.join(out_path, "feature_list.txt")
+        with open(paths["feature_list"], "w") as fh:
+            dtypes = dict(self.df.dtypes)
+            fh.writelines(
+                f"{c}\t{dtypes.get(c, '')}\n" for c in self.feature_names
+            )
+        paths["importance"] = os.path.join(out_path, "feature_importance.csv")
+        self.importance_df.to_csv(paths["importance"], index=False)
+        paths["pkl"] = os.path.join(out_path, f"{model_name}_{date_str}.pkl")
+        with open(paths["pkl"], "wb") as fh:
+            pickle.dump(
+                {
+                    "mapper": self.mapper,
+                    "model": self.model,
+                    "feature_names": self.feature_names,
+                },
+                fh,
+            )
+        return paths
+
     def optimize_model_param(self, searching_space: dict, n_iter: int = 10,
                              seed: int = 0):
         """Reference model.py:306-370 optimize_model_param: search the
@@ -250,6 +293,25 @@ class GBMModelSingle:
                 best, best_params = s, cand
         self.update_model_params(best_params)
         return best_params, best
+
+
+def load_model_bundle(path: str):
+    """Restore an exported bundle as a picklable
+    ``predict(pandas.DataFrame) -> probs`` closure for
+    scoring.with_score (the distributed path) or direct driver use."""
+    import pickle
+
+    with open(path, "rb") as fh:
+        bundle = pickle.load(fh)
+    mapper, model, feats = (
+        bundle["mapper"], bundle["model"], bundle["feature_names"]
+    )
+
+    def predict(batch: pd.DataFrame):
+        enc = _pandas_encode(batch, mapper)
+        return model.predict_proba(enc[feats].to_numpy(dtype=float))[:, -1]
+
+    return predict
 
 
 def _np_auc(y: np.ndarray, p: np.ndarray) -> float:

@@ -92,3 +92,30 @@ def test_gbm_model_stacking(model_df):
     oot = result.where(F.col("group") == -1)
     row = oot.select("prob", *[f"prob_{k}" for k in range(3)]).first()
     assert abs(row["prob"] - np.mean([row[f"prob_{k}"] for k in range(3)])) < 1e-12
+
+
+def test_export_and_load_round_trip(model_df, tmp_path_factory):
+    """export -> load_model_bundle -> distributed scoring matches the
+    in-session model exactly (reference model.py:282-304 export, minus
+    PMML)."""
+    import os
+    from didtool_spark.operators.model import load_model_bundle
+    from didtool_spark.operators.scoring import with_score
+
+    out = str(tmp_path_factory.mktemp("model_export"))
+    m = GBMModelSingle(
+        model_df, ["x1", "x2"], target="target",
+        model_params={"n_estimators": 30},
+    ).train(early_stopping_rounds=5)
+    paths = m.export(out)
+    assert os.path.exists(paths["pkl"])
+    assert open(paths["used_features"]).read().strip()
+
+    predict = load_model_bundle(paths["pkl"])
+    scored = with_score(model_df, predict, ["x1", "x2"]).select("id", "prob")
+    direct, _ = m.evaluate()
+    a = scored.orderBy("id").toPandas()["prob"].to_numpy()
+    b = direct.orderBy("id").toPandas()["prob"].to_numpy()
+    import numpy as np
+
+    assert np.allclose(a, b, atol=1e-12)
