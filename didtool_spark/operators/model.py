@@ -403,6 +403,35 @@ class GBMModelStacking:
             )
         return self
 
+    def export(self, out_path: str, model_name: str = "model") -> list[str]:
+        """Reference model.py:679-704 per-fold export (minus PMML): one
+        pickled (mapper, model, feature_names) bundle per fold, each
+        loadable via load_model_bundle."""
+        import os
+        import pickle
+        import time as _time
+
+        os.makedirs(out_path, exist_ok=True)
+        date_str = _time.strftime("%Y%m%d")
+        paths = []
+        for k, (model, mapper) in enumerate(zip(self.models, self.mappers)):
+            p = os.path.join(out_path, f"{model_name}_{k}_{date_str}.pkl")
+            with open(p, "wb") as fh:
+                pickle.dump(
+                    {
+                        "mapper": mapper,
+                        "model": model,
+                        "feature_names": self.feature_names,
+                    },
+                    fh,
+                )
+            paths.append(p)
+            self.importance_dfs[k].to_csv(
+                os.path.join(out_path, f"feature_importance_{k}.csv"),
+                index=False,
+            )
+        return paths
+
     def evaluate(self) -> tuple[DataFrame, pd.DataFrame | None]:
         """Distributed fold-stacking evaluation (model.py:636-704):
         every row scored by every fold model, final prob = own-fold for

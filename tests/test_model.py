@@ -119,3 +119,24 @@ def test_export_and_load_round_trip(model_df, tmp_path_factory):
     import numpy as np
 
     assert np.allclose(a, b, atol=1e-12)
+
+
+def test_stacking_export(model_df, tmp_path_factory):
+    import os
+    from didtool_spark.operators.model import load_model_bundle
+
+    df = split_data_stacking(
+        model_df.drop("group"), F.col("id") % 10 == 9, n_fold=2, key_cols=["id"]
+    )
+    m = GBMModelStacking(
+        df, ["x1", "x2"], target="target", n_fold=2,
+        model_params={"n_estimators": 15},
+    ).train(early_stopping_rounds=5)
+    out = str(tmp_path_factory.mktemp("stack_export"))
+    paths = m.export(out)
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    predict = load_model_bundle(paths[0])
+    import pandas as pd
+
+    probs = predict(pd.DataFrame({"x1": [0.1, 0.9], "x2": [0.5, 0.5]}))
+    assert len(probs) == 2 and all(0 <= p <= 1 for p in probs)
