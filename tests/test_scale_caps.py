@@ -340,3 +340,44 @@ def test_with_lookup_literal_equals_join(spark, keys, data):
     a = sorted(((r["x"] or "", r["v"]) for r in lit.collect()))
     b = sorted(((r["x"] or "", r["v"]) for r in join.collect()))
     assert a == b
+
+
+def test_category_transformer_big_vocab_join_path(spark):
+    n = 400  # > MAP_EXPR_MAX
+    rows = [(f"v{i % n}",) for i in range(n * 3)] + [(None,)]
+    df = spark.createDataFrame(rows, "x string")
+    ct = CategoryTransformer().fit(df, ["x"])
+    assert len(ct.map_encoder["x"]) > 256
+    out = ct.transform(df)
+    assert "BroadcastHashJoin" in plan_str(out)
+    # values: every fitted value maps to its fitted code; NaN -> nan code
+    enc = dict(ct.map_encoder["x"])
+    others = enc.pop("others")
+    nan_code = enc.pop("nan", others)
+    pairs = (
+        df.withColumn("orig", F.col("x"))
+        .transform(lambda d: ct.transform(d.select(F.col("orig").alias("x"), "orig")))
+        .select("orig", "x")
+        .distinct()
+        .collect()
+    )
+    for r in pairs:
+        expect = nan_code if r["orig"] is None else enc.get(r["orig"], others)
+        assert r["x"] == expect, (r, expect)
+
+
+def test_single_woe_categorical_big_vocab_join_path(spark):
+    n = 300  # > MAP_EXPR_MAX
+    rows = [(f"v{i % n}", i % 2 == 0) for i in range(n * 4)]
+    df = spark.createDataFrame(rows, "x string, y boolean")
+    t = SingleWOETransformer(is_continuous=False, cut_method="quantile", n_bins=5)
+    t.fit(df, "x", "y")
+    assert len(t.value2code) == n
+    out = t.transform(df, "x")
+    assert "BroadcastHashJoin" in plan_str(out)
+    got = {r["x"]: r["x_woe"] for r in out.distinct().collect()}
+    for v, w in t.value2woe.items():
+        assert abs(got[v] - w) < 1e-12
+    # unknown -> default / NA-woe semantics
+    unk = t.transform(spark.createDataFrame([("zzz",)], ["x"]), "x", default=7.5)
+    assert abs(unk.first()["x_woe"] - t.woe_map.get(-1, 7.5)) < 1e-12
