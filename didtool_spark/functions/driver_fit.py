@@ -433,20 +433,6 @@ def chimerge_edges(
 
 # ------------------------------------------------------ GBM importance
 
-def _quantile_codes(x: np.ndarray, max_bins: int = 64) -> tuple[np.ndarray, int]:
-    """Per-feature histogram codes: quantile-bin x into <= max_bins codes
-    (NaN -> its own last bin, like LightGBM's default NaN bucket)."""
-    nan_mask = np.isnan(x)
-    finite = x[~nan_mask]
-    if len(finite) == 0:
-        return np.zeros(len(x), dtype=np.int16), 1
-    qs = np.unique(np.quantile(finite, np.linspace(0, 1, max_bins + 1)[1:-1]))
-    codes = np.searchsorted(qs, x, side="left")
-    n_codes = len(qs) + 1
-    codes[nan_mask] = n_codes  # NaN bucket
-    return codes.astype(np.int16), n_codes + 1
-
-
 class NumpyGBM:
     """From-scratch histogram gradient-boosting binary classifier —
     the no-lightgbm driver-side model for Selector.drop_low_importance

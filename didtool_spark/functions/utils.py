@@ -24,3 +24,14 @@ def fillna(df: DataFrame, cols: Iterable[str], value) -> DataFrame:
             c, F.when(is_missing(F.col(c)), F.lit(value)).otherwise(F.col(c))
         )
     return out
+
+
+def bounded_sample_pandas(proj: DataFrame, sample_limit: int, seed: int = 0):
+    """Driver-bounded toPandas: exact fraction sample when the projected
+    table exceeds ``sample_limit`` rows — the shared core behind every
+    driver-side model/selector fit (model state is driver-sized by
+    nature; everything else stays distributed)."""
+    n = proj.count()
+    if n > sample_limit:
+        proj = proj.sample(fraction=sample_limit / n, seed=seed)
+    return proj.toPandas()

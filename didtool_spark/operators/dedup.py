@@ -12,6 +12,12 @@ buckets above it are dropped — no silent cap: ``minhash_bucket_stats``
 returns the dropped-bucket table (band, bucket, count) so a pipeline
 can report exactly what was excluded (they are near-identical
 boilerplate clusters handled by exact dedup).
+
+Caching note: minhash_near_dupes and ngram_jaccard_pairs eager-persist
+bounded intermediates (band table / pair set / inverted index) that the
+returned lazy DataFrame reads; they stay pinned until the session
+evicts them — in a long-lived session loop, call
+``spark.catalog.clearCache()`` between corpora (bench.py does).
 """
 
 from __future__ import annotations
@@ -95,6 +101,53 @@ def minhash_expr(hashes: Column, n_hashes: int = 32) -> Column:
     return F.array(*out)
 
 
+def _docs_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    # signature computation is expression-heavy (higher-order functions
+    # are interpreted, not codegen'd): spread it across the cluster even
+    # when the source is a single small file
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+
+
+def _minhash_banded(
+    docs: DataFrame, k_shingle: int, n_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) band table — the ONE banding definition shared
+    by minhash_near_dupes and minhash_bucket_stats, so the reported
+    dropped-bucket table can never desynchronize from what near_dupes
+    actually drops. Staged selects so each expensive array materializes
+    once per row: shingles -> one string-hash pass -> n_hashes cheap
+    affine mins."""
+    rows = n_hashes // bands
+    sig = (
+        docs.select("id", shingles_expr(F.col("__text"), k_shingle).alias("sh"))
+        .select("id", base_hash_expr(F.col("sh")).alias("hs"))
+        .select("id", minhash_expr(F.col("hs"), n_hashes).alias("sig"))
+    )
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_near_dupes(
     df: DataFrame,
     text_col: str = "text",
@@ -120,41 +173,8 @@ def minhash_near_dupes(
     shingles are recomputed ONLY for candidate rows: the shingle
     projection sits above the id join, so the interpreted shingle
     lambda never runs for non-candidate docs in the verify pass."""
-    rows = n_hashes // bands
-    # signature computation is expression-heavy (higher-order functions
-    # are interpreted, not codegen'd): spread it across the cluster even
-    # when the source is a single small file
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-    # staged selects so each expensive array materializes once per row:
-    # shingles -> one string-hash pass -> n_hashes cheap affine mins
-    sig = (
-        docs.select("id", shingles_expr(F.col("__text"), k_shingle).alias("sh"))
-        .select("id", base_hash_expr(F.col("sh")).alias("hs"))
-        .select("id", minhash_expr(F.col("hs"), n_hashes).alias("sig"))
-    )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows + r].cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    docs = _docs_table(df, text_col, id_col)
+    banded = _minhash_banded(docs, k_shingle, n_hashes, bands)
 
     # bound hot buckets (boilerplate clusters)
     if hot_bucket_strategy == "window":
@@ -242,36 +262,11 @@ def minhash_bucket_stats(
 ) -> DataFrame:
     """The (band, bucket, count) rows that minhash_near_dupes' hot-bucket
     bound EXCLUDES with the same parameters — report these alongside the
-    pair output so the cap is never silent."""
-    rows = n_hashes // bands
-    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-    sig = (
-        docs.select("id", shingles_expr(F.col("__text"), k_shingle).alias("sh"))
-        .select("id", base_hash_expr(F.col("sh")).alias("hs"))
-        .select("id", minhash_expr(F.col("hs"), n_hashes).alias("sig"))
+    pair output so the cap is never silent. Shares _minhash_banded with
+    near_dupes, so the two can never disagree on bucket identity."""
+    banded = _minhash_banded(
+        _docs_table(df, text_col, id_col), k_shingle, n_hashes, bands
     )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows + r].cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     return (
         banded.groupBy("band", "bucket")
         .count()
@@ -388,7 +383,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram-Jaccard duplicate pairs via an inverted shingle
     index (explode -> self-join on shingle -> count common -> Jaccard).
-    Exact but heavier than MinHash — the oracle-grade ground truth."""
+    Exact but heavier than MinHash — the oracle-grade ground truth
+    **with min_df_prune=None**. With pruning on, the Jaccard is exact
+    over the RETAINED shingle universe only, which can land on either
+    side of the true value: a pair sharing pruned boilerplate loses
+    intersection (under-report), a pair where only one side carries
+    pruned shingles loses union (over-report — near-dup on their rare
+    content). For oracle use disable pruning; for corpus-scale runs
+    prefer MinHash and treat this with pruning as a
+    boilerplate-insensitive similarity, not true Jaccard."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # materialize shingles once via the inverted index (the shingle
     # lambda expression is interpreted — evaluating it twice for a

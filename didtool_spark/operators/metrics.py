@@ -532,12 +532,25 @@ def _score_table(
     y = F.col(label).cast("double")
     s = F.col(score).cast("double")
     if n_score_bins:
-        mn, mx = df.select(F.min(s), F.max(s)).first()
+        # NaN-safe grid: Spark's max() propagates NaN, which would
+        # collapse the whole grid to width=1.0 and put every finite
+        # score in bin 0. Clean for the min/max; route NULL scores to
+        # the bottom bin and NaN to the top bin — the same ordering the
+        # exact path's window gives them (nulls first, NaN last).
+        s_clean = F.when(F.isnan(s), F.lit(None)).otherwise(s)
+        mn, mx = df.select(F.min(s_clean), F.max(s_clean)).first()
         width = ((mx - mn) / n_score_bins) if (mn is not None and mx > mn) else 1.0
-        b = F.least(
-            F.greatest(F.floor((s - F.lit(mn)) / F.lit(width)), F.lit(0)),
-            F.lit(n_score_bins - 1),
-        ).cast("int")
+        b = (
+            F.when(s.isNull(), F.lit(0))
+            .when(F.isnan(s), F.lit(n_score_bins - 1))
+            .otherwise(
+                F.least(
+                    F.greatest(F.floor((s - F.lit(mn)) / F.lit(width)), F.lit(0)),
+                    F.lit(n_score_bins - 1),
+                )
+            )
+            .cast("int")
+        )
         return (
             df.select(b.alias("b"), y.alias("y"))
             .groupBy("b")

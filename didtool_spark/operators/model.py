@@ -80,11 +80,9 @@ def _fit_booster(params, xt, yt, xv, yv, early_stopping_rounds, verbose=-1):
 
 def _sample_pandas(df: DataFrame, cols: list[str], sample_limit: int) -> pd.DataFrame:
     """Bounded driver sample — fraction-sampled above the limit."""
-    proj = df.select(*cols)
-    n = proj.count()
-    if n > sample_limit:
-        proj = proj.sample(fraction=sample_limit / n, seed=0)
-    return proj.toPandas()
+    from ..functions.utils import bounded_sample_pandas
+
+    return bounded_sample_pandas(df.select(*cols), sample_limit)
 
 
 def _pandas_encode(pdf: pd.DataFrame, mapper: FeatureMapper) -> pd.DataFrame:
@@ -271,15 +269,12 @@ class GBMModelSingle:
             folds = np.arange(len(y)) % 5
             scores = []
             for k in range(5):
-                m, have_lgb = _make_booster({**self._model_params, **params})
-                xt, yt = X[folds != k], y[folds != k]
-                xv, yv = X[folds == k], y[folds == k]
-                if have_lgb:
-                    m.fit(xt, yt)
-                else:
-                    m.fit(xt, yt)
-                p = m.predict_proba(xv)[:, -1]
-                scores.append(_np_auc(yv, p))
+                # plain fit per fold — the reference's cross_val_score
+                # runs without early stopping too (model.py:343-346)
+                m, _ = _make_booster({**self._model_params, **params})
+                m.fit(X[folds != k], y[folds != k])
+                p = m.predict_proba(X[folds == k])[:, -1]
+                scores.append(_np_auc(y[folds == k], p))
             return float(np.mean(scores))
 
         best, best_params = -math.inf, {}
@@ -315,13 +310,8 @@ def load_model_bundle(path: str):
 
 
 def _np_auc(y: np.ndarray, p: np.ndarray) -> float:
-    """Tie-averaged rank AUC (numpy; same statistic as metrics.auc)."""
-    order = np.argsort(p, kind="mergesort")
-    ranks = np.empty(len(p))
-    ranks[order] = np.arange(1, len(p) + 1)
-    # average ranks for ties
-    s = pd.Series(p)
-    ranks = s.rank(method="average").to_numpy()
+    """Tie-averaged rank AUC (same statistic as metrics.auc)."""
+    ranks = pd.Series(p).rank(method="average").to_numpy()
     n1 = y.sum()
     n0 = len(y) - n1
     if not n1 or not n0:

@@ -197,14 +197,12 @@ class Selector:
         """Bounded driver-side sample of (feats, label): exact fraction
         sample when the table is larger than the limit, full table
         otherwise. Columns are cast to double (the GBM contract)."""
+        from ..functions.utils import bounded_sample_pandas
+
         cols = [F.col(c).try_cast("double").alias(c) for c in feats] + [
             F.col(self.label).cast("double").alias(self.label)
         ]
-        proj = self.df.select(*cols)
-        n = proj.count()
-        if n > sample_limit:
-            proj = proj.sample(fraction=sample_limit / n, seed=0)
-        return proj.toPandas()
+        return bounded_sample_pandas(self.df.select(*cols), sample_limit)
 
     def _drop(self, cols: list[str]) -> None:
         if cols:

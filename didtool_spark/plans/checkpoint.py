@@ -137,7 +137,11 @@ class CheckpointedRun:
         staged = os.path.join(self.out_dir, "_staged")
         marker = os.path.join(staged, "_STAGED.json")
         reuse = False
-        if os.path.exists(marker):
+        # only reuse when a NON-EMPTY fingerprint matches: the default
+        # "" must not equal a previous run's "" — a changed source with
+        # no declared fingerprint would silently materialize from the
+        # stale staged copy
+        if input_fingerprint and os.path.exists(marker):
             with open(marker) as f:
                 reuse = json.load(f).get("input_fingerprint") == input_fingerprint
         if not reuse:
