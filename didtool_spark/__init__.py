@@ -47,7 +47,9 @@ WrappedLabelEncoder = LabelEncoder  # reference encoder.py:84 name
 # model.py)
 from .operators.selector import Selector  # noqa: F401
 from .operators.scorecard import ScoreCardTransformer  # noqa: F401
-from .operators.model import GBMModelSingle, GBMModelStacking  # noqa: F401
+from .operators.model import (  # noqa: F401
+    GBMModelSingle, GBMModelStacking, load_model_bundle,
+)
 from .operators.mapper import FeatureMapper  # noqa: F401
 from .operators.scoring import stacking_evaluate, with_score  # noqa: F401
 
