@@ -22,6 +22,8 @@ evicts them — in a long-lived session loop, call
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import tokens_expr
@@ -316,22 +318,56 @@ def simhash_from_votes(votes: Column, bits: int = 64) -> Column:
     return out
 
 
+def simhash_arrow_udf(bits: int = 64):
+    """Arrow-vectorized sibling of simhash_votes_expr +
+    simhash_from_votes: token-hash array<long> -> 64-bit signature.
+    Token STRING hashing stays JVM-side (xxhash64 in the caller's
+    select); this kernel only does the integer vote fold — numpy bit
+    unpack + sum per document vs 2*bits interpreted lambda ops per
+    token on the expression path. Integer math throughout, so parity
+    with the JVM kernel is bit-exact (asserted in tests)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def sim(hs: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, h in enumerate(hs):
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            onebits = (hv[:, None] >> shifts[None, :]) & np.uint64(1)
+            votes = 2 * onebits.astype(np.int64).sum(axis=0) - len(hv)
+            sig = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out[i] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    return sim
+
+
 def simhash_near_dupes(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    compute: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4 16-bit chunks
     (pigeonhole: hamming<=3 pairs share >=1 exact chunk), bucket-join,
-    verify hamming distance."""
+    verify hamming distance. ``compute``: 'arrow' (default — numpy vote
+    fold per Arrow batch) or 'expr' (pure-JVM lambda expressions, the
+    reference kernel; both produce bit-identical signatures)."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sig = df.select(
+    hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t)).alias("hs"),
-    ).select("id", simhash_votes_expr(F.col("hs")).alias("votes")).select(
-        "id", simhash_from_votes(F.col("votes")).alias("sim")
     )
+    if compute == "arrow":
+        sig = hashed.select("id", simhash_arrow_udf()(F.col("hs")).alias("sim"))
+    else:
+        sig = hashed.select(
+            "id", simhash_votes_expr(F.col("hs")).alias("votes")
+        ).select("id", simhash_from_votes(F.col("votes")).alias("sim"))
     chunks = sig.select(
         "id",
         "sim",

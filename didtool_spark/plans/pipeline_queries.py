@@ -226,15 +226,16 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact all-pairs strategy — the
-    oracle-grade ground truth (similarity.embedding_near_dupes). The
-    driver query bounds the all-pairs work to a deterministic id subset
-    (it is the validation tool; the LSH strategy is the corpus-scale
-    path)."""
+    """Embedding-cosine near-dup pairs, exact all-pairs via the BLOCK
+    MATMUL strategy (one float64 BLAS matmul per block pair inside
+    Arrow mapInPandas — proven pair-identical to the interpreted-lambda
+    `exact` strategy in tests). The driver query bounds the all-pairs
+    work to a deterministic id subset (it is the validation tool; the
+    LSH strategy is the corpus-scale path)."""
     from ..operators.similarity import embedding_near_dupes
 
     emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
-    return embedding_near_dupes(emb, threshold=0.45, strategy="exact")
+    return embedding_near_dupes(emb, threshold=0.45, strategy="block", n_blocks=4)
 
 
 SQL_EMBEDDING_DEDUP = """

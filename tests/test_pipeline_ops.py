@@ -78,6 +78,16 @@ def test_simhash_finds_exact_and_near(docs):
         assert ham[(i, i + 1000)] == 0
 
 
+def test_simhash_arrow_matches_expr(docs):
+    """The Arrow vote-fold kernel and the JVM expression kernel produce
+    bit-identical signatures (pure integer math on the same xxhash64
+    token hashes), so the two compute paths emit the same pairs."""
+    a = simhash_near_dupes(docs, max_hamming=8, compute="arrow").toPandas()
+    e = simhash_near_dupes(docs, max_hamming=8, compute="expr").toPandas()
+    key = lambda d: set(zip(d["id_a"], d["id_b"], d["hamming"]))
+    assert key(a) == key(e)
+
+
 def test_jaccard_expr(spark):
     df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "x array<string>, y array<string>")
     v = df.select(jaccard_expr(F.col("x"), F.col("y")).alias("j")).first()["j"]
@@ -203,6 +213,45 @@ def test_embedding_near_dupes_exact_and_lsh(spark):
     got_lsh = {(r["id_a"], r["id_b"]) for r in lsh}
     assert got_lsh <= got          # no false positives (exact re-check)
     assert len(got_lsh) >= 18      # >= 90% recall at cosine ~0.9999
+
+    # the block-matmul strategy is the SAME exact computation (pairs
+    # and 6-dp cosines identical), just BLAS-vectorized per block pair
+    for nb in (1, 3):
+        blk = embedding_near_dupes(
+            df, threshold=0.95, strategy="block", n_blocks=nb
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in blk} == got
+        by_pair = {(r["id_a"], r["id_b"]): r["cosine"] for r in blk}
+        for r in exact:
+            assert abs(by_pair[(r["id_a"], r["id_b"])] - r["cosine"]) < 1e-9
+
+
+def test_band_keys_arrow_matches_expr(spark):
+    """The Arrow (BLAS matmul) signature kernel and the JVM expression
+    kernel produce the SAME band keys: same _plane_matrix, same
+    centering, same bit packing — a divergence would mean the two LSH
+    paths bucket differently."""
+    import numpy as np
+    from didtool_spark.operators.similarity import (
+        band_keys_arrow, band_keys_expr, center_expr, hyperplane_bits_expr,
+        mean_vector,
+    )
+
+    rng = np.random.RandomState(21)
+    rows = [(i, [float(x) for x in rng.randn(16) + 0.5]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m = mean_vector(df, "embedding", 16)
+
+    expr_keys = (
+        df.withColumn("__c", center_expr(F.col("embedding"), m))
+        .withColumn("__bits", hyperplane_bits_expr(F.col("__c"), 16, 16))
+        .select("vec_id", band_keys_expr(F.col("__bits"), 4, 4).alias("k"))
+    )
+    arrow_keys = df.select(
+        "vec_id", band_keys_arrow(16, 16, 4, m)(F.col("embedding")).alias("k")
+    )
+    joined = expr_keys.alias("e").join(arrow_keys.alias("a"), "vec_id")
+    assert joined.where(F.expr("e.k <> a.k")).count() == 0
 
 
 def test_minhash_bucket_stats_reports_dropped(spark):
