@@ -83,24 +83,35 @@ def minhash_expr(hashes: Column, n_hashes: int = 32) -> Column:
     hash is min over (a_i*h + b_i mod p) with fixed seeded coefficients
     — string hashing happens once (base_hash_expr), not n_hashes times;
     the per-function work is two integer ops per element (products stay
-    < 2^62, so no ANSI overflow). Keep ``hashes`` a named column from a
-    previous select: it is referenced n_hashes times and CollapseProject
-    keeps multiply-referenced non-cheap aliases materialized."""
+    < 2^62, so no ANSI overflow).
+
+    Shape: ONE ``aggregate`` over the hash array whose accumulator is
+    the running array of n_hashes mins, merged per element with a
+    ``zip_with`` against a literal (a, b) coefficient array — instead of
+    n_hashes separate transform+array_min columns. Same signatures
+    (asserted in tests), but the plan carries 2 HOF nodes instead of
+    2*n_hashes, which cuts per-action analysis time — the banded table
+    is analyzed by every job of the dedup pipeline."""
     import random
 
     rng = random.Random(0xD1D7)
-
-    def affine(a: int, b: int):
-        # closure factory: pyspark counts lambda params, so default-arg
-        # capture would be mistaken for a 3-arg HOF lambda
-        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P))
-
-    out = []
+    entries = []
     for _ in range(n_hashes):
         a = rng.randrange(1, MINHASH_P)
         b = rng.randrange(0, MINHASH_P)
-        out.append(F.array_min(F.transform(hashes, affine(a, b))))
-    return F.array(*out)
+        entries.append(f"named_struct('a', CAST({a} AS BIGINT), 'b', CAST({b} AS BIGINT))")
+    ab = F.expr("array(" + ",".join(entries) + ")")
+    init = F.expr(f"array_repeat(CAST({MINHASH_P} AS BIGINT), {n_hashes})")
+
+    def merge(acc, h):
+        # closure over h (a bound lambda var): pyspark counts python
+        # params, so inner lambdas must close over it, not default-arg it
+        def inner(m, s):
+            return F.least(m, F.pmod(s["a"] * h + s["b"], F.lit(MINHASH_P)))
+
+        return F.zip_with(acc, ab, inner)
+
+    return F.aggregate(hashes, init, merge)
 
 
 def _docs_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -196,10 +207,13 @@ def minhash_near_dupes(
         # (map-side combine — no task ever holds a whole hot bucket) and
         # a broadcast anti-join that drops hot rows MAP-SIDE, before any
         # shuffle co-locates them. The slim (id, band, bucket) table is
-        # eager-cached so the signature pipeline still runs once for its
-        # three consumers.
+        # cached LAZILY: its consumers are strictly ordered — the sizes
+        # broadcast exchange must materialize before any self-join probe
+        # stage launches, so the broadcast job alone computes the
+        # signature pipeline and fills the cache; the two self-join map
+        # stages then read it. (Contrast cands below, whose two
+        # consumers ARE concurrent stages and need the eager fill.)
         banded = banded.persist()
-        banded.count()
         sizes = banded.groupBy("band", "bucket").count()
         banded = banded.join(
             F.broadcast(sizes.where(F.col("count") > max_bucket)),
@@ -351,16 +365,28 @@ def simhash_near_dupes(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     compute: str = "arrow",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4 16-bit chunks
     (pigeonhole: hamming<=3 pairs share >=1 exact chunk), bucket-join,
     verify hamming distance. ``compute``: 'arrow' (default — numpy vote
     fold per Arrow batch) or 'expr' (pure-JVM lambda expressions, the
-    reference kernel; both produce bit-identical signatures)."""
+    reference kernel; both produce bit-identical signatures).
+    ``hash_fn``: 'xxhash64' (default — fastest JVM token hash) or
+    'md5_60' (60-bit hash from the first 15 md5 hex chars — slower, but
+    reproducible in any engine with md5, which makes the whole simhash
+    pipeline independently checkable in SQL; bits 60-63 then never
+    vote positive, identically in both engines)."""
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if hash_fn == "md5_60":
+        tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        tok_hash = lambda t: F.xxhash64(t)
+    else:
+        raise ValueError(f"unknown hash_fn `{hash_fn}`")
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.transform(tokens_expr(text_col), lambda t: F.xxhash64(t)).alias("hs"),
+        F.transform(tokens_expr(text_col), tok_hash).alias("hs"),
     )
     if compute == "arrow":
         sig = hashed.select("id", simhash_arrow_udf()(F.col("hs")).alias("sim"))

@@ -411,22 +411,45 @@ def _exact_block_pairs(base: DataFrame, threshold: float, n_blocks: int) -> Data
     )
 
     thr = float(threshold)
+    # the JVM lambda multiplies in the STORAGE element type — mirror it
+    # (float32 products for array<float>, float64 for array<double>)
+    elem_t = base.schema["v"].dataType.elementType.simpleString()
+    prod_dtype = "float32" if elem_t == "float" else "float64"
 
     def compute(batches):
         import numpy as np
+
+        def seq_dot(X32, Y32):
+            # BIT-IDENTICAL to the JVM _dot kernel: each product is
+            # rounded to float32 (the storage type), accumulation is
+            # sequential float64 in dimension order — one vectorized
+            # outer-product add per dimension keeps the per-element
+            # order while staying BLAS-shaped. (A plain float64 matmul
+            # differs at ~1e-8 via double products + pairwise sums —
+            # enough to flip a 6-dp rounding or a threshold boundary.)
+            acc = np.zeros((X32.shape[0], Y32.shape[0]), dtype=np.float64)
+            for k in range(X32.shape[1]):
+                acc += np.outer(X32[:, k], Y32[:, k]).astype(np.float64)
+            return acc
+
+        def seq_norm(X32):
+            acc = np.zeros(X32.shape[0], dtype=np.float64)
+            for k in range(X32.shape[1]):
+                acc += (X32[:, k] * X32[:, k]).astype(np.float64)
+            return np.sqrt(acc)
 
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
             for row in pdf.itertuples(index=False):
                 ia = np.asarray(row.ids_a, dtype=np.int64)
                 ib = np.asarray(row.ids_b, dtype=np.int64)
-                A = np.array([np.asarray(x, dtype=np.float64) for x in row.vecs_a])
-                B = np.array([np.asarray(x, dtype=np.float64) for x in row.vecs_b])
-                na = np.sqrt((A * A).sum(axis=1))
-                nb = np.sqrt((B * B).sum(axis=1))
+                A = np.array([np.asarray(x, dtype=prod_dtype) for x in row.vecs_a])
+                B = np.array([np.asarray(x, dtype=prod_dtype) for x in row.vecs_b])
+                na = seq_norm(A)
+                nb = seq_norm(B)
                 denom = np.outer(na, nb)
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    S = np.where(denom > 0, (A @ B.T) / denom, 0.0)
+                    S = np.where(denom > 0, seq_dot(A, B) / denom, 0.0)
                 mask = S >= thr
                 if row.bi == row.bj:
                     # diagonal block: both orientations are present —

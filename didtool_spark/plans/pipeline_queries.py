@@ -181,10 +181,49 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-valued signature — rows-only check (planted exact copies
-    collide at hamming 0; near copies usually within 3 bits)."""
+    """ORACLE-CHECKED simhash: the driver query uses hash_fn='md5_60'
+    (60-bit token hash from md5 hex — reproducible in DuckDB, unlike
+    xxhash64) so SQL_SIMHASH replays the ENTIRE pipeline — token hash,
+    per-bit votes, signature fold, 16-bit chunk banding, hamming verify
+    — as pure-integer SQL (bit-exact, no float tolerance). The engine
+    default stays xxhash64 (fastest JVM hash); the two differ only in
+    the token-hash family."""
     docs = _docs_with_planted_exact(spark, sf_dir)
-    return simhash_near_dupes(docs, "text", "doc_id", max_hamming=3)
+    return simhash_near_dupes(
+        docs, "text", "doc_id", max_hamming=3, hash_fn="md5_60"
+    )
+
+
+SQL_SIMHASH = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+),
+hs AS (
+  SELECT doc_id, list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
+  FROM docs
+),
+sig AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(0, 60), j ->
+      CASE WHEN list_sum(list_transform(h, x -> ((x >> j) & 1) * 2 - 1)) > 0
+           THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS sim
+  FROM hs
+),
+chunks AS (
+  SELECT doc_id, sim, c.chunk, (sim >> (c.chunk * 16)) & 65535 AS key
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS chunk) c
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
 
 
 # ------------------------------------------------------------- similarity
@@ -195,15 +234,21 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, emb, k=5)
 
 
+# NOTE the product form `(x[1] * x[2])::DOUBLE`: the engine's _dot
+# multiplies in the STORAGE type (float32 for array<float>) and
+# accumulates sequentially in float64; DuckDB FLOAT*FLOAT is also a
+# float32 product and list_sum accumulates sequentially, so these
+# oracle cosines are BIT-IDENTICAL to Spark's, not merely close —
+# `CAST(x AS DOUBLE) * CAST(y AS DOUBLE)` would differ at ~1e-8 and
+# can flip a 6-dp rounding or a threshold boundary.
 SQL_EMBEDDING_TOPK = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 scored AS (
   SELECT query_id, neighbor_id,
-         list_sum(list_transform(list_zip(qv, cv),
-                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-            * sqrt(list_sum(list_transform(cv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+         list_sum(list_transform(list_zip(qv, cv), x -> (x[1] * x[2])::DOUBLE))
+         / (sqrt(list_sum(list_transform(qv, v -> (v * v)::DOUBLE)))
+            * sqrt(list_sum(list_transform(cv, v -> (v * v)::DOUBLE))))
            AS cosine
   FROM q, c WHERE query_id <> neighbor_id
 ), ranked AS (
@@ -218,8 +263,11 @@ FROM ranked WHERE rank <= 5
 
 
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate variant — rows-only check (recall vs the exact oracle
-    is asserted in unit tests, not hash-for-hash equality)."""
+    """Approximate variant — ORACLE-CHECKED: the hyperplane signature
+    pipeline is deterministic given the seeded plane literals, so
+    SQL_EMBEDDING_TOPK_LSH replays signature -> band -> candidate ->
+    verify in DuckDB (verify cosines bit-identical via the
+    float32-product form; recall vs exact additionally unit-tested)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
     return lsh_topk(queries, emb, k=5, dim=64, n_bits=16, bands=4)
@@ -243,9 +291,9 @@ WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-            * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+                  x -> (x[1] * x[2])::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding, v -> (v * v)::DOUBLE)))
+            * sqrt(list_sum(list_transform(b.embedding, v -> (v * v)::DOUBLE))))
            AS cosine
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
@@ -257,8 +305,10 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-hyperplane scale path over a corpus with PLANTED near-dups
     (each vector also appears deterministically perturbed at
     vec_id+10^6, cosine ~0.998) — the realistic near-dup regime where
-    banded LSH holds ~full recall. Rows-only check; recall vs exact is
-    asserted in unit tests."""
+    banded LSH holds ~full recall. ORACLE-CHECKED via
+    SQL_EMBEDDING_DEDUP_LSH (same planted corpus in float32 SQL
+    arithmetic, same plane literals, bit-identical verify cosines);
+    recall vs exact is additionally asserted in unit tests."""
     from ..operators.similarity import embedding_near_dupes
 
     emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
@@ -294,6 +344,106 @@ FROM documents
 """
 
 
+# -------------------------------------------------- LSH oracle generation
+
+def _planes_sql(dim: int, n_bits: int, seed: int = 7) -> str:
+    """The SAME seeded hyperplane matrix the engine uses
+    (similarity._plane_matrix), rendered as a DuckDB DOUBLE[][] literal
+    — the LSH pipeline is deterministic given the planes, so the whole
+    signature -> band -> candidate -> verify chain is SQL-expressible."""
+    from ..operators.similarity import _plane_matrix
+
+    rows = ",".join(
+        "[" + ",".join(f"{x:.1f}" for x in row) + "]"
+        for row in _plane_matrix(dim, n_bits, seed)
+    )
+    return f"[{rows}]::DOUBLE[][]"
+
+
+def _lsh_signature_ctes(corpus_cte: str, dim: int, n_bits: int, bands: int) -> str:
+    """CTE chain corpus -> mean -> bits -> keyed -> banded, mirroring
+    mean_vector + centering + hyperplane sign bits + band-key packing
+    (bits[b*rows+r] << r). Verify cosines downstream use the float32-
+    product form and are bit-identical to Spark's; the sign decisions
+    here differ from the engine only by the ~1e-15 summation-order
+    epsilon on mean/projection — a flip needs a projection within that
+    epsilon of exactly 0."""
+    rows = n_bits // bands
+    return f"""
+corpus AS ({corpus_cte}),
+mean AS (SELECT list(a ORDER BY pos) AS m FROM (
+  SELECT pos, avg(v) AS a FROM (
+    SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding)::DOUBLE AS v
+    FROM corpus) GROUP BY pos)),
+bits AS (
+  SELECT vec_id, embedding,
+         list_transform({_planes_sql(dim, n_bits)},
+                        p -> CASE WHEN list_dot_product(
+                               list_transform(list_zip(embedding, m.m),
+                                              z -> z[1]::DOUBLE - z[2]),
+                               p) >= 0 THEN 1 ELSE 0 END) AS bt
+  FROM corpus, mean m),
+keyed AS (
+  SELECT vec_id, list_transform(range(0, {bands}),
+           b -> list_sum(list_transform(range(0, {rows}),
+                  r -> bt[b*{rows}+r+1] * (1<<r)))) AS ks
+  FROM bits),
+banded AS (
+  SELECT vec_id, generate_subscripts(ks, 1) - 1 AS band, unnest(ks) AS key
+  FROM keyed)
+"""
+
+
+_SQL_COSINE_PAIR = """
+    list_sum(list_transform(list_zip(ea.embedding, eb.embedding), x -> (x[1] * x[2])::DOUBLE))
+    / (sqrt(list_sum(list_transform(ea.embedding, v -> (v * v)::DOUBLE)))
+       * sqrt(list_sum(list_transform(eb.embedding, v -> (v * v)::DOUBLE))))
+"""
+
+SQL_EMBEDDING_TOPK_LSH = f"""
+WITH {_lsh_signature_ctes("SELECT vec_id, embedding FROM embeddings", 64, 16, 4)},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded q JOIN banded c ON q.band = c.band AND q.key = c.key
+  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, {_SQL_COSINE_PAIR} AS cosine
+  FROM cand
+  JOIN corpus ea ON ea.vec_id = cand.query_id
+  JOIN corpus eb ON eb.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+_SQL_PLANTED_EMB = """
+SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id,
+       list_transform(range(0, 64),
+                      i -> (embedding[i+1] + 0.05::FLOAT * embedding[((i+1)%64)+1])) AS embedding
+FROM embeddings WHERE vec_id < 1000
+"""
+
+SQL_EMBEDDING_DEDUP_LSH = f"""
+WITH {_lsh_signature_ctes(_SQL_PLANTED_EMB, 64, 64, 8)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id),
+scored AS (
+  SELECT cand.id_a, cand.id_b, {_SQL_COSINE_PAIR} AS cosine
+  FROM cand
+  JOIN corpus ea ON ea.vec_id = cand.id_a
+  JOIN corpus eb ON eb.vec_id = cand.id_b)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.95
+"""
+
+
 # ------------------------------------------------------------- multimodal
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,11 +474,13 @@ PIPELINE_ORACLES = {
     "text_features": SQL_TEXT_FEATURES,
     "lang_id": SQL_LANG_ID,
     "exact_dedup": SQL_EXACT_DEDUP,
+    "simhash_dedup": SQL_SIMHASH,
     "minhash_dedup": SQL_NEAR_DUP_PAIRS,
     "ngram_jaccard": SQL_NEAR_DUP_PAIRS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
+    "embedding_topk_lsh": SQL_EMBEDDING_TOPK_LSH,
     "embedding_dedup": SQL_EMBEDDING_DEDUP,
+    "embedding_dedup_lsh": SQL_EMBEDDING_DEDUP_LSH,
     "fingerprints": SQL_FINGERPRINTS,
-    # simhash_dedup / embedding_topk_lsh / embedding_dedup_lsh /
-    # media_features: rows-only
+    # media_features: rows-only (decode honestly stubbed — no codecs)
 }

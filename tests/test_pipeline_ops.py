@@ -78,6 +78,36 @@ def test_simhash_finds_exact_and_near(docs):
         assert ham[(i, i + 1000)] == 0
 
 
+def test_minhash_aggregate_matches_per_function_mins(docs):
+    """minhash_expr's single-aggregate accumulator produces exactly the
+    per-function mins of the affine family (the direct n_hashes-column
+    formulation it replaced)."""
+    import random
+    from didtool_spark.operators.dedup import (
+        MINHASH_P, base_hash_expr, minhash_expr, shingles_expr,
+    )
+
+    base = docs.select(
+        "doc_id", base_hash_expr(shingles_expr(F.col("text"), 5)).alias("hs")
+    )
+    rng = random.Random(0xD1D7)
+
+    def affine(a, b):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P))
+
+    direct_cols = []
+    for _ in range(8):
+        a = rng.randrange(1, MINHASH_P)
+        b = rng.randrange(0, MINHASH_P)
+        direct_cols.append(F.array_min(F.transform(F.col("hs"), affine(a, b))))
+    joined = base.select(
+        "doc_id",
+        F.array(*direct_cols).alias("direct"),
+        minhash_expr(F.col("hs"), 8).alias("agg"),
+    )
+    assert joined.where(F.expr("direct <> agg")).count() == 0
+
+
 def test_simhash_arrow_matches_expr(docs):
     """The Arrow vote-fold kernel and the JVM expression kernel produce
     bit-identical signatures (pure integer math on the same xxhash64
@@ -214,8 +244,9 @@ def test_embedding_near_dupes_exact_and_lsh(spark):
     assert got_lsh <= got          # no false positives (exact re-check)
     assert len(got_lsh) >= 18      # >= 90% recall at cosine ~0.9999
 
-    # the block-matmul strategy is the SAME exact computation (pairs
-    # and 6-dp cosines identical), just BLAS-vectorized per block pair
+    # the block-matmul strategy is the SAME exact computation — BIT
+    # IDENTICAL cosines (float32 products, sequential float64
+    # accumulation, mirroring the JVM _dot kernel), not just close
     for nb in (1, 3):
         blk = embedding_near_dupes(
             df, threshold=0.95, strategy="block", n_blocks=nb
@@ -223,7 +254,7 @@ def test_embedding_near_dupes_exact_and_lsh(spark):
         assert {(r["id_a"], r["id_b"]) for r in blk} == got
         by_pair = {(r["id_a"], r["id_b"]): r["cosine"] for r in blk}
         for r in exact:
-            assert abs(by_pair[(r["id_a"], r["id_b"])] - r["cosine"]) < 1e-9
+            assert by_pair[(r["id_a"], r["id_b"])] == r["cosine"]
 
 
 def test_band_keys_arrow_matches_expr(spark):
