@@ -60,7 +60,7 @@ from .operators.temporal import (  # noqa: F401
 
 # training-data pipeline operators
 from .operators.dedup import (  # noqa: F401
-    exact_dupes, minhash_bucket_stats, minhash_near_dupes,
+    exact_dupes, minhash_bucket_stats, minhash_near_dupes, near_dup_index,
     ngram_jaccard_pairs, simhash_near_dupes,
 )
 from .operators.similarity import (  # noqa: F401
@@ -70,3 +70,6 @@ from .operators.similarity import (  # noqa: F401
 from .operators.text import (  # noqa: F401
     fingerprint_exprs, with_lang_id, with_text_features,
 )
+
+# streaming drift monitoring (didtool's psi as a live per-window monitor)
+from .streaming.drift import PsiMonitor  # noqa: F401

@@ -122,6 +122,28 @@ def _docs_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
 
 
+def band_buckets_expr(sig: Column, n_hashes: int, bands: int) -> Column:
+    """array<struct<band,bucket>> from a MATERIALIZED signature column —
+    the ONE band/bucket definition (bucket = xxhash64 of the band's
+    comma-joined signature rows) shared by every consumer, batch or
+    streaming, so band identity can never desynchronize."""
+    rows = n_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[sig[b * rows + r].cast("string") for r in range(rows)],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def _minhash_banded(
     docs: DataFrame, k_shingle: int, n_hashes: int, bands: int
 ) -> DataFrame:
@@ -131,7 +153,6 @@ def _minhash_banded(
     actually drops. Staged selects so each expensive array materializes
     once per row: shingles -> one string-hash pass -> n_hashes cheap
     affine mins."""
-    rows = n_hashes // bands
     sig = (
         docs.select("id", shingles_expr(F.col("__text"), k_shingle).alias("sh"))
         .select("id", base_hash_expr(F.col("sh")).alias("hs"))
@@ -139,25 +160,7 @@ def _minhash_banded(
     )
     return sig.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows + r].cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(band_buckets_expr(F.col("sig"), n_hashes, bands)).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
@@ -431,6 +434,33 @@ def simhash_near_dupes(
     return cands.withColumn("hamming", ham).where(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def near_dup_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 5,
+    n_hashes: int = 32,
+    bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Static MinHash index of a reference corpus for INCREMENTAL
+    near-dup checking: returns (band_index, shingle_index) —
+    (id, band, bucket) for candidate generation and (id, sh) for exact
+    verification. Build once per corpus snapshot, write both to
+    parquet partitioned/bucketed by their join keys; new documents
+    (batch increments or a stream — see
+    streaming.stream.streaming_near_dup_matches) equi-join the band
+    index and verify against the shingle index without ever touching
+    the corpus text again. Same banding expression as
+    minhash_near_dupes (band_buckets_expr), so an index lookup and a
+    full self-dedup can never disagree on candidates."""
+    docs = _docs_table(corpus, text_col, id_col)
+    banded = _minhash_banded(docs, k_shingle, n_hashes, bands)
+    shingles = docs.select(
+        "id", shingles_expr(F.col("__text"), k_shingle).alias("sh")
+    )
+    return banded, shingles
 
 
 # ----------------------------------------------------------- ngram jaccard

@@ -100,24 +100,20 @@ class Selector:
         corr_cols = sorted(
             corr_cols, key=lambda x: self.iv_stats["iv"][x], reverse=True
         )
-        record = pd.DataFrame(columns=["drop_feature", "corr_feature", "corr_value"])
+        rows: list[list] = []
+        dropped: set[str] = set()
         for col in corr_cols:
-            if col in record["drop_feature"].values:
+            if col in dropped:
                 continue
             corr_features = list(masked.index[masked[col].abs() > corr_threshold])
             for feature in corr_features:
-                if feature in record["drop_feature"].values:
+                if feature in dropped:
                     continue
-                record = pd.concat(
-                    [
-                        record,
-                        pd.DataFrame(
-                            [[feature, col, corr.loc[col, feature]]],
-                            columns=record.columns,
-                        ),
-                    ],
-                    ignore_index=True,
-                )
+                rows.append([feature, col, corr.loc[col, feature]])
+                dropped.add(feature)
+        record = pd.DataFrame(
+            rows, columns=["drop_feature", "corr_feature", "corr_value"]
+        )
         self.record_correlated = record
         self._drop(list(record["drop_feature"].values))
         return self

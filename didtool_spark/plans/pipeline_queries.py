@@ -273,6 +273,19 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, emb, k=5, dim=64, n_bits=16, bands=4)
 
 
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: distributed Lloyd k-means centroids (iterative — not
+    ANSI-SQL-expressible, hence rows-only; recall vs exact brute force
+    is asserted in unit tests), then probed-bucket exact re-rank. One
+    equi-join shuffle on cluster id at query time."""
+    from ..operators.similarity import ivf_fit_centroids, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = ivf_fit_centroids(emb, n_centroids=16, iters=2)
+    queries = emb.where(F.col("vec_id") < 20)
+    return ivf_topk(queries, emb, cents, k=5, n_probe=4)
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs via the BLOCK
     MATMUL strategy (one float64 BLAS matmul per block pair inside
@@ -464,6 +477,7 @@ PIPELINE_QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_lsh": q_embedding_topk_lsh,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_dedup": q_embedding_dedup,
     "embedding_dedup_lsh": q_embedding_dedup_lsh,
     "fingerprints": q_fingerprints,

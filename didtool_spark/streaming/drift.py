@@ -1,0 +1,131 @@
+"""Streaming drift monitoring: didtool's PSI as a live monitor.
+
+The reference computes PSI between an expected (training) frame and an
+actual (serving) frame after the fact (metric.py:126-260). On a live
+pipeline the natural form is *per time window*: fit the reference
+distribution once, then watch the stream and emit one PSI per window.
+
+Scale split: the STREAMING side does only the heavy, watermark-bounded
+aggregation — per-window per-bin counts, so state is O(n_bins) per open
+window and the shuffle carries (window, bin) keys, never rows. The
+per-window PSI fold (a dozen numbers per window) is pure driver math
+over the tiny sink table, reusing the exact same floored-rate formula
+as the batch ``operators.metrics.psi`` — the two are asserted equal in
+tests.
+
+At 10^12 turns/day this is one streaming groupBy with map-side partial
+aggregation; n_bins x windows is the only state, independent of input
+rate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.binexpr import bin_expr
+from ..operators.binning import step_edges
+from ..operators.metrics import DEFAULT_BINS, _rates
+
+
+class PsiMonitor:
+    """Fit once on the expected/reference frame; then either
+    ``binned_counts`` (streaming aggregation to a sink) + ``psi_table``
+    (per-window PSI over the sink), or ``psi_now`` for a one-shot batch
+    check. Continuous features only — same step-edge rule as
+    metrics.psi (edges fitted on EXPECTED, no empty-bin merge,
+    metric.py:190-193)."""
+
+    def __init__(self, col: str, n_bins: int = DEFAULT_BINS):
+        self.col = col
+        self.n_bins = n_bins
+        self.edges: list[float] | None = None
+        self.e_counts: dict[int, int] | None = None
+
+    # ------------------------------------------------------------- fit
+    def fit(self, expected: DataFrame) -> "PsiMonitor":
+        self.edges = step_edges(
+            expected, self.col, self.n_bins, remove_empty_bins=False
+        )
+        self.e_counts = {
+            r["__b"]: r["count"]
+            for r in expected.select(self._bin().alias("__b"))
+            .groupBy("__b")
+            .count()
+            .collect()
+        }
+        return self
+
+    def _bin(self):
+        return bin_expr(F.col(self.col).try_cast("double"), self.edges)
+
+    # ------------------------------------------------- streaming side
+    def binned_counts(
+        self,
+        stream: DataFrame,
+        ts_col: str = "ts",
+        window_duration: str = "1 hour",
+        watermark: str = "2 hours",
+    ) -> DataFrame:
+        """(window_start, window_end, bin, count) per tumbling window —
+        append-mode compatible (rows emit when the watermark closes the
+        window)."""
+        if self.edges is None:
+            raise ValueError("fit() the monitor on the expected frame first")
+        return (
+            stream.withWatermark(ts_col, watermark)
+            .groupBy(
+                F.window(ts_col, window_duration).alias("w"),
+                self._bin().alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).alias("count"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "bin",
+                "count",
+            )
+        )
+
+    # ----------------------------------------------------- psi folds
+    def _psi_of_counts(self, a_counts: dict[int, int]) -> float:
+        # EXACTLY the batch psi fold (metrics.psi): NA key first iff
+        # either side saw NaN, 1e-10 rate floors, sum (a-e)*ln(a/e)
+        has_nan = (-1 in self.e_counts) or (-1 in a_counts)
+        keys = ([-1] if has_nan else []) + list(range(len(self.edges) - 1))
+        e_rate = _rates(self.e_counts, keys, sum(self.e_counts.values()))
+        a_rate = _rates(a_counts, keys, sum(a_counts.values()))
+        return sum((a - e) * math.log(a / e) for a, e in zip(a_rate, e_rate))
+
+    def psi_table(self, counts: DataFrame) -> pd.DataFrame:
+        """Per-window PSI from a (window_start, window_end, bin, count)
+        table (the streaming sink). The input is windows x n_bins rows —
+        driver-sized by construction."""
+        pdf = counts.toPandas()
+        out = []
+        for (ws, we), g in pdf.groupby(["window_start", "window_end"], sort=True):
+            a_counts = dict(zip(g["bin"].astype(int), g["count"].astype(int)))
+            out.append(
+                {
+                    "window_start": ws,
+                    "window_end": we,
+                    "n_rows": int(g["count"].sum()),
+                    "psi": self._psi_of_counts(a_counts),
+                }
+            )
+        return pd.DataFrame(out)
+
+    def psi_now(self, actual: DataFrame) -> float:
+        """One-shot batch PSI of ``actual`` against the fitted
+        reference — same number metrics.psi(expected, actual) returns."""
+        a_counts = {
+            r["__b"]: r["count"]
+            for r in actual.select(self._bin().alias("__b"))
+            .groupBy("__b")
+            .count()
+            .collect()
+        }
+        return self._psi_of_counts(a_counts)

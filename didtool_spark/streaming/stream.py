@@ -169,6 +169,77 @@ def streaming_running_features(
     )
 
 
+def streaming_near_dup_matches(
+    stream: DataFrame,
+    band_index: DataFrame,
+    shingle_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    k_shingle: int = 5,
+    n_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.6,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental near-dup check of a document stream against a static
+    reference corpus (the crawl-dedup pattern: is this incoming page a
+    near-copy of anything already ingested?).
+
+    (band_index, shingle_index) come from dedup.near_dup_index — the
+    SAME banding/shingle expressions, so stream and batch agree on
+    candidates. Plan per micro-batch, all stream-static stateless:
+    shingle + sign the incoming docs (JVM expressions), posexplode
+    band/bucket, equi-join the band index (candidate generation — the
+    only join that touches the corpus-sized side), join the candidates'
+    shingles, exact-Jaccard verify, and dropDuplicatesWithinWatermark
+    on (doc_id, matched_id) to collapse multi-band hits with
+    watermark-bounded state. Emits (doc_id, ts, matched_id, jaccard >=
+    threshold).
+
+    At scale the band index is bucketed/partitioned by (band, bucket)
+    so each micro-batch join prunes to the buckets it touches; state is
+    only the recent pair-keys horizon, never the corpus."""
+    from ..operators.dedup import (
+        band_buckets_expr, base_hash_expr, jaccard_expr, minhash_expr,
+        shingles_expr,
+    )
+
+    s = stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        shingles_expr(F.col(text_col), k_shingle).alias("__sh"),
+    )
+    s = s.withColumn("__hs", base_hash_expr(F.col("__sh"))).withColumn(
+        "__sig", minhash_expr(F.col("__hs"), n_hashes)
+    )
+    s_banded = s.select(
+        "doc_id", "ts", "__sh",
+        F.explode(band_buckets_expr(F.col("__sig"), n_hashes, bands)).alias("bb"),
+    ).select(
+        "doc_id", "ts", "__sh",
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
+    cands = s_banded.join(
+        band_index.withColumnRenamed("id", "matched_id"), ["band", "bucket"]
+    ).select("doc_id", "ts", "__sh", "matched_id")
+    verified = (
+        cands.join(
+            shingle_index.select(
+                F.col("id").alias("matched_id"), F.col("sh").alias("__msh")
+            ),
+            "matched_id",
+        )
+        .withColumn("jaccard", jaccard_expr(F.col("__sh"), F.col("__msh")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return (
+        verified.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["doc_id", "matched_id"])
+        .select("doc_id", "ts", "matched_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",

@@ -163,3 +163,115 @@ def test_streaming_exact_dedup(spark, tmp_path_factory):
         "text", "doc_id",
     )
     assert b.where(F.col("is_dup") == 0).count() == n_distinct
+
+
+def test_streaming_psi_monitor_matches_batch(spark, tmp_path_factory):
+    """Per-window streaming PSI == batch metrics.psi on the same window
+    slice: the streaming side only aggregates (window, bin) counts; the
+    fold reuses the identical floored-rate formula."""
+    from didtool_spark.operators.metrics import psi as batch_psi
+    from didtool_spark.plans.materialize import turn_features
+    from didtool_spark.streaming.drift import PsiMonitor
+
+    root = tmp_path_factory.mktemp("drift")
+    src, out, ck = str(root / "src"), str(root / "out"), str(root / "ck")
+    tr = generate_transcripts(spark, n_convs=40, avg_turns=10)
+    feats = turn_features(tr).select("conv_id", "ts", "text_len")
+    feats.write.mode("overwrite").parquet(src)
+    ref = spark.read.parquet(src)
+
+    mon = PsiMonitor("text_len", n_bins=5).fit(ref)
+
+    stream = (
+        spark.readStream.schema("conv_id string, ts timestamp, text_len int")
+        .format("parquet")
+        .load(src)
+    )
+    run_stream_once(
+        mon.binned_counts(
+            stream, window_duration="30 minutes", watermark="0 seconds"
+        ),
+        ck, out,
+    )
+    table = mon.psi_table(spark.read.parquet(out))
+    assert len(table) >= 2  # several windows closed and emitted
+
+    for row in table.itertuples(index=False):
+        sl = ref.where(
+            (F.col("ts") >= F.lit(row.window_start))
+            & (F.col("ts") < F.lit(row.window_end))
+        )
+        assert sl.count() == row.n_rows
+        # one-shot monitor fold == streaming fold == batch psi()
+        assert abs(mon.psi_now(sl) - row.psi) < 1e-12
+        assert abs(batch_psi(ref, sl, "text_len", n_bins=5) - row.psi) < 1e-12
+
+
+def test_streaming_near_dup_matches(spark, tmp_path_factory):
+    """Incremental crawl-dedup: a stream of perturbed copies is checked
+    against the static MinHash index of the original corpus — every
+    planted near-copy matches its source doc, with the same jaccard the
+    batch verify computes."""
+    from didtool_spark.operators.dedup import jaccard_expr, near_dup_index, shingles_expr
+    from didtool_spark.streaming.stream import streaming_near_dup_matches
+
+    root = tmp_path_factory.mktemp("snear")
+    src, out, ck = str(root / "src"), str(root / "out"), str(root / "ck")
+
+    # reference corpus: synthetic docs with enough shared-vocab variety
+    base = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{w}x"), ((F.col("id") * 7 + w) % 13).cast("string"))
+                for w in range(30)
+            ],
+        ).alias("text"),
+    )
+    band_idx, sh_idx = near_dup_index(base, bands=16)
+    band_idx = band_idx.persist()
+    sh_idx = sh_idx.persist()
+    band_idx.count(), sh_idx.count()
+
+    # stream: first 20 docs with the tail truncated (jaccard ~0.66)
+    incoming = base.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+        F.regexp_replace(F.col("text"), r"( \S+){10}$", "").alias("text"),
+    )
+    incoming.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .format("parquet")
+        .load(src)
+    )
+    run_stream_once(
+        streaming_near_dup_matches(
+            stream, band_idx, sh_idx, threshold=0.5, watermark="0 seconds"
+        ),
+        ck, out,
+    )
+    got = spark.read.parquet(out).toPandas()
+
+    # batch ground truth: exact jaccard of each incoming doc vs its source
+    truth = (
+        incoming.select("doc_id", shingles_expr(F.col("text")).alias("sa"))
+        .join(
+            base.select(
+                (F.col("doc_id") + 5000).alias("doc_id"),
+                shingles_expr(F.col("text")).alias("sb"),
+            ),
+            "doc_id",
+        )
+        .select("doc_id", F.round(jaccard_expr(F.col("sa"), F.col("sb")), 6).alias("j"))
+        .toPandas()
+        .set_index("doc_id")["j"]
+    )
+    matched_self = got[got["matched_id"] == got["doc_id"] - 5000]
+    assert len(matched_self) == 20  # every planted near-copy found
+    for r in matched_self.itertuples(index=False):
+        assert abs(r.jaccard - truth[r.doc_id]) < 1e-12
+    # no pair reported twice despite multi-band collisions
+    assert not got.duplicated(["doc_id", "matched_id"]).any()
