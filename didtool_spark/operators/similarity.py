@@ -252,19 +252,77 @@ def lsh_topk(
 
 # ----------------------------------------------------------------- IVF
 
-def _sq_dist(vec: Column, centroid: list[float]) -> Column:
-    lit_c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec, lit_c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _centroid_matrix_expr(centroids: list[list[float]]) -> Column:
+    # ONE F.expr parse for the whole m x d literal matrix — building it
+    # from F.lit would cost m*d py4j round trips per construction
+    rows = ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in centroids
     )
+    return F.expr(f"array({rows})")
+
+
+def _sq_dists_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double>[m] of squared distances to every centroid — one
+    transform over the literal centroid matrix (2 HOF nodes in the
+    plan, not 2m)."""
+    cmat = _centroid_matrix_expr(centroids)
+
+    def dist(c):
+        return F.aggregate(
+            F.zip_with(
+                vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.transform(cmat, dist)
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    return _sq_dists_expr(vec, [centroid])[0]
 
 
 def _cluster_expr(vec: Column, centroids: list[list[float]]) -> Column:
-    dists = F.array(*[_sq_dist(vec, c) for c in centroids])
+    dists = _sq_dists_expr(vec, centroids)
     # first minimal index (1-based array_position) -> 0-based cluster id
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def nearest_centroid_arrow(centroids: list[list[float]]):
+    """Arrow sibling of _cluster_expr: batch argmin over the centroid
+    matrix via one BLAS matmul (||v-c||^2 = ||c||^2 - 2 v.c + ||v||^2;
+    the ||v||^2 term is constant per row and dropped). Ties break to
+    the first minimal index, same as array_position."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = (C * C).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        d = Cn[None, :] - 2.0 * (M @ C.T)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return assign
+
+
+def centroid_dists_arrow(centroids: list[list[float]]):
+    """Arrow sibling of _sq_dists_expr (exact (x-y)^2 formulation)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def dists(v: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(list(d))
+
+    return dists
 
 
 def ivf_fit_centroids(
@@ -274,13 +332,16 @@ def ivf_fit_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 9,
+    compute: str = "arrow",
 ) -> list[list[float]]:
     """Distributed Lloyd k-means over DataFrame aggregations.
 
     Init: the n_centroids vectors with smallest xxhash64(id, seed) —
     deterministic, cluster-size independent. Each iteration is one
     assignment pass + one groupBy(cluster, dim) average (posexplode);
-    only n_centroids x dim numbers ever reach the driver."""
+    only n_centroids x dim numbers ever reach the driver.
+    ``compute``: 'arrow' (default — batch argmin via BLAS matmul) or
+    'expr' (pure-JVM lambda expressions; assignment-parity tested)."""
     init_rows = (
         corpus.select(vec_col, F.xxhash64(id_col, F.lit(seed)).alias("__h"))
         .orderBy("__h")
@@ -289,8 +350,12 @@ def ivf_fit_centroids(
     )
     centroids = [list(map(float, r[vec_col])) for r in init_rows]
     for _ in range(iters):
+        if compute == "arrow":
+            cl = nearest_centroid_arrow(centroids)(F.col(vec_col))
+        else:
+            cl = _cluster_expr(F.col(vec_col), centroids)
         assigned = corpus.select(
-            _cluster_expr(F.col(vec_col), centroids).alias("__c"),
+            cl.alias("__c"),
             F.posexplode(vec_col).alias("__pos", "__v"),
         )
         rows = (
@@ -316,20 +381,28 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compute: str = "arrow",
 ) -> DataFrame:
     """IVF search: corpus bucketed by nearest centroid; each query
     probes its n_probe nearest centroids' buckets; exact cosine re-rank
-    inside the probed buckets. One equi-join shuffle on cluster id."""
+    inside the probed buckets. One equi-join shuffle on cluster id.
+    ``compute`` as in ivf_fit_centroids."""
+    if compute == "arrow":
+        cl = nearest_centroid_arrow(centroids)(F.col(vec_col))
+        qdist = centroid_dists_arrow(centroids)(F.col(vec_col))
+    else:
+        cl = _cluster_expr(F.col(vec_col), centroids)
+        qdist = _sq_dists_expr(F.col(vec_col), centroids)
     c_assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _cluster_expr(F.col(vec_col), centroids).alias("cluster"),
+        cl.alias("cluster"),
     ).withColumn("cn", _norm(F.col("cv")))
     m = len(centroids)
     qd = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.array(*[_sq_dist(F.col(vec_col), c) for c in centroids]).alias("__d"),
+        qdist.alias("__d"),
     ).withColumn("qn", _norm(F.col("qv")))
     ranked = F.slice(
         F.array_sort(

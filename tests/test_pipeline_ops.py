@@ -285,6 +285,35 @@ def test_band_keys_arrow_matches_expr(spark):
     assert joined.where(F.expr("e.k <> a.k")).count() == 0
 
 
+def test_ivf_arrow_matches_expr(spark):
+    """Arrow argmin/dists kernels agree with the JVM expression kernels
+    on assignments and top-k output (same centroids, same tie rule)."""
+    from didtool_spark.operators.similarity import (
+        _cluster_expr, ivf_fit_centroids, ivf_topk, nearest_centroid_arrow,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents_a = ivf_fit_centroids(df, n_centroids=6, iters=2, compute="arrow")
+    cents_e = ivf_fit_centroids(df, n_centroids=6, iters=2, compute="expr")
+    assert np.allclose(np.array(cents_a), np.array(cents_e))
+
+    assign = df.select(
+        "vec_id",
+        nearest_centroid_arrow(cents_a)(F.col("embedding")).alias("a"),
+        _cluster_expr(F.col("embedding"), cents_a).alias("e"),
+    )
+    assert assign.where(F.col("a") != F.col("e")).count() == 0
+
+    q = df.where(F.col("vec_id") < 10)
+    ta = ivf_topk(q, df, cents_a, k=3, compute="arrow").collect()
+    te = ivf_topk(q, df, cents_a, k=3, compute="expr").collect()
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in ta} == {
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in te
+    }
+
+
 def test_minhash_bucket_stats_reports_dropped(spark):
     """The hot-bucket cap is not silent: identical boilerplate docs land
     in one bucket per band, and the stats table reports it."""
