@@ -22,6 +22,8 @@ evicts them — in a long-lived session loop, call
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -350,14 +352,20 @@ def simhash_arrow_udf(bits: int = 64):
 
     @pandas_udf("long")
     def sim(hs: pd.Series) -> pd.Series:
-        out = np.empty(len(hs), dtype=np.int64)
-        for i, h in enumerate(hs):
+        out: list[int | None] = []
+        for h in hs:
+            if h is None:
+                # NULL token array (null text) -> NULL signature, same
+                # as the expression kernel; the chunk equi-join then
+                # drops the row (null keys never match)
+                out.append(None)
+                continue
             hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
             onebits = (hv[:, None] >> shifts[None, :]) & np.uint64(1)
             votes = 2 * onebits.astype(np.int64).sum(axis=0) - len(hv)
             sig = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
-            out[i] = sig.astype(np.int64)
-        return pd.Series(out)
+            out.append(int(sig.astype(np.int64)))
+        return pd.Series(out, dtype="object")
 
     return sim
 
@@ -436,6 +444,21 @@ def simhash_near_dupes(
     ).select("id_a", "id_b", "hamming")
 
 
+class NearDupIndex(NamedTuple):
+    """Static MinHash index of a reference corpus: band table for
+    candidate generation, shingle table for exact verification, and
+    the banding PARAMETERS baked in — a querier that re-specified
+    k_shingle/n_hashes/bands and got them wrong would silently match
+    nothing (different bucket hashes), so the parameters travel with
+    the index instead."""
+
+    bands_df: DataFrame
+    shingles_df: DataFrame
+    k_shingle: int
+    n_hashes: int
+    bands: int
+
+
 def near_dup_index(
     corpus: DataFrame,
     text_col: str = "text",
@@ -443,13 +466,12 @@ def near_dup_index(
     k_shingle: int = 5,
     n_hashes: int = 32,
     bands: int = 16,
-) -> tuple[DataFrame, DataFrame]:
-    """Static MinHash index of a reference corpus for INCREMENTAL
-    near-dup checking: returns (band_index, shingle_index) —
-    (id, band, bucket) for candidate generation and (id, sh) for exact
-    verification. Build once per corpus snapshot, write both to
-    parquet partitioned/bucketed by their join keys; new documents
-    (batch increments or a stream — see
+) -> NearDupIndex:
+    """Build the static near-dup index of a reference corpus for
+    INCREMENTAL checking: (id, band, bucket) for candidate generation
+    and (id, sh) for exact verification. Build once per corpus
+    snapshot, write both frames to parquet partitioned/bucketed by
+    their join keys; new documents (batch increments or a stream — see
     streaming.stream.streaming_near_dup_matches) equi-join the band
     index and verify against the shingle index without ever touching
     the corpus text again. Same banding expression as
@@ -460,7 +482,7 @@ def near_dup_index(
     shingles = docs.select(
         "id", shingles_expr(F.col("__text"), k_shingle).alias("sh")
     )
-    return banded, shingles
+    return NearDupIndex(banded, shingles, k_shingle, n_hashes, bands)
 
 
 # ----------------------------------------------------------- ngram jaccard

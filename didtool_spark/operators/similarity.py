@@ -96,6 +96,39 @@ def center_expr(vec: Column, mean: list[float]) -> Column:
     return F.zip_with(vec, lit_m, lambda x, m: x.cast("double") - m)
 
 
+def _stack_valid(v, dim: int):
+    """Stack a pandas Series of fixed-``dim`` vectors into an
+    (n_valid, dim) float64 matrix; returns (matrix | None, valid_mask).
+    None / wrong-length entries are invalid: the JVM expression kernels
+    produce NULL for a NULL vector (and the row is dropped by the
+    downstream join/filter), so the Arrow kernels mirror that instead
+    of crashing on inhomogeneous numpy input. (A wrong-LENGTH vector is
+    treated as invalid too — stricter than the zip_with kernels, which
+    would compute over the null-padded overlap.)"""
+    import numpy as np
+
+    valid = np.array(
+        [x is not None and len(x) == dim for x in v], dtype=bool
+    )
+    if not valid.any():
+        return None, valid
+    M = np.array(
+        [np.asarray(x, dtype=np.float64) for x, ok in zip(v, valid) if ok]
+    )
+    return M, valid
+
+
+def _scatter_valid(rows, valid, n: int) -> pd.Series:
+    """Scatter per-valid-row results back to a length-n nullable
+    Series (None at invalid positions)."""
+    out: list = [None] * n
+    it = iter(rows)
+    for i, ok in enumerate(valid):
+        if ok:
+            out[i] = next(it)
+    return pd.Series(out, dtype="object")
+
+
 def _plane_matrix(dim: int, n_bits: int, seed: int = 7) -> list[list[float]]:
     """The seeded Rademacher hyperplane matrix (n_bits x dim) — ONE
     generation shared by the JVM-expression and Arrow kernels so both
@@ -160,10 +193,12 @@ def band_keys_arrow(
 
     @pandas_udf("array<int>")
     def keys(v: pd.Series) -> pd.Series:
-        M = np.array([np.asarray(x, dtype=np.float64) for x in v]) - mu
-        bits = (M @ planes_t) >= 0
+        M, valid = _stack_valid(v, dim)
+        if M is None:
+            return pd.Series([None] * len(v), dtype="object")
+        bits = ((M - mu) @ planes_t) >= 0
         K = bits.reshape(len(M), bands, rows) @ weights
-        return pd.Series(list(K.astype(np.int32)))
+        return _scatter_valid(K.astype(np.int32), valid, len(v))
 
     return keys
 
@@ -302,9 +337,13 @@ def nearest_centroid_arrow(centroids: list[list[float]]):
 
     @pandas_udf("int")
     def assign(v: pd.Series) -> pd.Series:
-        M = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        M, valid = _stack_valid(v, C.shape[1])
+        if M is None:
+            return pd.Series([None] * len(v), dtype="object")
         d = Cn[None, :] - 2.0 * (M @ C.T)
-        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+        return _scatter_valid(
+            [int(i) for i in np.argmin(d, axis=1)], valid, len(v)
+        )
 
     return assign
 
@@ -318,9 +357,11 @@ def centroid_dists_arrow(centroids: list[list[float]]):
 
     @pandas_udf("array<double>")
     def dists(v: pd.Series) -> pd.Series:
-        M = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        M, valid = _stack_valid(v, C.shape[1])
+        if M is None:
+            return pd.Series([None] * len(v), dtype="object")
         d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(list(d))
+        return _scatter_valid(list(d), valid, len(v))
 
     return dists
 
@@ -447,38 +488,39 @@ def _exact_block_pairs(base: DataFrame, threshold: float, n_blocks: int) -> Data
     path."""
     import pandas as pd
 
-    spark = base.sparkSession
-    blk = base.select(
+    # drop null vectors BEFORE packing: collect_list skips nulls, so a
+    # null embedding would silently desynchronize the parallel ids/vecs
+    # arrays; the expression strategy drops such rows too (null cosine
+    # fails the threshold filter). The vector LENGTH is part of the
+    # block key: each packed block is then numpy-homogeneous, and
+    # mixed-length pairs — which the zip_with kernel nulls out anyway —
+    # never co-locate.
+    blk = base.where(F.col("v").isNotNull()).select(
+        F.size(F.col("v")).alias("__len"),
         F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int").alias("__b"),
         "id",
         "v",
     )
-    packed = blk.groupBy("__b").agg(
+    packed = blk.groupBy("__len", "__b").agg(
         F.collect_list("id").alias("ids"), F.collect_list("v").alias("vecs")
     )
-    bp = (
-        spark.range(n_blocks)
-        .select(F.col("id").cast("int").alias("bi"))
-        .crossJoin(spark.range(n_blocks).select(F.col("id").cast("int").alias("bj")))
-        .where(F.col("bi") <= F.col("bj"))
-    )
     joined = (
-        bp.join(
-            packed.select(
-                F.col("__b").alias("bi"),
-                F.col("ids").alias("ids_a"),
-                F.col("vecs").alias("vecs_a"),
-            ),
-            "bi",
+        packed.select(
+            "__len",
+            F.col("__b").alias("bi"),
+            F.col("ids").alias("ids_a"),
+            F.col("vecs").alias("vecs_a"),
         )
         .join(
             packed.select(
+                "__len",
                 F.col("__b").alias("bj"),
                 F.col("ids").alias("ids_b"),
                 F.col("vecs").alias("vecs_b"),
             ),
-            "bj",
+            "__len",
         )
+        .where(F.col("bi") <= F.col("bj"))
         # one block pair per task: the matmul is the unit of work
         .repartition(max(n_blocks * (n_blocks + 1) // 2, 1))
     )
@@ -558,7 +600,7 @@ def embedding_near_dupes(
     dim: int = 64,
     n_bits: int = 64,
     bands: int = 8,
-    n_blocks: int = 1,
+    n_blocks: int = 16,
     compute: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b,
@@ -571,7 +613,11 @@ def embedding_near_dupes(
     matrix multiplies (hash rows into ``n_blocks`` blocks, one BLAS
     matmul per block pair inside Arrow mapInPandas) — ~2 orders of
     magnitude less per-element overhead than the interpreted lambda
-    path; requires a long/int id column.
+    path; requires a long/int id column. Size ``n_blocks`` so ONE
+    block (≈ corpus_rows/n_blocks x dim x 8 bytes) is a few MB — a
+    whole block must fit in a single task and Arrow record; the
+    default 16 suits ~10^4-10^5-row validation corpora, scale it up
+    with the corpus.
     strategy='lsh': random-hyperplane banded candidates + exact cosine
     re-check — one equi-join shuffle on (band, key); the 100 TB path.
     Defaults (64 bits / 8 bands = 8-bit band keys) give ~256 buckets

@@ -60,6 +60,8 @@ class PsiMonitor:
         return self
 
     def _bin(self):
+        if self.edges is None:
+            raise ValueError("fit() the monitor on the expected frame first")
         return bin_expr(F.col(self.col).try_cast("double"), self.edges)
 
     # ------------------------------------------------- streaming side

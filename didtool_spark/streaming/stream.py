@@ -171,14 +171,10 @@ def streaming_running_features(
 
 def streaming_near_dup_matches(
     stream: DataFrame,
-    band_index: DataFrame,
-    shingle_index: DataFrame,
+    index,
     text_col: str = "text",
     id_col: str = "doc_id",
     ts_col: str = "ts",
-    k_shingle: int = 5,
-    n_hashes: int = 32,
-    bands: int = 16,
     threshold: float = 0.6,
     watermark: str = "1 hour",
 ) -> DataFrame:
@@ -186,9 +182,11 @@ def streaming_near_dup_matches(
     reference corpus (the crawl-dedup pattern: is this incoming page a
     near-copy of anything already ingested?).
 
-    (band_index, shingle_index) come from dedup.near_dup_index — the
-    SAME banding/shingle expressions, so stream and batch agree on
-    candidates. Plan per micro-batch, all stream-static stateless:
+    ``index`` is a dedup.NearDupIndex — the banding parameters ride
+    WITH the index (re-specifying them here and getting them wrong
+    would silently match nothing), and the SAME banding/shingle
+    expressions are used, so stream and batch agree on candidates.
+    Plan per micro-batch, all stream-static stateless:
     shingle + sign the incoming docs (JVM expressions), posexplode
     band/bucket, equi-join the band index (candidate generation — the
     only join that touches the corpus-sized side), join the candidates'
@@ -208,24 +206,26 @@ def streaming_near_dup_matches(
     s = stream.select(
         F.col(id_col).alias("doc_id"),
         F.col(ts_col).alias("ts"),
-        shingles_expr(F.col(text_col), k_shingle).alias("__sh"),
+        shingles_expr(F.col(text_col), index.k_shingle).alias("__sh"),
     )
     s = s.withColumn("__hs", base_hash_expr(F.col("__sh"))).withColumn(
-        "__sig", minhash_expr(F.col("__hs"), n_hashes)
+        "__sig", minhash_expr(F.col("__hs"), index.n_hashes)
     )
     s_banded = s.select(
         "doc_id", "ts", "__sh",
-        F.explode(band_buckets_expr(F.col("__sig"), n_hashes, bands)).alias("bb"),
+        F.explode(
+            band_buckets_expr(F.col("__sig"), index.n_hashes, index.bands)
+        ).alias("bb"),
     ).select(
         "doc_id", "ts", "__sh",
         F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
     )
     cands = s_banded.join(
-        band_index.withColumnRenamed("id", "matched_id"), ["band", "bucket"]
+        index.bands_df.withColumnRenamed("id", "matched_id"), ["band", "bucket"]
     ).select("doc_id", "ts", "__sh", "matched_id")
     verified = (
         cands.join(
-            shingle_index.select(
+            index.shingles_df.select(
                 F.col("id").alias("matched_id"), F.col("sh").alias("__msh")
             ),
             "matched_id",

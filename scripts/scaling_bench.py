@@ -28,7 +28,7 @@ Usage:
   python scripts/scaling_bench.py [n_convs] [low] [high] [reps]
       one series, interleaved `reps` times (defaults 640000 2 8 2)
   python scripts/scaling_bench.py --both [n_convs] [reps]
-      both series: (1->4 at n_convs/2) and (2->8 at n_convs)
+      both series at the SAME full-size input: 1->4 and 2->8 executors
 """
 
 from __future__ import annotations
@@ -203,8 +203,10 @@ def _series_table(s: dict) -> str:
         for i, p in enumerate(s["pairs"])
     )
     lo, hi = s["low_executors"], s["high_executors"]
+    note = s.get("note")
+    note_line = f"\n_Methodology of this series: {note}._\n" if note else ""
     return f"""### Series N={lo} -> 4N={hi} executors ({lo * CORES_PER_EXEC} -> {hi * CORES_PER_EXEC} cores), {s['n_turns']:,} turns
-
+{note_line}
 | pair | N={lo} turns/sec | 4N={hi} turns/sec | aggregate mem-BW probe GB/s (N / 4N) | steal % during run (N / 4N) | efficiency |
 |---|---|---|---|---|---|
 {rows}
@@ -225,10 +227,15 @@ def write_report(series: list[dict]) -> None:
         for line in f:
             if line.strip():
                 all_series.append(json.loads(line))
-    # merge same-shape series (same executors + input) into one table
+    # merge same-shape series (same executors + input + METHODOLOGY
+    # note) into one table — non-interleaved legacy pairs must not be
+    # presented as interleaved pairs, so the note is part of the key
     merged: dict[tuple, dict] = {}
     for s in all_series:
-        k = (s["low_executors"], s["high_executors"], s["n_turns"])
+        k = (
+            s["low_executors"], s["high_executors"], s["n_turns"],
+            s.get("note", ""),
+        )
         if k in merged:
             merged[k]["pairs"].extend(s["pairs"])
         else:
@@ -254,8 +261,9 @@ transcript input, under `local-cluster[N,{CORES_PER_EXEC},{EXEC_MEM_MB}]`
 — real separate executor JVMs — at N and 4N executors,
 `spark.sql.shuffle.partitions` scaled with total cores (2x), executor
 size fixed — the scale-out shape of a real N -> 4N cluster growth.
-Levels run INTERLEAVED (N, 4N, N, 4N) so host-load drift hits both
-sides of each ratio; each pair row below is one interleaved N/4N pair.
+The current harness runs levels INTERLEAVED (N, 4N, N, 4N) so
+host-load drift hits both sides of each ratio; series recorded under
+an older methodology carry an explicit note line under their heading.
 
 Target: >= 0.8.
 
@@ -289,9 +297,7 @@ Method notes:
 - steady-state timing: one untimed warm pass per child C2-JITs the
   codegen'd hot paths; best of 3 timed passes per level suppresses
   scheduler noise WITHIN a run; the tables record the BETWEEN-pair
-  spread instead of hiding it;
-- earlier (round-2, non-interleaved) series for reference:
-  0.887 / 0.750 / 0.610 / 0.714 at 2->8 on 39.6M turns.
+  spread instead of hiding it.
 """
         )
 

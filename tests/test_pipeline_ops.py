@@ -337,3 +337,45 @@ def test_minhash_hot_bucket_strategies_agree(spark):
     b = minhash_near_dupes(docs, hot_bucket_strategy="window").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 0
+
+
+def test_arrow_kernels_tolerate_null_rows(spark):
+    """A NULL text/embedding row must not crash the Arrow kernels (the
+    expression kernels emit NULL and downstream joins drop the row):
+    simhash, hyperplane band keys, IVF assignment, and the block
+    strategy all just skip the bad row."""
+    from didtool_spark.operators.similarity import (
+        embedding_near_dupes, ivf_topk, lsh_topk,
+    )
+
+    rows = [(0, [1.0] * 8), (1, None), (2, [1.0] * 8), (3, [0.5] * 4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = embedding_near_dupes(
+        emb, threshold=0.9, strategy="block", n_blocks=2
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 2)}
+
+    lsh = embedding_near_dupes(
+        emb.where(F.col("embedding").isNotNull()), threshold=0.9,
+        strategy="lsh", dim=8, n_bits=8, bands=4,
+    )
+    # null + wrong-length rows present in the corpus: no crash
+    lsh_all = embedding_near_dupes(
+        emb, threshold=0.9, strategy="lsh", dim=8, n_bits=8, bands=4
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh_all} == {(0, 2)}
+    assert {(r["id_a"], r["id_b"]) for r in lsh.collect()} <= {(0, 2), (0, 3), (2, 3)}
+
+    topk = ivf_topk(
+        emb.where(F.col("vec_id") == 0), emb, [[1.0] * 8, [0.0] * 8], k=2
+    ).collect()
+    assert {r["neighbor_id"] for r in topk} == {2}
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"), (1, None),
+         (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    sh = simhash_near_dupes(docs, max_hamming=0, compute="arrow").collect()
+    assert {(r["id_a"], r["id_b"]) for r in sh} == {(0, 2)}

@@ -229,10 +229,11 @@ def test_streaming_near_dup_matches(spark, tmp_path_factory):
             ],
         ).alias("text"),
     )
-    band_idx, sh_idx = near_dup_index(base, bands=16)
-    band_idx = band_idx.persist()
-    sh_idx = sh_idx.persist()
-    band_idx.count(), sh_idx.count()
+    idx = near_dup_index(base, bands=16)
+    idx = idx._replace(
+        bands_df=idx.bands_df.persist(), shingles_df=idx.shingles_df.persist()
+    )
+    idx.bands_df.count(), idx.shingles_df.count()
 
     # stream: first 20 docs with the tail truncated (jaccard ~0.66)
     incoming = base.where(F.col("doc_id") < 20).select(
@@ -249,7 +250,7 @@ def test_streaming_near_dup_matches(spark, tmp_path_factory):
     )
     run_stream_once(
         streaming_near_dup_matches(
-            stream, band_idx, sh_idx, threshold=0.5, watermark="0 seconds"
+            stream, idx, threshold=0.5, watermark="0 seconds"
         ),
         ck, out,
     )
