@@ -39,30 +39,73 @@ class PsiMonitor:
     metrics.psi (edges fitted on EXPECTED, no empty-bin merge,
     metric.py:190-193)."""
 
-    def __init__(self, col: str, n_bins: int = DEFAULT_BINS):
+    def __init__(
+        self,
+        col: str,
+        n_bins: int = DEFAULT_BINS,
+        is_continuous: bool = True,
+        max_categories: int = 100,
+    ):
         self.col = col
         self.n_bins = n_bins
+        self.is_continuous = is_continuous
+        self.max_categories = max_categories
         self.edges: list[float] | None = None
+        self.vocab: dict[str, int] | None = None
         self.e_counts: dict[int, int] | None = None
 
     # ------------------------------------------------------------- fit
     def fit(self, expected: DataFrame) -> "PsiMonitor":
-        self.edges = step_edges(
-            expected, self.col, self.n_bins, remove_empty_bins=False
-        )
-        self.e_counts = {
-            r["__b"]: r["count"]
-            for r in expected.select(self._bin().alias("__b"))
-            .groupBy("__b")
+        if self.is_continuous:
+            self.edges = step_edges(
+                expected, self.col, self.n_bins, remove_empty_bins=False
+            )
+            self.e_counts = {
+                r["__b"]: r["count"]
+                for r in expected.select(self._bin().alias("__b"))
+                .groupBy("__b")
+                .count()
+                .collect()
+            }
+            return self
+        # categorical: the streaming state must stay bounded, so the
+        # monitor fits a top-``max_categories`` vocabulary by expected
+        # frequency (value -> integer code); everything else — including
+        # categories first seen on the stream — folds into one OTHER
+        # code. With cardinality <= max_categories and no unseen stream
+        # values this equals batch psi(is_continuous=False) exactly
+        # (OTHER is 0 on both sides and contributes 0 through the
+        # floors); past the cap it is the state-bounded approximation.
+        rows = (
+            expected.select(self._cat_expr().alias("__x"))
+            .groupBy("__x")
             .count()
+            .orderBy(F.desc("count"), "__x")
+            .limit(self.max_categories)
             .collect()
-        }
+        )
+        self.vocab = {r["__x"]: i for i, r in enumerate(rows)}
+        top_total = sum(r["count"] for r in rows)
+        grand = expected.count()
+        self.e_counts = {i: r["count"] for i, r in enumerate(rows)}
+        self.e_counts[len(self.vocab)] = grand - top_total  # OTHER
         return self
 
+    def _cat_expr(self):
+        return F.coalesce(F.col(self.col).cast("string"), F.lit("NA"))
+
     def _bin(self):
-        if self.edges is None:
+        if self.is_continuous:
+            if self.edges is None:
+                raise ValueError("fit() the monitor on the expected frame first")
+            return bin_expr(F.col(self.col).try_cast("double"), self.edges)
+        if self.vocab is None:
             raise ValueError("fit() the monitor on the expected frame first")
-        return bin_expr(F.col(self.col).try_cast("double"), self.edges)
+        from ..functions.exprs import map_expr
+
+        return map_expr(
+            self._cat_expr(), self.vocab, default=len(self.vocab)
+        ).cast("int")
 
     # ------------------------------------------------- streaming side
     def binned_counts(
@@ -75,7 +118,7 @@ class PsiMonitor:
         """(window_start, window_end, bin, count) per tumbling window —
         append-mode compatible (rows emit when the watermark closes the
         window)."""
-        if self.edges is None:
+        if self.e_counts is None:
             raise ValueError("fit() the monitor on the expected frame first")
         return (
             stream.withWatermark(ts_col, watermark)
@@ -96,8 +139,11 @@ class PsiMonitor:
     def _psi_of_counts(self, a_counts: dict[int, int]) -> float:
         # EXACTLY the batch psi fold (metrics.psi): NA key first iff
         # either side saw NaN, 1e-10 rate floors, sum (a-e)*ln(a/e)
-        has_nan = (-1 in self.e_counts) or (-1 in a_counts)
-        keys = ([-1] if has_nan else []) + list(range(len(self.edges) - 1))
+        if self.is_continuous:
+            has_nan = (-1 in self.e_counts) or (-1 in a_counts)
+            keys = ([-1] if has_nan else []) + list(range(len(self.edges) - 1))
+        else:
+            keys = list(range(len(self.vocab) + 1))  # codes + OTHER
         e_rate = _rates(self.e_counts, keys, sum(self.e_counts.values()))
         a_rate = _rates(a_counts, keys, sum(a_counts.values()))
         return sum((a - e) * math.log(a / e) for a, e in zip(a_rate, e_rate))

@@ -248,6 +248,24 @@ def write_report(series: list[dict]) -> None:
             effs[mid] if len(effs) % 2 else (effs[mid - 1] + effs[mid]) / 2, 3
         )
     tables = "\n".join(_series_table(s) for s in merged.values())
+    # overall per-shape summary across every journaled pair (all
+    # methodology classes — the per-series tables below carry the notes)
+    shape_all: dict[tuple, list[float]] = {}
+    for s in all_series:
+        k = (s["low_executors"], s["high_executors"])
+        shape_all.setdefault(k, []).extend(p["efficiency"] for p in s["pairs"])
+    summary_rows = []
+    for (lo, hi), effs in sorted(shape_all.items()):
+        es = sorted(effs)
+        mid = len(es) // 2
+        med = es[mid] if len(es) % 2 else (es[mid - 1] + es[mid]) / 2
+        summary_rows.append(
+            f"| {lo} -> {hi} | {len(es)} | {max(es)} | {round(med, 3)} |"
+        )
+    summary = (
+        "| series | pairs | best | median |\n|---|---|---|---|\n"
+        + "\n".join(summary_rows)
+    )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — N vs 4N executor scaling evidence
@@ -266,6 +284,11 @@ host-load drift hits both sides of each ratio; series recorded under
 an older methodology carry an explicit note line under their heading.
 
 Target: >= 0.8.
+
+Every journaled pair, by series shape (methodology per series noted in
+the tables below):
+
+{summary}
 
 {tables}
 

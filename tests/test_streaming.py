@@ -276,3 +276,49 @@ def test_streaming_near_dup_matches(spark, tmp_path_factory):
         assert abs(r.jaccard - truth[r.doc_id]) < 1e-12
     # no pair reported twice despite multi-band collisions
     assert not got.duplicated(["doc_id", "matched_id"]).any()
+
+
+def test_streaming_psi_monitor_categorical(spark, tmp_path_factory):
+    """Categorical monitor: with cardinality under the cap the
+    per-window PSI equals batch psi(is_continuous=False); values never
+    seen at fit time fold into OTHER instead of growing state."""
+    from didtool_spark.operators.metrics import psi as batch_psi
+    from didtool_spark.streaming.drift import PsiMonitor
+
+    root = tmp_path_factory.mktemp("driftcat")
+    src, out, ck = str(root / "src"), str(root / "out"), str(root / "ck")
+    tr = generate_transcripts(spark, n_convs=40, avg_turns=10)
+    feats = tr.select("conv_id", "ts", "role")
+    feats.write.mode("overwrite").parquet(src)
+    ref = spark.read.parquet(src)
+
+    mon = PsiMonitor("role", is_continuous=False).fit(ref)
+
+    stream = (
+        spark.readStream.schema("conv_id string, ts timestamp, role string")
+        .format("parquet")
+        .load(src)
+    )
+    run_stream_once(
+        mon.binned_counts(stream, window_duration="30 minutes", watermark="0 seconds"),
+        ck, out,
+    )
+    table = mon.psi_table(spark.read.parquet(out))
+    assert len(table) >= 2
+    for row in table.itertuples(index=False):
+        sl = ref.where(
+            (F.col("ts") >= F.lit(row.window_start))
+            & (F.col("ts") < F.lit(row.window_end))
+        )
+        assert abs(mon.psi_now(sl) - row.psi) < 1e-12
+        assert abs(
+            batch_psi(ref, sl, "role", is_continuous=False) - row.psi
+        ) < 1e-12
+
+    # unseen category folds into OTHER (bounded state), no crash
+    unseen = spark.createDataFrame(
+        [("c", ref.select(F.max("ts")).first()[0], "brand-new-role")],
+        "conv_id string, ts timestamp, role string",
+    )
+    v = mon.psi_now(ref.unionByName(unseen))
+    assert v > 0
