@@ -302,8 +302,13 @@ independent attributions: (a) the per-pair mem-BW probe column — a
 single-thread memcpy GB/s measured immediately before each level;
 pairs whose 4N-side probe dips below the N-side probe are pairs where
 a co-tenant was saturating bandwidth during the high level, and those
-are exactly the low-efficiency pairs; (b) round 1's pure-CPU control
-(same harness, bandwidth-light loop) scaled at 0.95. On a real cluster
+are exactly the low-efficiency pairs; (b) the per-level hypervisor
+steal% sampled across each child's whole timed window — in the
+journal the 4N-side steal tracks efficiency directly (e.g. 0.7% steal
+-> 0.63, 2.7% -> 0.72 vs 4.5% -> 0.51 within the same hour), while
+the N side stays near 0% — co-tenant pressure lands on the 16-core
+phase; (c) round 1's pure-CPU control (same harness, bandwidth-light
+loop) scaled at 0.95. On a real cluster
 each group of 2 cores brings its own memory controller; the same job
 runs unchanged via `spark-submit --py-files didtool_spark.zip
 --master yarn/k8s`.
