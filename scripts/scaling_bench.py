@@ -302,7 +302,10 @@ independent attributions: (a) the per-pair mem-BW probe column — a
 single-thread memcpy GB/s measured immediately before each level;
 pairs whose 4N-side probe dips below the N-side probe are pairs where
 a co-tenant was saturating bandwidth during the high level, and those
-are exactly the low-efficiency pairs; (b) the per-level hypervisor
+are exactly the low-efficiency pairs (journaled example: an 8-process
+aggregate probe of 50 GB/s — vs the usual ~120 — immediately before a
+4N level that then scaled at 0.58 with steal near zero); (b) the
+per-level hypervisor
 steal% sampled across each child's whole timed window — in the
 journal the 4N-side steal tracks efficiency directly (e.g. 0.7% steal
 -> 0.63, 2.7% -> 0.72 vs 4.5% -> 0.51 within the same hour), while
