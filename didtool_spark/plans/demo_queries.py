@@ -305,7 +305,7 @@ SELECT user_id,
        count(*) AS n_events,
        max(session_id) + 1 AS n_sessions,
        round(sum(value), 6) AS value_sum,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
        min(ts) AS first_ts,
        max(ts) AS last_ts
 FROM s GROUP BY user_id
