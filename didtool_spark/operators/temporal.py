@@ -12,9 +12,13 @@ Scale notes:
   whole-stage-codegen'd, one shuffle on the partition keys, no Python
   in the row path.
 - Hot entities (a conversation with millions of turns) break a naive
-  ``Window.partitionBy(conv_id)``: ``asof_join(strategy="bucketed")``
-  range-splits time into buckets per key and stitches bucket boundaries
-  with a tiny carry table, so no single task sees a whole hot key.
+  ``Window.partitionBy(conv_id)``: EVERY operator here accepts
+  ``strategy="bucketed"``, which range-splits time into buckets per key
+  and stitches bucket boundaries with a tiny carry table (sessionize,
+  forward_fill, asof_join), a ≤K-row carry prefix (with_lags,
+  with_rolling rows mode), or next-bucket context duplication
+  (with_rolling time mode) — so no single task ever sees a whole hot
+  key. Output is identical to the window strategy.
 """
 
 from __future__ import annotations
@@ -151,6 +155,105 @@ def sessionize(
     )
 
 
+def _bucketize(df: DataFrame, ts_col: str, bucket_seconds: int) -> DataFrame:
+    return df.withColumn(
+        "__bucket", F.floor(epoch_seconds(ts_col) / F.lit(int(bucket_seconds)))
+    )
+
+
+def _tail_prefix(
+    b: DataFrame,
+    keys_l: list[str],
+    order_l: list[str],
+    payload_cols: list[str],
+    K: int,
+    descending: bool = False,
+) -> DataFrame:
+    """Per-(keys, __bucket) carry table with ``__prefix``: an array of up
+    to ``K`` structs — the K rows immediately *preceding* the bucket in
+    event order (immediately *following* when ``descending``), nearest
+    row last (``element_at(__prefix, -1)`` is the adjacent row).
+
+    Memory is bounded by K, never by bucket or key size: per-bucket tails
+    come from a row_number over the reversed order + filter (no
+    whole-bucket collect), and the cross-bucket stitch only flattens the
+    previous K non-empty buckets' ≤K-row tails (each non-empty bucket
+    contributes ≥1 row, so K buckets back always suffices)."""
+    rev = [
+        F.col(c).asc() if descending else F.col(c).desc() for c in order_l
+    ]
+    w_rev = Window.partitionBy(*keys_l, "__bucket").orderBy(*rev)
+    row_struct = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_l)],
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+    )
+    tail_rows = (
+        b.select(
+            *keys_l,
+            "__bucket",
+            row_struct.alias("__r"),
+            F.row_number().over(w_rev).alias("__rne"),
+        )
+        .where(F.col("__rne") <= K)
+        .drop("__rne")
+    )
+    sorted_tail = F.array_sort(F.collect_list("__r"))
+    if descending:
+        sorted_tail = F.reverse(sorted_tail)
+    tails = tail_rows.groupBy(*keys_l, "__bucket").agg(sorted_tail.alias("__tail"))
+    bucket_ord = F.col("__bucket").desc() if descending else F.col("__bucket").asc()
+    wc = (
+        Window.partitionBy(*keys_l)
+        .orderBy(bucket_ord)
+        .rowsBetween(-K, -1)
+    )
+    flat = F.flatten(F.collect_list("__tail").over(wc))
+    return tails.select(
+        *keys_l,
+        "__bucket",
+        F.slice(
+            flat, F.greatest(F.lit(1), F.size(flat) - F.lit(K) + 1), F.lit(K)
+        ).alias("__prefix"),
+    )
+
+
+def _bucketed_shift(
+    df: DataFrame,
+    cols: list[str],
+    ks: list[int],
+    keys_l: list[str],
+    order_l: list[str],
+    ts_col: str,
+    bucket_seconds: int,
+    descending: bool,
+    name: str,
+) -> DataFrame:
+    """Bucketed lag (lead when ``descending``): in-bucket F.lag over the
+    per-(key, bucket) window; the first k rows of each bucket read the
+    carry prefix instead (``__prefix[rn - k - 1]``, negative = from the
+    end). No task ever scans a whole hot key."""
+    K = max(ks)
+    b = _bucketize(df, ts_col, bucket_seconds)
+    prefix = _tail_prefix(b, keys_l, order_l, cols, K, descending)
+    joined = b.join(prefix, [*keys_l, "__bucket"], "left")
+    ord_cols = [
+        F.col(c).desc() if descending else F.col(c).asc() for c in order_l
+    ]
+    wb = Window.partitionBy(*keys_l, "__bucket").orderBy(*ord_cols)
+    joined = joined.withColumn("__rn", F.row_number().over(wb))
+    for c in cols:
+        for k in ks:
+            in_bucket = F.lag(c, k).over(wb)
+            from_prefix = F.try_element_at(
+                F.col("__prefix"), F.col("__rn") - F.lit(k) - F.lit(1)
+            )[f"__p_{c}"]
+            joined = joined.withColumn(
+                f"{c}_{name}{k}",
+                F.when(F.col("__rn") > k, in_bucket).otherwise(from_prefix),
+            )
+    return joined.drop("__bucket", "__prefix", "__rn")
+
+
 def with_lags(
     df: DataFrame,
     cols: Iterable[str],
@@ -158,19 +261,51 @@ def with_lags(
     leads: Iterable[int] = (),
     keys: Sequence[str] | str = "conv_id",
     order: Sequence[str] | str = ("ts", "turn_idx"),
+    strategy: str = "window",
+    ts_col: str = "ts",
+    bucket_seconds: int = 86400,
 ) -> DataFrame:
     """lag/lead feature columns ``{col}_lag{k}`` / ``{col}_lead{k}``.
 
     Lags are leakage-safe (strictly past rows); leads read the future by
     definition and must only feed *labels*, never features.
+
+    strategy="window": one shuffle on ``keys``; each key is one task.
+    strategy="bucketed": the carry-in trick for hot keys — time is
+    range-split into ``bucket_seconds`` buckets; each bucket shifts
+    locally and its first k rows read a tiny per-(key, bucket) carry
+    prefix (the K=max(k) trailing rows of earlier buckets). Identical
+    output, task size bounded by bucket not key.
     """
-    w = ordered_window(keys, order)
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    order_l = [order] if isinstance(order, str) else list(order)
+    lags_l, leads_l = sorted(set(lags)), sorted(set(leads))
+    cols_l = list(cols)
+
+    if strategy == "window":
+        w = ordered_window(keys_l, order_l)
+        out = df
+        for c in cols_l:
+            for k in lags_l:
+                out = out.withColumn(f"{c}_lag{k}", F.lag(c, k).over(w))
+            for k in leads_l:
+                out = out.withColumn(f"{c}_lead{k}", F.lead(c, k).over(w))
+        return out
+
+    if strategy != "bucketed":
+        raise ValueError(f"unknown with_lags strategy {strategy!r}")
+
     out = df
-    for c in cols:
-        for k in lags:
-            out = out.withColumn(f"{c}_lag{k}", F.lag(c, k).over(w))
-        for k in leads:
-            out = out.withColumn(f"{c}_lead{k}", F.lead(c, k).over(w))
+    if lags_l:
+        out = _bucketed_shift(
+            out, cols_l, lags_l, keys_l, order_l, ts_col, bucket_seconds,
+            descending=False, name="lag",
+        )
+    if leads_l:
+        out = _bucketed_shift(
+            out, cols_l, leads_l, keys_l, order_l, ts_col, bucket_seconds,
+            descending=True, name="lead",
+        )
     return out
 
 
@@ -184,6 +319,30 @@ _AGG = {
 }
 
 
+def _is_integral(df: DataFrame, col: str) -> bool:
+    return df.schema[col].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint", "long",
+    )
+
+
+def _prefix_vals(c: str):
+    # closure factories: pyspark HOF lambdas count every python param,
+    # so default-arg capture would change the lambda's arity.
+    return lambda x: x[f"__p_{c}"]
+
+
+def _notnull():
+    return lambda v: v.isNotNull()
+
+
+def _sum_merge(cast_t: str):
+    return lambda acc, v: acc + v.cast(cast_t)
+
+
+def _sumsq_merge():
+    return lambda acc, v: acc + v.cast("double") * v.cast("double")
+
+
 def with_rolling(
     df: DataFrame,
     specs: Iterable[tuple[str, str, int]],
@@ -191,6 +350,9 @@ def with_rolling(
     order: Sequence[str] | str = ("ts", "turn_idx"),
     include_current: bool = False,
     ts_col: str | None = None,
+    strategy: str = "window",
+    bucket_ts_col: str = "ts",
+    bucket_seconds: int = 86400,
 ) -> DataFrame:
     """Bounded trailing rolling aggregates.
 
@@ -198,23 +360,145 @@ def with_rolling(
     trailing k rows (or k seconds when ``ts_col`` is set, using a
     rangeBetween frame on unix seconds). ``include_current=False`` keeps
     the frame strictly historical (leakage-safe for same-row targets).
+
+    strategy="window": one shuffle on ``keys``; each key is one task.
+    strategy="bucketed" bounds task size by bucket, not key:
+
+    - rows mode: per-(key, ``bucket_ts_col``-bucket) window aggregate,
+      combined on the first k rows of each bucket with an aggregate over
+      the tiny carry prefix (the trailing K=max(k) rows of earlier
+      buckets): sums/counts add, min/max take least/greatest, avg and
+      stddev recombine from (count, sum, sum-of-squares). Exact for
+      sum/count/min/max/avg; stddev recombination is algebraically exact
+      but may differ from the window form in the last float ulps.
+    - time mode: overlapping-bucket context duplication — every row is
+      also emitted into the *next* bucket tagged as context (bucket
+      width >= max window k, so a trailing k-second frame never reaches
+      further back than one bucket); the range window runs per (key,
+      bucket) over own+context rows and context rows are dropped. Exact
+      same results, 2x shuffle volume on the value columns.
     """
     upper = 0 if include_current else -1
     keys_l = [keys] if isinstance(keys, str) else list(keys)
-    out = df
-    if ts_col is not None:
-        out = out.withColumn("__ts_long", epoch_seconds(ts_col))
-        base = Window.partitionBy(*keys_l).orderBy("__ts_long")
-        for col, agg, k in specs:
-            w = base.rangeBetween(-int(k), upper)
-            out = out.withColumn(f"{col}_{agg}_{k}s", _AGG[agg](col).over(w))
-        return out.drop("__ts_long")
     order_l = [order] if isinstance(order, str) else list(order)
-    base = Window.partitionBy(*keys_l).orderBy(*order_l)
-    for col, agg, k in specs:
-        w = base.rowsBetween(-int(k), upper)
-        out = out.withColumn(f"{col}_{agg}_last{k}", _AGG[agg](col).over(w))
-    return out
+    specs_l = [(c, a, int(k)) for c, a, k in specs]
+    out = df
+
+    if strategy == "window":
+        if ts_col is not None:
+            out = out.withColumn("__ts_long", epoch_seconds(ts_col))
+            base = Window.partitionBy(*keys_l).orderBy("__ts_long")
+            for col, agg, k in specs_l:
+                w = base.rangeBetween(-int(k), upper)
+                out = out.withColumn(f"{col}_{agg}_{k}s", _AGG[agg](col).over(w))
+            return out.drop("__ts_long")
+        base = Window.partitionBy(*keys_l).orderBy(*order_l)
+        for col, agg, k in specs_l:
+            w = base.rowsBetween(-int(k), upper)
+            out = out.withColumn(f"{col}_{agg}_last{k}", _AGG[agg](col).over(w))
+        return out
+
+    if strategy != "bucketed":
+        raise ValueError(f"unknown with_rolling strategy {strategy!r}")
+
+    if ts_col is not None:
+        # time mode: context duplication into the next bucket
+        bw = max(int(bucket_seconds), max(k for _, _, k in specs_l))
+        base_b = out.withColumn("__ts_long", epoch_seconds(ts_col))
+        own = base_b.withColumn(
+            "__bucket", F.floor(F.col("__ts_long") / F.lit(bw))
+        ).withColumn("__ctx", F.lit(False))
+        ctx = base_b.withColumn(
+            "__bucket", F.floor(F.col("__ts_long") / F.lit(bw)) + 1
+        ).withColumn("__ctx", F.lit(True))
+        u = own.unionByName(ctx)
+        wbase = Window.partitionBy(*keys_l, "__bucket").orderBy("__ts_long")
+        for col, agg, k in specs_l:
+            w = wbase.rangeBetween(-int(k), upper)
+            u = u.withColumn(f"{col}_{agg}_{k}s", _AGG[agg](col).over(w))
+        return u.where(~F.col("__ctx")).drop("__ts_long", "__bucket", "__ctx")
+
+    # rows mode: in-bucket window + carry-prefix recombination
+    K = max(k for _, _, k in specs_l)
+    payload = sorted({c for c, _, _ in specs_l})
+    b = _bucketize(out, bucket_ts_col, bucket_seconds)
+    prefix = _tail_prefix(b, keys_l, order_l, payload, K, descending=False)
+    j = b.join(prefix, [*keys_l, "__bucket"], "left")
+    wb = Window.partitionBy(*keys_l, "__bucket").orderBy(*order_l)
+    j = j.withColumn("__rn", F.row_number().over(wb))
+    drop_cols = ["__bucket", "__prefix", "__rn"]
+
+    # per-k slice of the prefix: the last m = k - rn + 1 rows (only
+    # meaningful when rn <= k; empty otherwise)
+    ks = sorted({k for _, _, k in specs_l})
+    for k in ks:
+        m = F.lit(k) - F.col("__rn") + F.lit(1)
+        sl = F.when(
+            m > 0,
+            F.slice(
+                F.col("__prefix"),
+                F.greatest(F.lit(1), F.size("__prefix") - m + 1),
+                F.greatest(m, F.lit(1)),
+            ),
+        ).otherwise(F.slice(F.col("__prefix"), 1, 0))
+        j = j.withColumn(f"__sl_{k}", sl)
+        drop_cols.append(f"__sl_{k}")
+
+    for col, agg, k in specs_l:
+        w = wb.rowsBetween(-k, upper)
+        nn = F.filter(
+            F.transform(F.col(f"__sl_{k}"), _prefix_vals(col)), _notnull()
+        )
+        pre_cnt = F.size(nn).cast("long")
+        in_cnt = F.count(col).over(w)
+        total_cnt = in_cnt + pre_cnt
+        name = f"{col}_{agg}_last{k}"
+        if agg == "count":
+            j = j.withColumn(name, total_cnt)
+            continue
+        if agg in ("min", "max"):
+            in_v = (F.min(col) if agg == "min" else F.max(col)).over(w)
+            pre_v = F.array_min(nn) if agg == "min" else F.array_max(nn)
+            j = j.withColumn(
+                name, F.least(in_v, pre_v) if agg == "min" else F.greatest(in_v, pre_v)
+            )
+            continue
+        cast_t = "long" if _is_integral(df, col) else "double"
+        zero = F.lit(0).cast(cast_t)
+        in_sum = F.sum(F.col(col).cast(cast_t)).over(w)
+        pre_sum = F.aggregate(nn, zero, _sum_merge(cast_t))
+        total_sum = F.coalesce(in_sum, zero) + pre_sum
+        if agg == "sum":
+            j = j.withColumn(
+                name, F.when(total_cnt > 0, total_sum).otherwise(F.lit(None))
+            )
+        elif agg == "avg":
+            j = j.withColumn(
+                name,
+                F.when(
+                    total_cnt > 0,
+                    total_sum.cast("double") / total_cnt.cast("double"),
+                ).otherwise(F.lit(None)),
+            )
+        elif agg == "stddev":
+            s1 = F.coalesce(
+                F.sum(F.col(col).cast("double")).over(w), F.lit(0.0)
+            ) + F.aggregate(nn, F.lit(0.0), _sum_merge("double"))
+            s2 = F.coalesce(
+                F.sum(F.col(col).cast("double") * F.col(col).cast("double")).over(w),
+                F.lit(0.0),
+            ) + F.aggregate(nn, F.lit(0.0), _sumsq_merge())
+            n_d = total_cnt.cast("double")
+            var = (s2 - s1 * s1 / n_d) / (n_d - F.lit(1.0))
+            j = j.withColumn(
+                name,
+                F.when(
+                    total_cnt >= 2, F.sqrt(F.greatest(var, F.lit(0.0)))
+                ).otherwise(F.lit(None)),
+            )
+        else:
+            raise ValueError(f"unsupported bucketed rolling agg {agg!r}")
+    return j.drop(*drop_cols)
 
 
 def forward_fill(
@@ -223,21 +507,81 @@ def forward_fill(
     keys: Sequence[str] | str = "conv_id",
     order: Sequence[str] | str = ("ts", "turn_idx"),
     suffix: str = "_ffill",
+    strategy: str = "window",
+    ts_col: str = "ts",
+    bucket_seconds: int = 86400,
 ) -> DataFrame:
     """Backfill missing values from the most recent non-null earlier row:
     ``last(col, ignorenulls=True)`` over an unbounded-preceding frame.
-    Only reads the past — point-in-time correct by construction."""
+    Only reads the past — point-in-time correct by construction.
+
+    strategy="window": one shuffle on ``keys``; each key is one task.
+    strategy="bucketed": the sessionize-style carry trick for hot keys —
+    the fill runs per (key, ``ts_col``-bucket); a tiny per-(key, bucket)
+    carry table (last non-null value per bucket, forward-filled across
+    buckets over strictly earlier buckets) seeds rows whose bucket has no
+    earlier non-null. Identical output, task size bounded by bucket.
+    """
     keys_l = [keys] if isinstance(keys, str) else list(keys)
     order_l = [order] if isinstance(order, str) else list(order)
-    w = (
-        Window.partitionBy(*keys_l)
+    cols_l = list(cols)
+
+    if strategy == "window":
+        w = (
+            Window.partitionBy(*keys_l)
+            .orderBy(*order_l)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = df
+        for c in cols_l:
+            out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
+        return out
+
+    if strategy != "bucketed":
+        raise ValueError(f"unknown forward_fill strategy {strategy!r}")
+
+    b = _bucketize(df, ts_col, bucket_seconds)
+    wb = (
+        Window.partitionBy(*keys_l, "__bucket")
         .orderBy(*order_l)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = df
-    for c in cols:
-        out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
-    return out
+    # carry: last non-null value per (key, bucket) = max over (order, v)
+    # structs restricted to non-null v (lexicographic max = latest row)
+    carry = b.groupBy(*keys_l, "__bucket").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        *[F.col(o).alias(f"__o{i}") for i, o in enumerate(order_l)],
+                        F.col(c).alias("__v"),
+                    ),
+                )
+            )["__v"].alias(f"__c_{c}")
+            for c in cols_l
+        ]
+    )
+    wc = (
+        Window.partitionBy(*keys_l)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = carry.select(
+        *keys_l,
+        "__bucket",
+        *[
+            F.last(f"__c_{c}", ignorenulls=True).over(wc).alias(f"__prev_{c}")
+            for c in cols_l
+        ],
+    )
+    out = b.join(carry, [*keys_l, "__bucket"], "left")
+    for c in cols_l:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.coalesce(F.last(c, ignorenulls=True).over(wb), F.col(f"__prev_{c}")),
+        )
+    return out.drop("__bucket", *[f"__prev_{c}" for c in cols_l])
 
 
 def _tag_union(

@@ -17,7 +17,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from didtool_spark.data.transcripts import generate_transcripts
-from didtool_spark.operators.temporal import asof_join, sessionize
+from didtool_spark.operators.temporal import (
+    asof_join,
+    forward_fill,
+    sessionize,
+    with_lags,
+    with_rolling,
+)
 from didtool_spark.session import get_spark
 
 
@@ -58,17 +64,49 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
-    # warm both plans once
-    for s in ("window", "bucketed"):
-        run_asof(s)
-        run_sess(s)
+    feat = tr.withColumn("text_len", F.length("text"))
+    BW = 6 * 3600
 
-    results = {
-        "asof_window": timed(lambda: run_asof("window")),
-        "asof_bucketed": timed(lambda: run_asof("bucketed")),
-        "sessionize_window": timed(lambda: run_sess("window")),
-        "sessionize_bucketed": timed(lambda: run_sess("bucketed")),
+    def run_lags(strategy):
+        with_lags(
+            feat, ["text_len"], lags=[1, 3], leads=[1],
+            strategy=strategy, bucket_seconds=BW,
+        ).write.format("noop").mode("overwrite").save()
+
+    def run_roll_rows(strategy):
+        with_rolling(
+            feat, [("text_len", "sum", 5), ("text_len", "avg", 5)],
+            strategy=strategy, bucket_seconds=BW,
+        ).write.format("noop").mode("overwrite").save()
+
+    def run_roll_time(strategy):
+        with_rolling(
+            feat, [("text_len", "sum", 1800)], ts_col="ts",
+            strategy=strategy, bucket_seconds=BW,
+        ).write.format("noop").mode("overwrite").save()
+
+    def run_ffill(strategy):
+        forward_fill(
+            tr, ["tool"], strategy=strategy, bucket_seconds=BW
+        ).write.format("noop").mode("overwrite").save()
+
+    runners = {
+        "asof": run_asof,
+        "sessionize": run_sess,
+        "lags": run_lags,
+        "rolling_rows": run_roll_rows,
+        "rolling_time": run_roll_time,
+        "ffill": run_ffill,
     }
+    # warm both plans once
+    for fn in runners.values():
+        for s in ("window", "bucketed"):
+            fn(s)
+
+    results = {}
+    for name, fn in runners.items():
+        for s in ("window", "bucketed"):
+            results[f"{name}_{s}"] = timed(lambda fn=fn, s=s: fn(s))
     print(results)
 
     os.makedirs("BENCH", exist_ok=True)
@@ -84,8 +122,12 @@ Input: {n:,} turns, hottest conversation holds {hot['count']:,}
 |---|---|---|
 | as-of join | {results['asof_window']} | {results['asof_bucketed']} |
 | sessionize | {results['sessionize_window']} | {results['sessionize_bucketed']} |
+| lag/lead (x3) | {results['lags_window']} | {results['lags_bucketed']} |
+| rolling rows (sum+avg last5) | {results['rolling_rows_window']} | {results['rolling_rows_bucketed']} |
+| rolling time (sum 1800s) | {results['rolling_time_window']} | {results['rolling_time_bucketed']} |
+| forward fill | {results['ffill_window']} | {results['ffill_bucketed']} |
 
-Both bucketed forms are proven output-identical to the window forms
+All bucketed forms are proven output-identical to the window forms
 (tests/test_temporal.py). At 10^12 turns a hot conversation makes the
 window strategy's single task unbounded; the bucketed strategies bound
 every task by the time-bucket width regardless of key size.

@@ -172,3 +172,106 @@ def test_sessionize_bucketed_equals_window(tr):
         .reset_index(drop=True)
     )
     assert (a["session_id"].values == b["session_id"].values).all()
+
+
+@pytest.mark.parametrize("bucket_seconds", [3600, 7200])
+def test_lags_bucketed_equals_window(tr, bucket_seconds):
+    """Carry-prefix bucketed lag/lead must be identical to the
+    single-window form (small buckets force many boundary reads)."""
+    from pyspark.sql import functions as F
+
+    feat = tr.withColumn("text_len", F.length("text"))
+    kw = dict(cols=["text_len", "tool"], lags=[1, 3, 7], leads=[1, 2])
+    a = (
+        with_lags(feat, **kw)
+        .select("conv_id", "turn_idx", "text_len_lag1", "text_len_lag3",
+                "text_len_lag7", "text_len_lead1", "text_len_lead2",
+                "tool_lag1", "tool_lag3", "tool_lag7", "tool_lead1", "tool_lead2")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    b = (
+        with_lags(feat, strategy="bucketed", bucket_seconds=bucket_seconds, **kw)
+        .select(*a.columns)
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rolling_bucketed_rows_equals_window(tr):
+    from pyspark.sql import functions as F
+
+    feat = tr.withColumn("text_len", F.length("text")).withColumn(
+        "score", F.when(F.col("turn_idx") % 5 != 0, F.length("text").cast("double"))
+    )
+    specs = [
+        ("text_len", "sum", 5), ("text_len", "avg", 5), ("text_len", "count", 5),
+        ("score", "min", 7), ("score", "max", 7), ("score", "sum", 3),
+        ("score", "stddev", 7),
+    ]
+    sel = ["conv_id", "turn_idx"] + [f"{c}_{a}_last{k}" for c, a, k in specs]
+    for include_current in (False, True):
+        a = (
+            with_rolling(feat, specs, include_current=include_current)
+            .select(*sel)
+            .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+        b = (
+            with_rolling(feat, specs, include_current=include_current,
+                         strategy="bucketed", bucket_seconds=3600)
+            .select(*sel)
+            .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-9, rtol=1e-9)
+
+
+def test_rolling_bucketed_time_equals_window(tr):
+    from pyspark.sql import functions as F
+
+    feat = tr.withColumn("text_len", F.length("text"))
+    specs = [("text_len", "sum", 1800), ("text_len", "avg", 900),
+             ("text_len", "count", 3600)]
+    sel = ["conv_id", "turn_idx"] + [f"{c}_{a}_{k}s" for c, a, k in specs]
+    a = (
+        with_rolling(feat, specs, ts_col="ts")
+        .select(*sel)
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    b = (
+        with_rolling(feat, specs, ts_col="ts", strategy="bucketed",
+                     bucket_seconds=3600)
+        .select(*sel)
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize("bucket_seconds", [1800, 3600])
+def test_forward_fill_bucketed_equals_window(tr, bucket_seconds):
+    a = (
+        forward_fill(tr, ["tool"])
+        .select("conv_id", "turn_idx", "tool_ffill")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    b = (
+        forward_fill(tr, ["tool"], strategy="bucketed",
+                     bucket_seconds=bucket_seconds)
+        .select("conv_id", "turn_idx", "tool_ffill")
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_materialize_bucketed_equals_window(tr):
+    from didtool_spark.plans.materialize import materialize_features
+
+    a = (
+        materialize_features(tr)
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    b = (
+        materialize_features(tr, strategy="bucketed", bucket_seconds=3600)
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a, b[a.columns], check_exact=False, atol=1e-9, rtol=1e-9, check_like=True
+    )
