@@ -66,6 +66,59 @@ FROM events e, q
 """
 
 
+def _supervised_fit_input(spark: SparkSession, n: int = 4000) -> DataFrame:
+    """Deterministic synthetic (x, y) for the supervised binning gate
+    queries: x spans ~0..500 (the events.value range), p(y=1) rises with
+    x so CART/LightGBM/ChiMerge find real splits. sf-INDEPENDENT by
+    design: the fitted edges are stable constants, so the DuckDB oracle
+    can replay them as literals (the plane-literal trick from the LSH
+    oracles) while the Spark side re-runs the full distributed fit at
+    every gate — a fit regression changes the edges and goes hash-red."""
+    h1 = F.xxhash64(F.col("id"), F.lit(101))
+    h2 = F.xxhash64(F.col("id"), F.lit(202))
+    x = F.pmod(h1, 50000) / 100.0
+    y = (F.pmod(h2, 1000) < (F.lit(100) + x)).cast("int")
+    return spark.range(n).select(x.alias("x"), y.alias("y"))
+
+
+# golden fitted edges on _supervised_fit_input(n=4000), n_bins=6 —
+# pinned by tests/test_binning.py::test_supervised_gate_edges_golden
+DT_GATE_EDGES = [63.725, 171.255, 291.595, 350.39, 459.425]
+LGB_GATE_EDGES = [
+    48.49500000000001, 169.36500000000004, 291.5950000000001,
+    350.39000000000004, 459.42500000000007,
+]
+CHI_GATE_EDGES = [88.2, 219.58, 221.0, 275.36, 276.89, 291.47, 451.68]
+
+
+def _edge_replay_sql(edges: list[float]) -> str:
+    cmps = " + ".join(f"(e.value > {e!r})::INT" for e in edges)
+    return f"""
+SELECT e.event_id,
+       CASE WHEN e.value IS NULL OR isnan(e.value) THEN -1
+            ELSE CAST({cmps} AS INT) END AS value_bin
+FROM events e
+"""
+
+
+def _q_supervised_bin(method: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        fit_df = _supervised_fit_input(spark)
+        b = Binner(method=method, n_bins=6).fit(fit_df, "x", "y")
+        ev = load(spark, sf_dir, "events")
+        return b.transform(ev, "value", "value_bin").select("event_id", "value_bin")
+
+    return q
+
+
+q_dt_bin = _q_supervised_bin("dt")
+q_lgb_bin = _q_supervised_bin("lgb")
+q_chi_bin = _q_supervised_bin("chi")
+SQL_DT_BIN = _edge_replay_sql(DT_GATE_EDGES)
+SQL_LGB_BIN = _edge_replay_sql(LGB_GATE_EDGES)
+SQL_CHI_BIN = _edge_replay_sql(CHI_GATE_EDGES)
+
+
 # -------------------------------------------------------------- WOE / IV
 
 def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,22 +471,89 @@ FROM aucv
 """
 
 
-def q_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fit driver math is not ANSI-SQL-expressible; rows-only check."""
-    # deterministic uniform-ish prob correlated with the label so every
-    # prob bin is populated (the reference's odds adjustment — like ours
-    # — assumes contiguous bin occupancy, scorecard.py:153-195)
-    u = F.pmod(F.xxhash64("event_id"), F.lit(100000)) / 100000.0
-    ev = _events(spark, sf_dir).withColumn(
-        "prob", F.least(u * 0.8 + F.col("y") * 0.19, F.lit(0.999))
+def _scorecard_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic prob computable identically in DuckDB (md5-60 hash,
+    the simhash-oracle trick), shaped so EVERY fit bin holds both
+    classes: u is hash-uniform in [0,1), prob = u*0.98 + y*0.01 + 0.005
+    keeps both classes inside every 0.05-wide (1-prob) bin. On such an
+    input the reference's sequential odds adjustment
+    (scorecard.py:153-195) is a no-op (asserted by
+    tests/test_split_selector_scorecard.py), which makes fit+transform
+    ANSI-SQL-expressible: binned counts -> odds -> log2 score ->
+    piecewise lerp."""
+    u = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100000
+    ) / 100000.0
+    return _events(spark, sf_dir).withColumn(
+        "prob", u * 0.98 + F.col("y") * 0.01 + 0.005
     )
+
+
+def q_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _scorecard_input(spark, sf_dir)
     t = ScoreCardTransformer(bad_flag=True).fit(ev, "prob", "y")
     return t.transform(ev, "prob").select("event_id", "score")
+
+
+# Full fit+transform replay (bad_flag=True, n_bins=20, standard 500/0.01
+# /pdo 20). Valid ONLY because the input keeps every bin dual-class (the
+# odds adjustment is a no-op there — the adjustment path itself stays
+# covered by unit goldens). j = 19 - fit_bin is the bad_flag row
+# reversal (scorecard.py:139-143); segment math mirrors
+# _calc_mapping_df's float formulas term for term.
+SQL_SCORECARD = """
+WITH base AS (
+  SELECT event_id,
+         (('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT % 100000)
+           / 100000.0 * 0.98
+           + (CASE WHEN event_type='error' THEN 1 ELSE 0 END) * 0.01 + 0.005 AS prob,
+         CASE WHEN event_type='error' THEN 1 ELSE 0 END AS y
+  FROM events
+), fit AS (
+  SELECT CAST(floor((1.0 - prob) / 0.05) AS INT) AS fb,
+         count(*) AS hits, CAST(sum(y) AS BIGINT) AS ones
+  FROM base GROUP BY fb
+), anchors AS (
+  SELECT 19 - fb AS j,
+         0.05 * (19 - fb) AS pl_bin,
+         CAST(floor(500 + 20 * log2(((hits - ones) * 1.0 / ones) / 0.01)) AS INT)
+           AS score
+  FROM fit WHERE fb BETWEEN 0 AND 19
+), mm AS (SELECT max(score) AS mx, min(score) AS mn FROM anchors),
+segs AS (
+  SELECT t.t,
+         CASE WHEN t.t = 0 THEN 0.0
+              ELSE (a1.pl_bin + (a1.pl_bin + 0.05)) / 2 END AS pl,
+         CASE WHEN t.t = 0 THEN CAST(mm.mx + 20 AS DOUBLE)
+              ELSE CAST(a1.score AS DOUBLE) END AS sl,
+         CASE WHEN t.t = 20 THEN 1.0
+              ELSE (a2.pl_bin + (a2.pl_bin + 0.05)) / 2 END AS pr,
+         CASE WHEN t.t = 20 THEN mm.mn - 10.0
+              ELSE CAST(a2.score AS DOUBLE) END AS sr
+  FROM range(21) AS t(t)
+  LEFT JOIN anchors a1 ON a1.j = t.t - 1
+  LEFT JOIN anchors a2 ON a2.j = t.t
+  CROSS JOIN mm
+), mapping AS (
+  SELECT t, (sr - sl) / (pr - pl) AS slope,
+         (pr * sl - pl * sr) / (pr - pl) AS intercept
+  FROM segs
+)
+SELECT b.event_id,
+       CAST(round_even(m.slope * b.prob + m.intercept, 0) AS INT) AS score
+FROM base b
+JOIN mapping m ON m.t = CAST(floor((b.prob + 0.025) / 0.05) AS INT)
+"""
 
 
 OP_QUERIES = {
     "step_bin": q_step_bin,
     "quantile_bin": q_quantile_bin,
+    "dt_bin": q_dt_bin,
+    "lgb_bin": q_lgb_bin,
+    "chi_bin": q_chi_bin,
     "woe_encode": q_woe_encode,
     "iv_discrete": q_iv_discrete,
     "iv_continuous": q_iv_continuous,
@@ -453,6 +573,9 @@ OP_QUERIES = {
 OP_ORACLES = {
     "step_bin": SQL_STEP_BIN,
     "quantile_bin": SQL_QUANTILE_BIN,
+    "dt_bin": SQL_DT_BIN,
+    "lgb_bin": SQL_LGB_BIN,
+    "chi_bin": SQL_CHI_BIN,
     "woe_encode": SQL_WOE_ENCODE,
     "iv_discrete": SQL_IV_DISCRETE,
     "iv_continuous": SQL_IV_CONTINUOUS,
@@ -466,6 +589,8 @@ OP_ORACLES = {
     "split_stacking": SQL_SPLIT_STACKING,
     "auc_ks": SQL_AUC_KS,
     "auc_ks_binned": SQL_AUC_KS_BINNED,
-    # scorecard: intentionally no oracle (driver-side sequential odds
-    # adjustment is not ANSI-SQL-expressible) -> rows-only check
+    # scorecard oracle is valid because its gate input keeps the odds
+    # adjustment a no-op (see _scorecard_input); the adjustment path
+    # stays covered by unit goldens
+    "scorecard": SQL_SCORECARD,
 }

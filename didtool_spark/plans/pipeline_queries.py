@@ -273,17 +273,85 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(queries, emb, k=5, dim=64, n_bits=16, bands=4)
 
 
+def _ivf_gate_centroids() -> list[list[float]]:
+    """Deterministic sf-independent gate centroids (seeded normal,
+    scaled to the ~1/sqrt(64) coordinate scale of the embeddings), so
+    SQL_EMBEDDING_TOPK_IVF can replay assignment -> probe -> re-rank
+    over the same literal centroid matrix. numpy's legacy RandomState
+    stream is stability-guaranteed, so both sides see identical
+    floats."""
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    return [[float(v) for v in row] for row in rs.standard_normal((16, 64)) * 0.125]
+
+
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: distributed Lloyd k-means centroids (iterative — not
-    ANSI-SQL-expressible, hence rows-only; recall vs exact brute force
-    is asserted in unit tests), then probed-bucket exact re-rank. One
-    equi-join shuffle on cluster id at query time."""
-    from ..operators.similarity import ivf_fit_centroids, ivf_topk
+    """IVF ANN search path (assignment, n_probe bucket probing, exact
+    cosine re-rank — one equi-join shuffle on cluster id), ORACLE-
+    CHECKED over fixed gate centroids. The distributed Lloyd *fit*
+    (ivf_fit_centroids) is iterative and not ANSI-SQL-expressible; it
+    stays covered by unit tests (recall vs brute force + Arrow/expr
+    assignment parity), the same split as the supervised binning gates."""
+    from ..operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = ivf_fit_centroids(emb, n_centroids=16, iters=2)
     queries = emb.where(F.col("vec_id") < 20)
-    return ivf_topk(queries, emb, cents, k=5, n_probe=4)
+    return ivf_topk(queries, emb, _ivf_gate_centroids(), k=5, n_probe=4)
+
+
+def _ivf_oracle_sql() -> str:
+    """Literal-centroid replay: per-vector squared distances to every
+    centroid (first-min tie-break, matching array_position /
+    np.argmin), n_probe=4 smallest per query, exact cosine re-rank in
+    the bit-identical float32-product form."""
+    cents = _ivf_gate_centroids()
+    vals = ",\n    ".join(
+        f"({i}, [{', '.join(repr(v) for v in row)}])" for i, row in enumerate(cents)
+    )
+    dist = (
+        "list_sum(list_transform(list_zip({v}, cvec), "
+        "x -> (x[1]::DOUBLE - x[2]) * (x[1]::DOUBLE - x[2])))"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+cents AS (SELECT * FROM (VALUES
+    {vals}) AS t(cid, cvec)),
+assigned AS (
+  SELECT neighbor_id, cv, cid AS cluster FROM (
+    SELECT c.neighbor_id, c.cv, cents.cid, {dist.format(v='c.cv')} AS d,
+           row_number() OVER (PARTITION BY c.neighbor_id
+                              ORDER BY {dist.format(v='c.cv')}, cents.cid) AS rn
+    FROM c CROSS JOIN cents) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, cid AS cluster FROM (
+    SELECT q.query_id, q.qv, cents.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {dist.format(v='q.qv')}, cents.cid) AS rn
+    FROM q CROSS JOIN cents) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id,
+         list_sum(list_transform(list_zip(p.qv, a.cv), x -> (x[1] * x[2])::DOUBLE))
+         / (sqrt(list_sum(list_transform(p.qv, v -> (v * v)::DOUBLE)))
+            * sqrt(list_sum(list_transform(a.cv, v -> (v * v)::DOUBLE)))) AS cosine
+  FROM probes p JOIN assigned a USING (cluster)
+  WHERE p.query_id <> a.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_EMBEDDING_TOPK_IVF = _ivf_oracle_sql()
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,6 +561,7 @@ PIPELINE_ORACLES = {
     "ngram_jaccard": SQL_NEAR_DUP_PAIRS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_topk_lsh": SQL_EMBEDDING_TOPK_LSH,
+    "embedding_topk_ivf": SQL_EMBEDDING_TOPK_IVF,
     "embedding_dedup": SQL_EMBEDDING_DEDUP,
     "embedding_dedup_lsh": SQL_EMBEDDING_DEDUP_LSH,
     "fingerprints": SQL_FINGERPRINTS,

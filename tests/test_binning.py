@@ -131,3 +131,28 @@ def test_larger_random_fit(spark, method):
     assert (out.loc[out["x"].isna(), "x_bin"] == -1).all()
     assert (out.loc[out["x"].notna(), "x_bin"] >= 0).all()
     assert out["x_bin"].max() <= 5
+
+
+def test_supervised_gate_edges_golden(spark):
+    """The driver-gate dt/lgb/chi oracles replay these exact edges as
+    SQL literals — if a fit change moves them, fail HERE with a clear
+    message (update both this golden and the SQL constants) instead of
+    a bare hash mismatch at the gate."""
+    import math
+
+    from didtool_spark.plans.operator_queries import (
+        CHI_GATE_EDGES,
+        DT_GATE_EDGES,
+        LGB_GATE_EDGES,
+        _supervised_fit_input,
+    )
+
+    fit_df = _supervised_fit_input(spark)
+    for method, want in (
+        ("dt", DT_GATE_EDGES), ("lgb", LGB_GATE_EDGES), ("chi", CHI_GATE_EDGES)
+    ):
+        got = Binner(method=method, n_bins=6).fit(fit_df, "x", "y").edges
+        assert got == [-math.inf, *want, math.inf], (
+            f"{method} gate edges drifted: {got} — update "
+            f"{method.upper()}_GATE_EDGES and its oracle SQL"
+        )

@@ -220,3 +220,23 @@ def test_drop_low_importance_sampled(spark):
     st = sel.importance_stats
     assert list(st["feature"]) == ["x", "noise"]
     assert "noise" in sel.drop_cols
+
+
+def test_scorecard_gate_input_adjustment_noop(spark):
+    """The SQL_SCORECARD oracle replays fit+transform WITHOUT the
+    sequential odds adjustment — valid only while the gate input keeps
+    every bin dual-class. Assert the no-op explicitly so an input/data
+    change fails here with a message, not as a bare gate hash mismatch."""
+    import numpy as np
+
+    from didtool_spark.operators.scorecard import ScoreCardTransformer
+    from didtool_spark.plans.operator_queries import _scorecard_input
+
+    ev = _scorecard_input(spark, "/root/testdata/sf0.001")
+    t = ScoreCardTransformer(bad_flag=True).fit(ev, "prob", "y")
+    b = t.binning_df
+    assert (b["good_hits"] > 0).all() and (b["bad_hits"] > 0).all(), (
+        "scorecard gate input no longer dual-class in every bin — "
+        "SQL_SCORECARD's no-adjustment replay is invalid"
+    )
+    np.testing.assert_array_equal(b["odds"].values, b["adjusted_odds"].values)
