@@ -1,18 +1,28 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 plus typed metadata, processed with Arrow-batched ``mapInPandas``.
 
-The Spark-side plumbing — schemas, batch iteration, partition-preserving
-transforms, UDF signatures — is real and tested. The codec step itself
-(JPEG decode, audio resample, video frame extraction) is STUBBED behind
-``_decode_stub`` because the image/audio libraries are not in this
-container: it produces a deterministic fake "decoded" feature vector
-from the payload bytes. Swapping in a real decoder is a one-function
-change (replace ``_decode_stub`` with PIL/torchaudio/PyAV calls inside
-the same pandas batch loop).
+Decode support is tiered by what pure stdlib can honestly parse:
+
+- WAV (RIFF PCM16) — REAL decode via the stdlib ``wave`` module; the
+  pooled feature is 16 chunk-wise mean |amplitude| values.
+- PPM (binary P6) and BMP (24-bit uncompressed) — REAL pixel parse
+  (header + raw bytes); the pooled feature is a 4x4 block-mean
+  grayscale map.
+- JPEG / video / everything else — STUBBED behind ``_decode_stub``
+  (deterministic fake fold of the payload bytes) because the codec
+  libraries are not in this container. Swapping in a real decoder is a
+  one-function change inside the same pandas batch loop.
+
+Features are computed with integer sums and a fixed division order, so
+the driver-gate oracle can replay them exactly in SQL from the
+generator formulas (see plans/pipeline_queries.SQL_MEDIA_FEATURES).
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -61,6 +71,102 @@ def _decode_stub(payload: bytes, kind: str, n_frames: int) -> np.ndarray:
     return frames[::step][:n_frames].mean(axis=0)
 
 
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF PCM16 -> int16 samples of the first channel (stdlib wave)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported")
+        nch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    return np.frombuffer(raw, dtype="<i2").reshape(-1, nch)[:, 0]
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM -> uint8 pixel array (h, w, 3)."""
+    parts = []
+    pos = 2  # past 'P6'
+    while len(parts) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while not payload[end : end + 1].isspace():
+            end += 1
+        parts.append(int(payload[pos:end]))
+        pos = end
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    pos += 1  # single whitespace after maxval
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> uint8 pixel array (h, w, 3) in RGB
+    order (BMP stores BGR rows bottom-up, 4-byte padded)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def _wav_feature(samples: np.ndarray) -> np.ndarray:
+    """16 chunk-wise mean |amplitude| values in [0, 1); chunk of sample
+    i is (i*16)//n — integer sums then one division, SQL-replayable."""
+    n = len(samples)
+    if n == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    idx = (np.arange(n) * FEATURE_DIM) // n
+    absv = np.abs(samples.astype(np.int64))
+    sums = np.bincount(idx, weights=absv, minlength=FEATURE_DIM)
+    cnts = np.bincount(idx, minlength=FEATURE_DIM)
+    out = np.where(cnts > 0, sums * 1.0 / np.maximum(cnts, 1) / 32768.0, 0.0)
+    return out.astype(np.float32)
+
+
+def _image_feature(px: np.ndarray) -> np.ndarray:
+    """4x4 block-mean grayscale map in [0, 1]: channel entry at flat
+    index idx (y = idx//(w*3), x = (idx%(w*3))//3) lands in block
+    (y*4)//h, (x*4)//w — integer sums, SQL-replayable."""
+    h, w, _ = px.shape
+    yb = (np.arange(h) * 4) // h
+    xb = (np.arange(w) * 4) // w
+    j = (yb[:, None] * 4 + xb[None, :]).repeat(3).ravel()
+    sums = np.bincount(j, weights=px.ravel().astype(np.int64), minlength=FEATURE_DIM)
+    cnts = np.bincount(j, minlength=FEATURE_DIM)
+    out = np.where(cnts > 0, sums * 1.0 / (np.maximum(cnts, 1) * 255), 0.0)
+    return out.astype(np.float32)
+
+
+def decode_feature(payload: bytes, kind: str, n_frames: int) -> tuple[np.ndarray, int]:
+    """(pooled FEATURE_DIM vector, n_frames_sampled). Real decode for
+    WAV/PPM/BMP by magic-byte sniff; deterministic stub otherwise."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _wav_feature(_decode_wav(payload)), FEATURE_DIM
+    if payload[:2] == b"P6":
+        return _image_feature(_decode_ppm(payload)), 1
+    if payload[:2] == b"BM":
+        return _image_feature(_decode_bmp(payload)), 1
+    stub_frames = int(min(n_frames, max(1, len(payload) // FEATURE_DIM)))
+    return _decode_stub(payload, kind, n_frames), stub_frames
+
+
 def extract_media_features(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """mapInPandas over Arrow batches: one vectorized pass per batch;
     output schema is fixed (FEATURE_SCHEMA) so downstream plans are
@@ -68,8 +174,8 @@ def extract_media_features(df: DataFrame, n_frames: int = 4) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                _decode_stub(p, k, n_frames)
+            decoded = [
+                decode_feature(p, k, n_frames)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
@@ -77,17 +183,60 @@ def extract_media_features(df: DataFrame, n_frames: int = 4) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].str.len().astype("int32"),
-                    "feature": [f.tolist() for f in feats],
-                    "n_frames_sampled": np.minimum(
-                        n_frames,
-                        np.maximum(
-                            1, pdf["payload"].str.len() // FEATURE_DIM
-                        ),
-                    ).astype("int32"),
+                    "feature": [f.tolist() for f, _ in decoded],
+                    "n_frames_sampled": pd.Series(
+                        [nf for _, nf in decoded], dtype="int32"
+                    ),
                 }
             )
 
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def synthetic_media_real(spark, n: int = 500) -> DataFrame:
+    """Deterministic media table with REAL codec payloads: even ids are
+    PCM16 WAV (stdlib wave writer), odd ids binary-P6 PPM. All content
+    derives from closed-form integer formulas so the driver-gate oracle
+    can recompute the decoded features in SQL without parsing bytes:
+
+    audio (even id): ns = 160 + id % 200 samples at 8 kHz,
+        sample_i = ((id*31 + i*17) % 2001) - 1000
+    image (odd id):  w = 4 + id % 13, h = 4 + id % 7,
+        channel entry at flat idx (row-major RGB) = (id*7 + idx) % 256
+    """
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    ns = 160 + mid % 200
+                    samples = (
+                        ((mid * 31 + np.arange(ns) * 17) % 2001) - 1000
+                    ).astype("<i2")
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(8000)
+                        w.writeframes(samples.tobytes())
+                    rows.append(
+                        (mid, "audio", buf.getvalue(), 0, 0, ns * 1000 // 8000)
+                    )
+                else:
+                    wd, ht = 4 + mid % 13, 4 + mid % 7
+                    px = ((mid * 7 + np.arange(wd * ht * 3)) % 256).astype(np.uint8)
+                    payload = f"P6\n{wd} {ht}\n255\n".encode() + px.tobytes()
+                    rows.append((mid, "image", payload, wd, ht, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "width", "height", "duration_ms",
+                ],
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 200, seed: int = 5) -> DataFrame:

@@ -528,12 +528,81 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.95
 # ------------------------------------------------------------- multimodal
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow mapInPandas plumbing over synthetic binary media — decode
-    is a deterministic stub (no codec libs in container); rows-only."""
-    media = synthetic_media(spark, n=500)
-    return extract_media_features(media).select(
-        "media_id", "kind", "n_bytes", "n_frames_sampled"
+    """REAL stdlib decode end-to-end, ORACLE-CHECKED: WAV payloads are
+    parsed with the ``wave`` module and PPM pixels from raw bytes inside
+    the Arrow mapInPandas pass; the generator's closed-form content
+    formulas let SQL_MEDIA_FEATURES recompute every pooled feature value
+    without touching bytes. Features exploded to scalar rows so the
+    driver's value hash covers them (JPEG/video decode stays stubbed —
+    no codec libs in the container — covered by the plumbing units)."""
+    from ..operators.multimodal import synthetic_media_real
+
+    media = synthetic_media_real(spark, n=500)
+    out = extract_media_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "n_frames_sampled",
+        F.posexplode("feature").alias("pos", "f"),
+    ).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "n_frames_sampled",
+        "pos",
+        F.round(F.col("f").cast("double"), 6).alias("feat"),
     )
+
+
+SQL_MEDIA_FEATURES = """
+WITH ids AS (SELECT unnest(range(500)) AS media_id),
+audio AS (SELECT media_id, 160 + media_id % 200 AS ns FROM ids WHERE media_id % 2 = 0),
+a_samples AS (
+  SELECT media_id, ns, unnest(range(ns)) AS i FROM audio
+),
+a_feat AS (
+  SELECT media_id,
+         CAST((i * 16) // ns AS INT) AS pos,
+         CAST(sum(abs(((media_id * 31 + i * 17) % 2001) - 1000)) AS BIGINT) AS s,
+         count(*) AS cnt
+  FROM a_samples GROUP BY 1, 2
+),
+a_rows AS (
+  SELECT a.media_id, 'audio' AS kind,
+         CAST(44 + 2 * au.ns AS INT) AS n_bytes,
+         16 AS n_frames_sampled, a.pos,
+         round(CAST(CAST(a.s * 1.0 / a.cnt / 32768.0 AS FLOAT) AS DOUBLE), 6) AS feat
+  FROM a_feat a JOIN audio au USING (media_id)
+),
+image AS (
+  SELECT media_id, 4 + media_id % 13 AS w, 4 + media_id % 7 AS h
+  FROM ids WHERE media_id % 2 = 1
+),
+i_entries AS (
+  SELECT media_id, w, h, unnest(range(w * h * 3)) AS idx FROM image
+),
+i_feat AS (
+  SELECT media_id,
+         CAST((((idx // (w * 3)) * 4) // h) * 4
+              + (((idx % (w * 3)) // 3) * 4) // w AS INT) AS pos,
+         CAST(sum((media_id * 7 + idx) % 256) AS BIGINT) AS s,
+         count(*) AS cnt
+  FROM i_entries GROUP BY 1, 2
+),
+i_rows AS (
+  SELECT f.media_id, 'image' AS kind,
+         CAST(9 + length(CAST(im.w AS VARCHAR)) + length(CAST(im.h AS VARCHAR))
+              + 3 * im.w * im.h AS INT) AS n_bytes,
+         1 AS n_frames_sampled, f.pos,
+         round(CAST(CAST(f.s * 1.0 / (f.cnt * 255) AS FLOAT) AS DOUBLE), 6) AS feat
+  FROM i_feat f JOIN image im USING (media_id)
+)
+SELECT media_id, kind, n_bytes,
+       CAST(n_frames_sampled AS INT) AS n_frames_sampled,
+       pos, feat
+FROM (SELECT * FROM a_rows UNION ALL SELECT * FROM i_rows)
+"""
 
 
 PIPELINE_QUERIES = {
@@ -565,5 +634,7 @@ PIPELINE_ORACLES = {
     "embedding_dedup": SQL_EMBEDDING_DEDUP,
     "embedding_dedup_lsh": SQL_EMBEDDING_DEDUP_LSH,
     "fingerprints": SQL_FINGERPRINTS,
-    # media_features: rows-only (decode honestly stubbed — no codecs)
+    # media oracle replays the generator's closed-form content (the
+    # Spark side really parses WAV/PPM bytes; JPEG/video stay stubbed)
+    "media_features": SQL_MEDIA_FEATURES,
 }

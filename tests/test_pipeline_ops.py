@@ -379,3 +379,72 @@ def test_arrow_kernels_tolerate_null_rows(spark):
     )
     sh = simhash_near_dupes(docs, max_hamming=0, compute="arrow").collect()
     assert {(r["id_a"], r["id_b"]) for r in sh} == {(0, 2)}
+
+
+def test_wav_decode_roundtrip():
+    """wave-module bytes -> _decode_wav -> exact samples; feature
+    matches the closed-form integer pooling."""
+    import io
+    import wave as wavemod
+
+    import numpy as np
+
+    from didtool_spark.operators.multimodal import (
+        FEATURE_DIM, _decode_wav, _wav_feature, decode_feature,
+    )
+
+    samples = (((7 * 31 + np.arange(300) * 17) % 2001) - 1000).astype("<i2")
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    payload = buf.getvalue()
+    np.testing.assert_array_equal(_decode_wav(payload), samples)
+    feat, nf = decode_feature(payload, "audio", 4)
+    assert nf == FEATURE_DIM
+    idx = (np.arange(300) * FEATURE_DIM) // 300
+    want = np.array(
+        [
+            np.abs(samples[idx == j].astype(np.int64)).sum()
+            * 1.0 / (idx == j).sum() / 32768.0
+            for j in range(FEATURE_DIM)
+        ],
+        dtype=np.float32,
+    )
+    np.testing.assert_array_equal(feat, want)
+    np.testing.assert_array_equal(feat, _wav_feature(samples))
+
+
+def test_bmp_ppm_decode_parity():
+    """Same pixel content encoded as P6 PPM and 24-bit BMP (bottom-up,
+    BGR, padded rows) must decode to the same array and feature."""
+    import struct as structmod
+
+    import numpy as np
+
+    from didtool_spark.operators.multimodal import (
+        _decode_bmp, _decode_ppm, decode_feature,
+    )
+
+    w, h = 7, 5
+    px = ((np.arange(w * h * 3) * 11 + 3) % 256).astype(np.uint8).reshape(h, w, 3)
+    ppm = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    stride = (w * 3 + 3) // 4 * 4
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y, :, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    header = (
+        b"BM"
+        + structmod.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        + structmod.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    )
+    bmp = header + rows
+    np.testing.assert_array_equal(_decode_ppm(ppm), px)
+    np.testing.assert_array_equal(_decode_bmp(bmp), px)
+    f1, n1 = decode_feature(ppm, "image", 4)
+    f2, n2 = decode_feature(bmp, "image", 4)
+    np.testing.assert_array_equal(f1, f2)
+    assert n1 == n2 == 1
