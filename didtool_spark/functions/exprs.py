@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Mapping
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 MAP_EXPR_MAX = 256
 
@@ -29,11 +29,11 @@ def map_expr(
     """Literal-lookup expression: mapping.get(col, default). NULL keys in
     ``mapping`` are honored via an explicit isNull branch."""
     c = F.col(col) if isinstance(col, str) else col
-    null_val = None
+    has_null_key, null_val = False, None
     items = []
     for k, v in mapping.items():
         if k is None:
-            null_val = v
+            has_null_key, null_val = True, v
         else:
             items.append((k, v))
     expr = None
@@ -43,27 +43,11 @@ def map_expr(
             kv.extend([F.lit(k), F.lit(v)])
         expr = F.create_map(*kv)[c]
     out = F.lit(default) if expr is None else F.coalesce(expr, F.lit(default))
-    if null_val is not None:
+    if has_null_key:
+        # an explicit None key wins over `default` even when its VALUE
+        # is None — same contract as with_lookup's join branch
         out = F.when(c.isNull(), F.lit(null_val)).otherwise(out)
     return out
-
-
-def lookup_via_join(
-    df: DataFrame,
-    col: str,
-    mapping: Mapping[Any, Any],
-    out_col: str,
-    default: Any = None,
-    spark: SparkSession | None = None,
-) -> DataFrame:
-    """Broadcast-join lookup for large vocabularies."""
-    spark = spark or df.sparkSession
-    lut = spark.createDataFrame(
-        [(k, v) for k, v in mapping.items() if k is not None], ["__k", "__v"]
-    )
-    joined = df.join(F.broadcast(lut), df[col] == lut["__k"], "left")
-    out = joined.withColumn(out_col, F.coalesce("__v", F.lit(default)))
-    return out.drop("__k", "__v")
 
 
 def with_lookup(

@@ -54,9 +54,12 @@ def collect_capped(agg_df: DataFrame, max_distinct: int | None) -> list | None:
     exceeded (the caller falls back to a quantized/top-k plan). The
     limit also lets Spark stop the final stage early — the common
     small-vocabulary case costs exactly the one aggregation it always
-    did."""
-    if not max_distinct:
+    did. Only ``None`` means uncapped; a zero/negative cap is a caller
+    bug, not an implicit "collect everything"."""
+    if max_distinct is None:
         return agg_df.collect()
+    if max_distinct <= 0:
+        raise ValueError(f"max_distinct must be positive or None, got {max_distinct}")
     rows = agg_df.limit(max_distinct + 1).collect()
     return None if len(rows) > max_distinct else rows
 

@@ -68,7 +68,11 @@ def _fit_value_counts(
 
 
 def _select_n_bins(vals, total, max_bins, min_coverage, capped=False) -> int:
-    """top-k / coverage-prefix rule (transformer.py:366-375)."""
+    """top-k / coverage-prefix rule (transformer.py:366-375). max_bins
+    DOMINATES when both bounds are set (if/elif, same as the reference),
+    so the capped-collect raise below is only reachable when
+    min_coverage is the sole bound — its "set max_bins" advice is then
+    accurate."""
     n_bins = len(vals)
     if max_bins:
         n_bins = min(n_bins, max_bins)

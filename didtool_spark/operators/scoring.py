@@ -89,6 +89,17 @@ def stacking_evaluate(
     final = F.when(g < 0, mean_prob)
     for k in range(n_fold):
         final = final.when(g == k, F.col(f"prob_{k}"))
+    # a NULL group or group >= n_fold is caller error — raise_error
+    # instead of a silent NULL prob that downstream AUC/KS would drop
+    final = final.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"stacking_evaluate: {group_col} out of range [-1, "),
+                F.lit(f"{n_fold - 1}]: "),
+                F.coalesce(g.cast("string"), F.lit("NULL")),
+            )
+        )
+    )
     out = out.withColumn("prob", final).drop(*feature_cols)
 
     fold_auc = None

@@ -98,13 +98,20 @@ class CheckpointedRun:
         if not todo:
             return totals
         src = self._stage_source(source, input_fingerprint)
+        from pyspark.sql import Observation
+
         for b in todo:
             t0 = time.time()
             part = src.where(F.col("__bucket") == b).drop("__bucket")
             out = transform(part)
             path = os.path.join(self.out_dir, f"bucket={b}")
+            # row count captured FROM the write job itself (observe()
+            # metrics are collected as the action runs) — no second
+            # read-back scan of the bucket output
+            obs = Observation(f"bucket-{b}")
+            out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
             out.write.mode("overwrite").parquet(path)
-            rows = self.spark.read.parquet(path).count()
+            rows = int(obs.get["rows"])
             nbytes = sum(
                 os.path.getsize(os.path.join(dp, f_))
                 for dp, _, fs in os.walk(path)

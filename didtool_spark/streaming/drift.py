@@ -53,9 +53,11 @@ class PsiMonitor:
         self.edges: list[float] | None = None
         self.vocab: dict[str, int] | None = None
         self.e_counts: dict[int, int] | None = None
+        self._dtype: str = "double"
 
     # ------------------------------------------------------------- fit
     def fit(self, expected: DataFrame) -> "PsiMonitor":
+        self._dtype = expected.schema[self.col].dataType.simpleString()
         if self.is_continuous:
             self.edges = step_edges(
                 expected, self.col, self.n_bins, remove_empty_bins=False
@@ -92,7 +94,13 @@ class PsiMonitor:
         return self
 
     def _cat_expr(self):
-        return F.coalesce(F.col(self.col).cast("string"), F.lit("NA"))
+        # the SAME key normalization as batch metrics.psi ('nan'
+        # sentinel, int-normalized numerics — '1' not '1.0'), so
+        # psi_now/psi_table equals batch psi for every column dtype,
+        # not just plain strings
+        from ..operators.metrics import handle_categorical_expr
+
+        return handle_categorical_expr(F.col(self.col), self._dtype)
 
     def _bin(self):
         if self.is_continuous:

@@ -18,11 +18,29 @@ def tr(spark):
     return generate_transcripts(spark, n_convs=60, avg_turns=12).cache()
 
 
-def test_checkpoint_resume(spark, tr, tmp_path_factory):
+def test_checkpoint_resume(spark, tr, tmp_path_factory, monkeypatch):
     out = str(tmp_path_factory.mktemp("ckpt"))
     run = CheckpointedRun(spark, out, n_buckets=8)
 
+    # row metrics must come from the write job itself (observe()), not
+    # a read-back of the bucket output — spy on DataFrameReader.parquet
+    # and assert no bucket directory is ever re-read during run()
+    from pyspark.sql.readwriter import DataFrameReader
+
+    read_paths = []
+    orig_parquet = DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        read_paths.extend(paths)
+        return orig_parquet(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
     totals = run.run(tr, materialize_features)
+    monkeypatch.setattr(DataFrameReader, "parquet", orig_parquet)
+    assert not [p for p in read_paths if "bucket=" in str(p)], (
+        "bucket output re-read during run(): metrics should come from "
+        "the write job's observe(), one scan per bucket"
+    )
     assert totals["buckets_run"] == 8
     assert totals["buckets_skipped"] == 0
     assert totals["rows"] == tr.count()

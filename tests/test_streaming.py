@@ -322,3 +322,26 @@ def test_streaming_psi_monitor_categorical(spark, tmp_path_factory):
     )
     v = mon.psi_now(ref.unionByName(unseen))
     assert v > 0
+
+
+def test_psi_monitor_categorical_numeric_dtype_matches_batch(spark):
+    """ADVICE r02: the monitor's categorical key must use the same
+    normalization as batch metrics.psi ('nan' sentinel, int-normalized
+    numerics) so the batch-equality contract holds for NUMERIC columns
+    too, not only plain strings."""
+    from didtool_spark.operators.metrics import psi as batch_psi
+    from didtool_spark.streaming.drift import PsiMonitor
+
+    ref = spark.range(200).select(
+        (F.col("id") % 7).cast("double").alias("code")
+    )
+    # actual: shifted distribution + a NaN block (hits the 'nan' key)
+    actual = spark.range(150).select(
+        F.when(F.col("id") % 11 == 0, F.lit(float("nan")))
+        .otherwise((F.col("id") % 5).cast("double"))
+        .alias("code")
+    )
+    mon = PsiMonitor("code", is_continuous=False).fit(ref)
+    got = mon.psi_now(actual)
+    want = batch_psi(ref, actual, "code", is_continuous=False)
+    assert abs(got - want) < 1e-12
