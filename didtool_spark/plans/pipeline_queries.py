@@ -605,6 +605,174 @@ FROM (SELECT * FROM a_rows UNION ALL SELECT * FROM i_rows)
 """
 
 
+# ------------------------------------------------------------- curation
+
+def _docs_with_planted_pii(spark, sf_dir) -> DataFrame:
+    """Deterministic PII planted from doc_id so both engines build the
+    same text (the corpus itself has none)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" contact u"), d, F.lit("@ex-"), d, F.lit(".org")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" see https://site"), d, F.lit(".example/p?u=1")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 0,
+                F.concat(
+                    F.lit(" call +15550"),
+                    F.lpad((d % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curate import scrub_pii
+
+    planted = _docs_with_planted_pii(spark, sf_dir)
+    return scrub_pii(planted, "text", out_col="scrubbed").select(
+        "doc_id", "n_url", "n_email", "n_ipv4", "n_phone", "scrubbed"
+    )
+
+
+_SQL_PLANTED_PII = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact u' || doc_id || '@ex-' || doc_id || '.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' see https://site' || doc_id || '.example/p?u=1'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call +15550' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+# sequential scrub replay: each kind is counted on the text ALREADY
+# scrubbed of earlier kinds, exactly like scrub_pii's loop
+SQL_PII_SCRUB = f"""
+WITH planted AS ({_SQL_PLANTED_PII}),
+s0 AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INT) AS n_url,
+         regexp_replace(text, 'https?://[^\\s]+', '[URL]', 'g') AS t1
+  FROM planted
+),
+s1 AS (
+  SELECT *,
+         CAST(len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_email,
+         regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g') AS t2
+  FROM s0
+),
+s2 AS (
+  SELECT *,
+         CAST(len(regexp_extract_all(t2, '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS INT) AS n_ipv4,
+         regexp_replace(t2, '\\b(\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '[IP]', 'g') AS t3
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+         CAST(len(regexp_extract_all(t3, '\\+?\\d[\\d\\- ]{{7,}}\\d')) AS INT) AS n_phone,
+         regexp_replace(t3, '\\+?\\d[\\d\\- ]{{7,}}\\d', '[PHONE]', 'g') AS scrubbed
+  FROM s2
+)
+SELECT doc_id, n_url, n_email, n_ipv4, n_phone, scrubbed FROM s3
+"""
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curate import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", chunk_tokens=32, overlap=8)
+
+
+SQL_CHUNK_DOCS = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+), n AS (
+  SELECT doc_id, tk, greatest(len(tk), 1) AS n FROM t
+), s AS (
+  SELECT doc_id, tk, unnest(range(0, n, 24)) AS start FROM n
+)
+SELECT doc_id,
+       CAST(start // 24 AS INT) AS chunk_id,
+       array_to_string(list_slice(tk, start + 1, start + 32), ' ') AS chunk_text,
+       CAST(len(list_slice(tk, start + 1, start + 32)) AS INT) AS n_tokens
+FROM s
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curate import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.25, "fr": 0.1},
+        id_col="doc_id",
+        seed=3,
+        default_fraction=0.05,
+    )
+    return out.select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|3'), 1, 15))::BIGINT
+       % 1000000) / 1000000.0
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                  WHEN 'fr' THEN 0.1 ELSE 0.05 END
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curate import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok")
+    )
+    out = pack_sequences(docs, "n_tok", id_col="doc_id", budget=512, n_shards=8, seed=1)
+    return out.select("doc_id", "shard", "pack_no")
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#1'), 1, 15))::BIGINT
+              % 8 AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(floor(
+         CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         / 512.0) AS INT) AS pack_no
+FROM t
+"""
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -619,6 +787,10 @@ PIPELINE_QUERIES = {
     "embedding_dedup_lsh": q_embedding_dedup_lsh,
     "fingerprints": q_fingerprints,
     "media_features": q_media_features,
+    "pii_scrub": q_pii_scrub,
+    "chunk_docs": q_chunk_docs,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
 }
 
 PIPELINE_ORACLES = {
@@ -637,4 +809,8 @@ PIPELINE_ORACLES = {
     # media oracle replays the generator's closed-form content (the
     # Spark side really parses WAV/PPM bytes; JPEG/video stay stubbed)
     "media_features": SQL_MEDIA_FEATURES,
+    "pii_scrub": SQL_PII_SCRUB,
+    "chunk_docs": SQL_CHUNK_DOCS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }

@@ -59,7 +59,13 @@ spark = (
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.shuffle.partitions", str(2 * total_cores))
-    .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+    .config("spark.sql.files.maxPartitionBytes",
+            str(int(__import__("os").environ.get("SPARK_GRAFT_MPB_MB", "16")) * 1024 * 1024))
+    # shuffle spills land on tmpfs (RAM): shuffle BYTES cost memory
+    # bandwidth directly, so the codec is a bandwidth knob, not a disk
+    # knob (SPARK_GRAFT_CODEC: lz4 default / zstd trades CPU for bytes)
+    .config("spark.io.compression.codec",
+            __import__("os").environ.get("SPARK_GRAFT_CODEC", "lz4"))
     .config("spark.local.dir", "/dev/shm/spark-scratch")
     .config("spark.ui.enabled", "false")
     # each executor JVM sizes GC pools to the HOST's cores (32) unless

@@ -1,0 +1,111 @@
+"""Curation operators: PII scrub, chunking, stratified sampling,
+sequence packing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from didtool_spark.operators.curate import (
+    chunk_documents,
+    pack_sequences,
+    scrub_pii,
+    stratified_sample,
+)
+
+
+def test_scrub_pii_counts_and_redaction(spark):
+    rows = [
+        (0, "mail me at a.b+c@foo-bar.org or visit https://x.io/a?b=1 now"),
+        (1, "server 192.168.0.1 and phone +1 555-0100 42"),
+        (2, "no pii here at all"),
+        (3, "url with userinfo https://user@host.example/x stays one URL"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = scrub_pii(df, "text", out_col="s").orderBy("doc_id").collect()
+    r0, r1, r2, r3 = out
+    assert (r0["n_email"], r0["n_url"]) == (1, 1)
+    assert "[EMAIL]" in r0["s"] and "[URL]" in r0["s"]
+    assert "a.b+c@foo-bar.org" not in r0["s"]
+    assert r1["n_ipv4"] == 1 and r1["n_phone"] == 1
+    assert "[IP]" in r1["s"] and "[PHONE]" in r1["s"]
+    assert (r2["n_email"], r2["n_url"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0, 0)
+    assert r2["s"] == "no pii here at all"
+    # URL scrubs first, so its userinfo never double-counts as an email
+    assert r3["n_url"] == 1 and r3["n_email"] == 0
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "x")],
+                               "doc_id int, text string")
+    out = (
+        chunk_documents(df, "text", chunk_tokens=32, overlap=8)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,24,48,72,96 -> 5 chunks; tail has 4 tokens
+    c1 = by_doc[1]
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2, 3, 4]
+    assert [r["n_tokens"] for r in c1] == [32, 32, 32, 28, 4]
+    assert c1[0]["chunk_text"].split()[:2] == ["w0", "w1"]
+    # consecutive chunks overlap by 8 tokens
+    assert c1[0]["chunk_text"].split()[-8:] == c1[1]["chunk_text"].split()[:8]
+    # every token covered in order
+    seen = c1[0]["chunk_text"].split()
+    for r in c1[1:]:
+        seen.extend(r["chunk_text"].split()[8:])
+    assert seen == text.split()
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 2
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == "x"
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("zz")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    fr = {"en": 0.5, "de": 0.2, "fr": 0.05}
+    out = stratified_sample(df, "lang", fr, id_col="doc_id", seed=9,
+                            default_fraction=0.0)
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert "zz" not in got
+    for lang, f in fr.items():
+        assert abs(got.get(lang, 0) / 5000.0 - f) < 0.03, (lang, got)
+    # invariant under repartitioning (DataFrame.sample is not)
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(13), "lang", fr, id_col="doc_id", seed=9
+        ).collect()
+    )
+    assert a == b
+
+
+def test_pack_sequences_quota_and_balance(spark):
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), 200) + 1).cast("int").alias("n_tok"),
+    )
+    out = pack_sequences(df, "n_tok", id_col="doc_id", budget=1024,
+                         n_shards=16, seed=2)
+    pdf = out.toPandas()
+    assert set(pdf["shard"].unique()) <= set(range(16))
+    g = pdf.groupby(["shard", "pack_no"])["n_tok"].sum()
+    # quota packing: every pack's tokens < budget + max single doc
+    assert (g < 1024 + 200).all()
+    # all but each shard's last pack reach at least the budget minus one doc
+    last = pdf.groupby("shard")["pack_no"].max()
+    full = g[
+        [not (pack == last[shard]) for shard, pack in g.index]
+    ]
+    assert (full >= 1024 - 200).all()
+    # shards reasonably balanced (hash distribution)
+    sizes = pdf.groupby("shard").size()
+    assert sizes.min() > 0.5 * sizes.mean()
