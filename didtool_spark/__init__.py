@@ -71,5 +71,19 @@ from .operators.text import (  # noqa: F401
     fingerprint_exprs, with_lang_id, with_text_features,
 )
 
+# training-data curation (PII scrub, chunking, sampling, packing)
+from .operators.curate import (  # noqa: F401
+    chunk_documents, pack_sequences, scrub_pii, stratified_sample,
+)
+
+# multimodal decode (stdlib WAV/PPM/BMP; JPEG/video stubbed)
+from .operators.multimodal import extract_media_features  # noqa: F401
+
+# sources: explicit-schema readers with corrupt-record quarantine,
+# bucketed feature tables
+from .sources.tables import (  # noqa: F401
+    read_csv_table, read_jsonl, write_bucketed_table,
+)
+
 # streaming drift monitoring (didtool's psi as a live per-window monitor)
 from .streaming.drift import PsiMonitor  # noqa: F401
