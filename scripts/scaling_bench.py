@@ -322,6 +322,13 @@ each group of 2 cores brings its own memory controller; the same job
 runs unchanged via `spark-submit --py-files didtool_spark.zip
 --master yarn/k8s`.
 
+Config sweep at the 16-core level (round 3, quiet host — full table in
+BENCH/NOTES.md): zstd shuffle compression LOWERS throughput vs lz4
+(-3%: its CPU cost exceeds the byte savings when CPU is equally
+contended), and `maxPartitionBytes` 8/16/48 MB moves throughput within
+±2% — confirming the 2->8 ceiling is the host's aggregate memory
+bandwidth (~130 GB/s probe), not a tunable engine overhead.
+
 Method notes:
 - input generated Spark-side from seeded xxhash64 expressions
   (didtool_spark/data/transcripts.py) — bit-identical at any

@@ -82,3 +82,54 @@ def test_user_rollup_single_exchange(spark):
 
     p = plan_str(q_user_rollup(spark, SF))
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:3000]
+
+
+def test_curation_plan_shapes(spark):
+    """Scale contracts of the curation family: scrub/chunk are pure
+    codegen with ZERO shuffles; packing costs exactly one exchange (the
+    per-shard window); nothing drops to Python row evaluation."""
+    import re
+
+    from didtool_spark.operators.curate import (
+        chunk_documents, pack_sequences, scrub_pii, stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    p = plan_str(scrub_pii(docs, "text"))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p[:2000]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p = plan_str(chunk_documents(docs, "text"))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p[:2000]
+    assert "Generate" in p  # the posexplode, not a join
+
+    p = plan_str(
+        stratified_sample(docs, "lang", {"en": 0.5}, id_col="doc_id")
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p[:2000]
+
+    toks = docs.select("doc_id", F.size(F.split("text", r"\s+")).alias("n"))
+    p = plan_str(pack_sequences(toks, "n", id_col="doc_id", n_shards=8))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:3000]
+
+
+def test_bucketed_rolling_no_global_window(spark, tmp_path_factory):
+    """The bucketed rolling strategy must partition its windows by
+    (key, bucket) — no window over the bare key (the hot-key
+    serialization the strategy exists to avoid)."""
+    from didtool_spark.operators.temporal import with_rolling
+
+    path = str(tmp_path_factory.mktemp("bk") / "t")
+    generate_transcripts(spark, n_convs=10, avg_turns=5).write.parquet(path)
+    tr = spark.read.parquet(path).withColumn("text_len", F.length("text"))
+    out = with_rolling(
+        tr, [("text_len", "sum", 5)], strategy="bucketed", bucket_seconds=3600
+    )
+    p = plan_str(out)
+    assert "__bucket" in p  # windows keyed by the time bucket
+    # every Window node's partition spec mentions __bucket
+    import re
+
+    for spec in re.findall(r"partitionBy=\[([^\]]*)\]", p):
+        assert "__bucket" in spec, spec
