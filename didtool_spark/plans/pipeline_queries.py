@@ -773,6 +773,124 @@ FROM t
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end curation pipeline in ONE lazy plan:
+    quality/lang scoring -> filter -> exact dedup (min-id canonical per
+    normalized-text hash, one window shuffle) -> stratified sample ->
+    overlapping chunking -> per-shard sequence packing. Filters and the
+    sample run BEFORE the explode so the chunk/pack stages only see
+    surviving documents; total cost is two shuffles (dedup window, pack
+    window) however many stages compose."""
+    from pyspark.sql.window import Window
+
+    from ..operators.curate import (
+        chunk_documents, pack_sequences, stratified_sample,
+    )
+    from ..operators.text import with_lang_id, with_text_features
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = with_text_features(docs, "text")
+    t = with_lang_id(t, "text", "lang_pred")
+    kept = t.where(
+        (F.col("quality_score") >= 0.5)
+        & (F.col("n_tokens") >= 5)
+        & F.col("lang_pred").isin("en", "de", "fr")
+    )
+    norm_hash = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    )
+    kept = (
+        kept.withColumn(
+            "__min_id", F.min("doc_id").over(Window.partitionBy(norm_hash))
+        )
+        .where(F.col("doc_id") == F.col("__min_id"))
+        .drop("__min_id")
+    )
+    samp = stratified_sample(
+        kept, "lang_pred", {"en": 0.6, "de": 0.9, "fr": 0.9},
+        id_col="doc_id", seed=11,
+    )
+    chunks = chunk_documents(
+        samp.select("doc_id", "text"), "text", chunk_tokens=32, overlap=8
+    ).withColumn(
+        "chunk_uid", F.col("doc_id") * 100000 + F.col("chunk_id")
+    )
+    packed = pack_sequences(
+        chunks, "n_tokens", id_col="chunk_uid", budget=256, n_shards=8, seed=4
+    )
+    return packed.select("doc_id", "chunk_id", "n_tokens", "shard", "pack_no")
+
+
+SQL_CORPUS_CURATION = """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS tk,
+         length(text) AS nc
+  FROM documents
+), f AS (
+  SELECT doc_id, text, tk,
+         len(tk) AS n_tokens,
+         len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / greatest(nc, 1) AS punct_ratio,
+         len(regexp_extract_all(text, '[A-Za-z]')) * 1.0 / greatest(nc, 1) AS alpha_ratio,
+         len(list_filter(tk, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) * 1.0
+           / greatest(len(tk), 1) AS stopword_ratio,
+         len(list_filter(tk, x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS v_en,
+         len(list_filter(tk, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) AS v_de,
+         len(list_filter(tk, x -> list_contains(['le','la','les','et','est','un','une','pour','dans','que'], x))) AS v_fr,
+         len(list_filter(tk, x -> list_contains(['el','la','los','y','es','un','una','para','en','que'], x))) AS v_es
+  FROM t
+), scored AS (
+  SELECT doc_id, text, n_tokens,
+         least(n_tokens / 20.0, 1.0) * 0.3 + alpha_ratio * 0.4
+           + (1 - least(punct_ratio * 4, 1.0)) * 0.2
+           + least(stopword_ratio * 5, 1.0) * 0.1 AS quality_score,
+         CASE WHEN greatest(v_en, v_de, v_fr, v_es) = 0 THEN 'unk'
+              WHEN v_en = greatest(v_en, v_de, v_fr, v_es) THEN 'en'
+              WHEN v_de = greatest(v_en, v_de, v_fr, v_es) THEN 'de'
+              WHEN v_fr = greatest(v_en, v_de, v_fr, v_es) THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM f
+), kept AS (
+  SELECT doc_id, text, lang_pred FROM scored
+  WHERE quality_score >= 0.5 AND n_tokens >= 5
+    AND lang_pred IN ('en', 'de', 'fr')
+), dd AS (
+  SELECT doc_id, text, lang_pred FROM (
+    SELECT *, min(doc_id) OVER (
+      PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    ) AS min_id
+    FROM kept) WHERE doc_id = min_id
+), samp AS (
+  SELECT doc_id, text FROM dd
+  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|11'), 1, 15))::BIGINT
+         % 1000000) / 1000000.0
+        < CASE lang_pred WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.9
+                         WHEN 'fr' THEN 0.9 ELSE 0.0 END
+), ck AS (
+  SELECT doc_id,
+         CAST(start // 24 AS INT) AS chunk_id,
+         CAST(len(list_slice(tk, start + 1, start + 32)) AS INT) AS n_tokens
+  FROM (
+    SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), 24)) AS start
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM samp)
+  )
+), uid AS (
+  SELECT doc_id, chunk_id, n_tokens,
+         doc_id * 100000 + chunk_id AS chunk_uid,
+         CAST(('0x' || substr(md5(CAST(doc_id * 100000 + chunk_id AS VARCHAR) || '#4'), 1, 15))::BIGINT
+              % 8 AS INT) AS shard
+  FROM ck
+)
+SELECT doc_id, chunk_id, n_tokens, shard,
+       CAST(floor(
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY chunk_uid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         / 256.0) AS INT) AS pack_no
+FROM uid
+"""
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -791,6 +909,7 @@ PIPELINE_QUERIES = {
     "chunk_docs": q_chunk_docs,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "corpus_curation": q_corpus_curation,
 }
 
 PIPELINE_ORACLES = {
@@ -813,4 +932,5 @@ PIPELINE_ORACLES = {
     "chunk_docs": SQL_CHUNK_DOCS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "corpus_curation": SQL_CORPUS_CURATION,
 }
