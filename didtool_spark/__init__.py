@@ -18,8 +18,9 @@ from .session import get_spark  # noqa: F401
 
 # binning (reference cut.py)
 from .operators.binning import (  # noqa: F401
-    Binner, chi_edges, cut_with_edges, dt_edges, lgb_edges,
-    quantile_edges, step_edges,
+    Binner, chi_edges, chi_square_cut, cut, cut_with_bins,
+    cut_with_edges, dt_cut, dt_edges, lgb_cut, lgb_edges, quantile_cut,
+    quantile_edges, step_cut, step_edges,
 )
 
 # splits (reference split.py)
@@ -87,3 +88,18 @@ from .sources.tables import (  # noqa: F401
 
 # streaming drift monitoring (didtool's psi as a live per-window monitor)
 from .streaming.drift import PsiMonitor  # noqa: F401
+
+# SVG rendering for the reference's matplotlib diagnostics (plot_roc,
+# plot_ks, plot_pr_curve, ... — metric.py:313-756) without a GUI stack
+from .functions.plots import (  # noqa: F401
+    compare_roc, plot_distribution, plot_ks, plot_ks_in_cum,
+    plot_ks_in_tpr_fpr, plot_layer_stability, plot_pr_curve,
+    plot_pr_threshold, plot_psi, plot_roc,
+)
+
+# PMML 4.4 export of the encoders+trees scoring pipeline (the
+# reference's need_pmml/sklearn2pmml path, model.py:282-304)
+from .functions.pmml import export_pmml, model_to_pmml  # noqa: F401
+
+# driver-side stdout tee (reference didtool/logger.py)
+from .functions.utils import Logger  # noqa: F401

@@ -35,3 +35,23 @@ def bounded_sample_pandas(proj: DataFrame, sample_limit: int, seed: int = 0):
     if n > sample_limit:
         proj = proj.sample(fraction=sample_limit / n, seed=seed)
     return proj.toPandas()
+
+
+class Logger:
+    """Reference didtool/logger.py:12-26: tee stdout writes to a log
+    file, flushing per write (assign to sys.stdout like the reference's
+    usage). Driver-side convenience only — executors log via Spark."""
+
+    def __init__(self, file_name: str = "Default.log"):
+        import sys
+
+        self.terminal = sys.stdout
+        self.log = open(file_name, "w", encoding="utf-8")
+
+    def write(self, message: str) -> None:
+        self.terminal.write(message)
+        self.log.write(message)
+        self.flush()
+
+    def flush(self) -> None:
+        self.log.flush()

@@ -311,3 +311,74 @@ def cut_with_edges(
         out_col or f"{col}_bin",
         bin_expr(_clean_col(col), list(edges), nan_value=nan_value, right=right),
     )
+
+
+# ------------------------------------------------------------------
+# reference-named convenience wrappers (didtool/cut.py:15-433): the
+# pandas-series API becomes (df, col) -> DataFrame with `<col>_bin`;
+# return_bins keeps the reference's (codes, bins) contract as
+# (DataFrame, edges). All fitting/binning is the distributed machinery
+# above — these exist so reference call sites port one-to-one.
+def step_cut(df: DataFrame, col: str, n_bins: int = DEFAULT_BINS,
+             nan: int = -1, return_bins: bool = False,
+             out_col: str | None = None, **kwargs):
+    """cut.py:15-66 equal-width cut."""
+    edges = step_edges(df, col, n_bins, **kwargs)
+    out = cut_with_edges(df, col, edges, out_col=out_col, nan_value=nan)
+    return (out, edges) if return_bins else out
+
+
+def quantile_cut(df: DataFrame, col: str, n_bins: int = DEFAULT_BINS,
+                 nan: int = -1, return_bins: bool = False,
+                 out_col: str | None = None, **kwargs):
+    """cut.py:69-104 equal-frequency cut."""
+    edges = quantile_edges(df, col, n_bins, **kwargs)
+    out = cut_with_edges(df, col, edges, out_col=out_col, nan_value=nan)
+    return (out, edges) if return_bins else out
+
+
+def dt_cut(df: DataFrame, col: str, target: str,
+           n_bins: int = DEFAULT_BINS, nan: int = -1,
+           return_bins: bool = False, out_col: str | None = None, **kwargs):
+    """cut.py:107-161 CART-boundary cut."""
+    edges = dt_edges(df, col, target, n_bins, **kwargs)
+    out = cut_with_edges(df, col, edges, out_col=out_col, nan_value=nan)
+    return (out, edges) if return_bins else out
+
+
+def lgb_cut(df: DataFrame, col: str, target: str,
+            n_bins: int = DEFAULT_BINS, nan: int = -1,
+            return_bins: bool = False, out_col: str | None = None, **kwargs):
+    """cut.py:164-231 LightGBM-histogram cut."""
+    edges = lgb_edges(df, col, target, n_bins, **kwargs)
+    out = cut_with_edges(df, col, edges, out_col=out_col, nan_value=nan)
+    return (out, edges) if return_bins else out
+
+
+def chi_square_cut(df: DataFrame, col: str, target: str,
+                   n_bins: int = DEFAULT_BINS, cf: float = 0.1,
+                   nan: int = -1, return_bins: bool = False,
+                   out_col: str | None = None, **kwargs):
+    """cut.py:253-354 ChiMerge cut."""
+    edges = chi_edges(df, col, target, n_bins, cf=cf, **kwargs)
+    out = cut_with_edges(df, col, edges, out_col=out_col, nan_value=nan)
+    return (out, edges) if return_bins else out
+
+
+def cut(df: DataFrame, col: str, target: str | None = None,
+        method: str = "dt", n_bins: int = DEFAULT_BINS, nan: int = -1,
+        return_bins: bool = False, out_col: str | None = None, **kwargs):
+    """cut.py:357-407 dispatcher (step/quantile need no target)."""
+    b = Binner(method=method, n_bins=n_bins, nan_value=nan, **kwargs)
+    b.fit(df, col, target)
+    out = b.transform(df, col, out_col)
+    return (out, b.edges) if return_bins else out
+
+
+def cut_with_bins(df: DataFrame, col: str, bins: Sequence[float],
+                  nan: int = -1, right: bool = True,
+                  out_col: str | None = None) -> DataFrame:
+    """cut.py:410-433: transform with precomputed bins."""
+    return cut_with_edges(
+        df, col, bins, out_col=out_col, nan_value=nan, right=right
+    )

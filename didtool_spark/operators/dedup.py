@@ -1,7 +1,9 @@
 """Deduplication for web-scale corpora: exact, MinHash+LSH, SimHash,
-n-gram Jaccard. Everything is DataFrame expressions + joins — the
-signatures are computed inside whole-stage codegen (array/lambda
-expressions over the token array, no Python UDF), candidates come from
+n-gram Jaccard. Everything is DataFrame expressions + joins; the
+signature folds (minhash affine mins, simhash vote sums) default to
+Arrow-batched numpy kernels with bit-identical pure-JVM expression
+siblings (``compute='expr'``) — never row-at-a-time Python. String
+hashing always stays JVM-side (one xxhash64 pass). Candidates come from
 an equi-join on band buckets (shuffle on band key — the LSH point is
 precisely that this replaces the O(n²) cross join), and verification is
 an exact shingle-Jaccard on candidate pairs only.
@@ -52,12 +54,16 @@ def exact_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # --------------------------------------------------------------- shingles
 
 def shingles_expr(text_col: str | Column, k: int = 5) -> Column:
-    """Distinct word k-shingles of the lowercased text."""
+    """Distinct word k-shingles of the lowercased text. Documents
+    shorter than k tokens yield ONE shingle of all their tokens —
+    F.get (not []) tolerates the out-of-range positions with NULL,
+    which concat_ws drops; under ANSI Spark a plain index would throw
+    INVALID_ARRAY_INDEX on any short document in the corpus."""
     toks = tokens_expr(text_col)
     n = F.size(toks)
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(k)]),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)]),
     )
     return F.array_distinct(sh)
 
@@ -80,6 +86,56 @@ def base_hash_expr(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)))
 
 
+def _minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """The seeded (a, b) affine-family coefficients — ONE definition
+    shared by the expression kernel, the Arrow kernel, and any SQL
+    replay, so signatures can never desynchronize between paths."""
+    import random
+
+    rng = random.Random(0xD1D7)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(n_hashes)
+    ]
+
+
+def minhash_arrow_udf(n_hashes: int = 32):
+    """Arrow-vectorized sibling of minhash_expr: base-hash array<long>
+    -> signature array<long>. String hashing stays JVM-side
+    (xxhash64 in base_hash_expr); this kernel only does the affine
+    mins — one (n_hashes x len) integer broadcast per document vs
+    len * n_hashes interpreted aggregate/zip_with lambda evaluations
+    on the expression path. Products stay < 2^62 (a, h < 2^31), so
+    int64 math is exact and parity with the JVM kernel is bit-exact
+    (asserted in tests)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = _minhash_coeffs(n_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+    empty_sig = [MINHASH_P] * n_hashes  # == the aggregate's init array
+
+    @pandas_udf("array<long>")
+    def mh(hs: pd.Series) -> pd.Series:
+        out: list[list[int] | None] = []
+        for h in hs:
+            if h is None:
+                # NULL base-hash array (null text) -> NULL signature,
+                # same as the expression kernel
+                out.append(None)
+                continue
+            hv = np.asarray(h, dtype=np.int64)
+            if len(hv) == 0:
+                out.append(list(empty_sig))
+                continue
+            mins = ((A * hv[None, :] + B) % MINHASH_P).min(axis=1)
+            out.append([int(v) for v in mins])
+        return pd.Series(out, dtype="object")
+
+    return mh
+
+
 def minhash_expr(hashes: Column, n_hashes: int = 32) -> Column:
     """MinHash signature from a MATERIALIZED base-hash array: the i-th
     hash is min over (a_i*h + b_i mod p) with fixed seeded coefficients
@@ -94,14 +150,10 @@ def minhash_expr(hashes: Column, n_hashes: int = 32) -> Column:
     (asserted in tests), but the plan carries 2 HOF nodes instead of
     2*n_hashes, which cuts per-action analysis time — the banded table
     is analyzed by every job of the dedup pipeline."""
-    import random
-
-    rng = random.Random(0xD1D7)
-    entries = []
-    for _ in range(n_hashes):
-        a = rng.randrange(1, MINHASH_P)
-        b = rng.randrange(0, MINHASH_P)
-        entries.append(f"named_struct('a', CAST({a} AS BIGINT), 'b', CAST({b} AS BIGINT))")
+    entries = [
+        f"named_struct('a', CAST({a} AS BIGINT), 'b', CAST({b} AS BIGINT))"
+        for a, b in _minhash_coeffs(n_hashes)
+    ]
     ab = F.expr("array(" + ",".join(entries) + ")")
     init = F.expr(f"array_repeat(CAST({MINHASH_P} AS BIGINT), {n_hashes})")
 
@@ -147,19 +199,30 @@ def band_buckets_expr(sig: Column, n_hashes: int, bands: int) -> Column:
 
 
 def _minhash_banded(
-    docs: DataFrame, k_shingle: int, n_hashes: int, bands: int
+    docs: DataFrame, k_shingle: int, n_hashes: int, bands: int,
+    compute: str = "arrow",
 ) -> DataFrame:
     """(id, band, bucket) band table — the ONE banding definition shared
     by minhash_near_dupes and minhash_bucket_stats, so the reported
     dropped-bucket table can never desynchronize from what near_dupes
     actually drops. Staged selects so each expensive array materializes
-    once per row: shingles -> one string-hash pass -> n_hashes cheap
-    affine mins."""
-    sig = (
-        docs.select("id", shingles_expr(F.col("__text"), k_shingle).alias("sh"))
-        .select("id", base_hash_expr(F.col("sh")).alias("hs"))
-        .select("id", minhash_expr(F.col("hs"), n_hashes).alias("sig"))
-    )
+    once per row: shingles -> one string-hash pass -> n_hashes affine
+    mins, the last via the Arrow kernel by default ('expr' = pure-JVM
+    aggregate/zip_with; bit-identical signatures either way, asserted
+    in tests)."""
+    hashed = docs.select(
+        "id", shingles_expr(F.col("__text"), k_shingle).alias("sh")
+    ).select("id", base_hash_expr(F.col("sh")).alias("hs"))
+    if compute == "arrow":
+        sig = hashed.select(
+            "id", minhash_arrow_udf(n_hashes)(F.col("hs")).alias("sig")
+        )
+    elif compute == "expr":
+        sig = hashed.select(
+            "id", minhash_expr(F.col("hs"), n_hashes).alias("sig")
+        )
+    else:
+        raise ValueError(f"unknown compute `{compute}`")
     return sig.select(
         "id",
         F.explode(band_buckets_expr(F.col("sig"), n_hashes, bands)).alias("bb"),
@@ -176,12 +239,16 @@ def minhash_near_dupes(
     threshold: float = 0.6,
     max_bucket: int = 1000,
     hot_bucket_strategy: str = "broadcast",
+    compute: str = "arrow",
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join -> exact-Jaccard verify.
     Returns verified pairs (id_a < id_b, jaccard >= threshold).
     ``hot_bucket_strategy``: 'broadcast' (default — map-side anti-join
     drop of hot buckets, skew-safe at any bucket size) or 'window'
     (lower latency, one lineage; a hot bucket transits one task).
+    ``compute``: 'arrow' (default — numpy affine-min kernel per Arrow
+    batch) or 'expr' (pure-JVM lambda expressions; bit-identical
+    signatures).
 
     Shuffle hygiene (the 100 TB path): only (id, band, bucket) rides the
     band explode and the candidate self-join — carrying the shingle
@@ -192,7 +259,7 @@ def minhash_near_dupes(
     projection sits above the id join, so the interpreted shingle
     lambda never runs for non-candidate docs in the verify pass."""
     docs = _docs_table(df, text_col, id_col)
-    banded = _minhash_banded(docs, k_shingle, n_hashes, bands)
+    banded = _minhash_banded(docs, k_shingle, n_hashes, bands, compute)
 
     # bound hot buckets (boilerplate clusters)
     if hot_bucket_strategy == "window":
@@ -280,13 +347,14 @@ def minhash_bucket_stats(
     n_hashes: int = 32,
     bands: int = 16,
     max_bucket: int = 1000,
+    compute: str = "arrow",
 ) -> DataFrame:
     """The (band, bucket, count) rows that minhash_near_dupes' hot-bucket
     bound EXCLUDES with the same parameters — report these alongside the
     pair output so the cap is never silent. Shares _minhash_banded with
     near_dupes, so the two can never disagree on bucket identity."""
     banded = _minhash_banded(
-        _docs_table(df, text_col, id_col), k_shingle, n_hashes, bands
+        _docs_table(df, text_col, id_col), k_shingle, n_hashes, bands, compute
     )
     return (
         banded.groupBy("band", "bucket")

@@ -16,9 +16,11 @@ split-count importances. Behavioral parity is the contract, not
 bit-parity of probabilities (documented divergence; the reference's
 exact numbers are lightgbm-version-dependent anyway).
 
-PMML export and matplotlib learn-curves are presentation/runtime
-concerns out of engine scope (SURVEY.md §2.7); the data behind them
-(importance tables, per-round losses) is exposed.
+PMML export is covered by functions.pmml (a direct PMML 4.4 writer for
+the encoders+trees pipeline — the reference's need_pmml/sklearn2pmml
+path, model.py:282-304, without the sklearn2pmml dependency);
+matplotlib learn-curves stay data-only (importance tables, per-round
+losses are exposed; SVG rendering lives in functions.plots).
 """
 
 from __future__ import annotations
@@ -198,13 +200,17 @@ class GBMModelSingle:
                 metrics[f"{name}_ks"] = spark_ks(part, self.target, "prob")
         return result, metrics
 
-    def export(self, out_path: str, model_name: str = "model") -> dict:
-        """Reference model.py:282-304 export, minus PMML (runtime
-        concern): pickles (mapper, model, feature_names) as one scoring
-        bundle, writes used_feature.txt (importance > 0, original
-        order), feature_list.txt and feature_importance.csv. Returns
-        the written paths. ``load_model_bundle`` restores a predict
-        closure for the broadcast scorer."""
+    def export(self, out_path: str, model_name: str = "model",
+               need_pmml: bool = True) -> dict:
+        """Reference model.py:282-304 export: pickles (mapper, model,
+        feature_names) as one scoring bundle, writes used_feature.txt
+        (importance > 0, original order), feature_list.txt and
+        feature_importance.csv, and — need_pmml, like the reference's
+        sklearn2pmml call — a PMML 4.4 document of the full
+        encoders+trees pipeline (functions.pmml; NumpyGBM boosters
+        only, a LightGBM booster saves natively instead). Returns the
+        written paths. ``load_model_bundle`` restores a predict closure
+        for the broadcast scorer."""
         import os
         import pickle
         import time as _time
@@ -238,6 +244,15 @@ class GBMModelSingle:
                     "feature_names": self.feature_names,
                 },
                 fh,
+            )
+        if need_pmml and isinstance(self.model, NumpyGBM):
+            from ..functions.pmml import export_pmml
+
+            paths["pmml"] = export_pmml(
+                self.model, self.feature_names,
+                os.path.join(out_path, f"{model_name}_{date_str}.pmml"),
+                mapper=self.mapper, target=self.target,
+                model_name=model_name,
             )
         return paths
 
@@ -393,10 +408,13 @@ class GBMModelStacking:
             )
         return self
 
-    def export(self, out_path: str, model_name: str = "model") -> list[str]:
-        """Reference model.py:679-704 per-fold export (minus PMML): one
-        pickled (mapper, model, feature_names) bundle per fold, each
-        loadable via load_model_bundle."""
+    def export(self, out_path: str, model_name: str = "model",
+               need_pmml: bool = True) -> list[str]:
+        """Reference model.py:679-704 per-fold export: one pickled
+        (mapper, model, feature_names) bundle per fold, each loadable
+        via load_model_bundle, plus — need_pmml, NumpyGBM boosters —
+        one PMML document per fold (the reference exports each fold's
+        PMMLPipeline the same way)."""
         import os
         import pickle
         import time as _time
@@ -420,6 +438,17 @@ class GBMModelStacking:
                 os.path.join(out_path, f"feature_importance_{k}.csv"),
                 index=False,
             )
+            if need_pmml and isinstance(model, NumpyGBM):
+                from ..functions.pmml import export_pmml
+
+                paths.append(export_pmml(
+                    model, self.feature_names,
+                    os.path.join(
+                        out_path, f"{model_name}_{k}_{date_str}.pmml"
+                    ),
+                    mapper=mapper, target=self.target,
+                    model_name=f"{model_name}_{k}",
+                ))
         return paths
 
     def evaluate(self) -> tuple[DataFrame, pd.DataFrame | None]:

@@ -182,3 +182,42 @@ class ScoreCardTransformer:
     def export_mapping(self, out_path: str) -> None:
         """scorecard.py:260-264: persist the piecewise mapping."""
         self.mapping_df.to_csv(out_path, index=False)
+
+    def plot_bins(self, out_path: str | None = None,
+                  file_name: str = "scorecard_bins.svg") -> dict[str, str]:
+        """SVG form of the reference's per-bin diagnostic
+        (scorecard.py:229-258): panel 'score' is the per-bin score
+        line, panel 'rates' carries hit_rate (share of rows in the bin)
+        and pos_rate (bad- or good-rate per self.bad_flag) — two panels
+        instead of the reference's twin-axis figure (documented
+        divergence; saved as <stem>_score.svg / <stem>_rates.svg)."""
+        from ..functions import svgplot as sp
+
+        if self.binning_df is None:
+            raise RuntimeError("fit() before plot_bins()")
+        b = self.binning_df
+        idx = list(range(len(b)))
+        hit_rate = (b["hits"] / max(float(b["hits"].sum()), 1.0)).tolist()
+        denom = b["hits"].replace(0, 1).astype(float)
+        pos = b["bad_hits"] if self.bad_flag else b["good_hits"]
+        pos_rate = (pos / denom).tolist()
+        out = {
+            "score": sp.line_chart(
+                [{"name": "score", "x": idx, "y": b["score"].tolist()}],
+                title="Score by bin", xlabel="bin", ylabel="score",
+                legend=False,
+            ),
+            "rates": sp.line_chart(
+                [
+                    {"name": "hit_rate", "x": idx, "y": hit_rate},
+                    {"name": "pos_rate", "x": idx, "y": pos_rate},
+                ],
+                title="Hit/positive rate by bin", xlabel="bin",
+                ylabel="rate", ylim=(0.0, 1.0),
+            ),
+        }
+        if out_path:
+            stem = file_name.rsplit(".", 1)[0]
+            for key, svg in out.items():
+                sp.save(svg, out_path, f"{stem}_{key}.svg")
+        return out

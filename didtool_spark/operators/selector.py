@@ -204,3 +204,106 @@ class Selector:
         if cols:
             self.drop_cols.extend(cols)
             self.df = self.df.drop(*cols)
+
+    # ------------------------------------------------------ rendering
+    # SVG parity for the reference's matplotlib diagnostics
+    # (selector.py:285-418) — the stats tables are already driver-side,
+    # so rendering adds no Spark work. Each returns the SVG string and
+    # writes <out_path>/<file_name> when out_path is given.
+    def plot_missing(self, out_path: str | None = None,
+                     file_name: str = "missing.svg") -> str:
+        """Histogram of per-feature missing fraction (selector.py:285-300)."""
+        from ..functions import svgplot as sp
+
+        if self.missing_stats is None:
+            raise RuntimeError(
+                "Missing values have not been calculated. Run `drop_missing`"
+            )
+        edges = [i / 10 for i in range(11)]
+        rates = [
+            r for r in self.missing_stats["missing_rate"] if r is not None
+        ]
+        counts = [
+            sum(
+                1 for r in rates
+                if (edges[i] <= r < edges[i + 1]) or (i == 9 and r == 1.0)
+            )
+            for i in range(10)
+        ]
+        svg = sp.histogram(
+            edges, counts, title="Fraction of Missing Values Histogram",
+            xlabel="Missing Fraction", ylabel="Count of Features",
+        )
+        if out_path:
+            sp.save(svg, out_path, file_name)
+        return svg
+
+    def plot_iv(self, top_n: int = 20, out_path: str | None = None,
+                file_name: str = "iv.svg") -> str:
+        """Horizontal bars of the top_n IV features (selector.py:302-326)."""
+        from ..functions import svgplot as sp
+
+        if self.iv_stats is None:
+            raise RuntimeError(
+                "IV of features have not been calculated. Run `drop_low_iv`"
+            )
+        ranked = self.iv_stats.sort_values("iv", ascending=False).head(top_n)
+        svg = sp.bar_chart(
+            [str(i) for i in ranked.index],
+            [float(v) for v in ranked["iv"]],
+            title="IV Of Features", xlabel="IV", horizontal=True,
+        )
+        if out_path:
+            sp.save(svg, out_path, file_name)
+        return svg
+
+    def plot_correlated(self, plot_all: bool = False,
+                        out_path: str | None = None,
+                        file_name: str = "corr.svg") -> str:
+        """Correlation heatmap — all pairs, or only the above-threshold
+        block with drop features on the x axis (selector.py:328-381)."""
+        from ..functions import svgplot as sp
+
+        if self.corr_matrix is None:
+            raise RuntimeError(
+                "Collinear features have not been identified."
+                " Run `drop_correlated`"
+            )
+        if plot_all:
+            block, title = self.corr_matrix, "All Correlations"
+        else:
+            block = self.corr_matrix.loc[
+                sorted(set(self.record_correlated["corr_feature"])),
+                sorted(set(self.record_correlated["drop_feature"])),
+            ]
+            title = "Correlations Above Threshold"
+        svg = sp.heatmap(
+            block.values.tolist(),
+            [str(i) for i in block.index],
+            [str(c) for c in block.columns],
+            title=title,
+        )
+        if out_path:
+            sp.save(svg, out_path, file_name)
+        return svg
+
+    def plot_importance(self, top_n: int = 20, out_path: str | None = None,
+                        file_name: str = "importance.svg") -> str:
+        """Horizontal bars of normalized importance (selector.py:383-418)."""
+        from ..functions import svgplot as sp
+
+        if self.importance_stats is None:
+            raise RuntimeError(
+                "Feature importances have not been determined."
+                " Run `drop_low_importance`"
+            )
+        ranked = self.importance_stats.head(top_n)
+        svg = sp.bar_chart(
+            [str(f_) for f_ in ranked["feature"]],
+            [float(v) for v in ranked["normalized"]],
+            title="Feature Importances", xlabel="Normalized Importance",
+            horizontal=True,
+        )
+        if out_path:
+            sp.save(svg, out_path, file_name)
+        return svg

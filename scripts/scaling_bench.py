@@ -329,6 +329,24 @@ contended), and `maxPartitionBytes` 8/16/48 MB moves throughput within
 ±2% — confirming the 2->8 ceiling is the host's aggregate memory
 bandwidth (~130 GB/s probe), not a tunable engine overhead.
 
+Input-size sensitivity (round 3): the 79.3M-turn 1->4 series (2x the
+earlier input, halving the share of fixed per-pass costs in the 4N
+denominator) ran during a heavily co-tenanted window (low-side loadavg
+6.6-10.6 with the job using 2 cores; aggregate-BW probes dipping to
+49-78 GB/s vs the ~125-130 quiet norm) and still landed 0.831/0.818 on
+its two quieter pairs vs 0.739/0.736 on the two with 2.5-2.9% steal —
+the same quiet-vs-contended split as the rest of the journal, at both
+input sizes.
+
+Normalization sensitivity: recomputing every pair's efficiency
+normalized by the probe ratio (low/high aggregate-BW) and the measured
+steal moves BOTH series' medians by under 0.05 — the point-probes do
+not explain the 2->8 gap away, and we do not headline adjusted
+numbers. The honest reading stands: 2->8 is capped by the job's own
+16-core aggregate bandwidth demand against one socket shared with
+co-tenants; 1->4 — the series inside the bandwidth budget — medians
+~0.8 with every quiet-window pair at or above the target.
+
 Method notes:
 - input generated Spark-side from seeded xxhash64 expressions
   (didtool_spark/data/transcripts.py) — bit-identical at any

@@ -156,3 +156,43 @@ def test_supervised_gate_edges_golden(spark):
             f"{method} gate edges drifted: {got} — update "
             f"{method.upper()}_GATE_EDGES and its oracle SQL"
         )
+
+
+def test_reference_named_cut_wrappers(spark):
+    """didtool-parity wrappers (cut.py:15-433): same edges/codes as the
+    Binner machinery, reference (codes, bins) contract preserved."""
+    import pyspark.sql.functions as F
+
+    from didtool_spark.operators.binning import (
+        cut, cut_with_bins, quantile_cut, step_cut,
+    )
+
+    df = spark.range(200).select(
+        (F.col("id") / 20.0).alias("x"),
+        (F.col("id") % 2).cast("double").alias("y"),
+    )
+    out, bins = step_cut(df, "x", n_bins=4, return_bins=True)
+    assert "x_bin" in out.columns and len(bins) == 5
+    assert out.where(F.col("x_bin") < 0).count() == 0  # no NaN input
+    # same result through the precomputed-bins entry point
+    again = cut_with_bins(df, "x", bins)
+    assert (
+        out.select("x", "x_bin").exceptAll(again.select("x", "x_bin")).count()
+        == 0
+    )
+    # quantile wrapper without return_bins -> bare DataFrame
+    q = quantile_cut(df, "x", n_bins=4)
+    assert q.select(F.countDistinct("x_bin")).first()[0] == 4
+    # dispatcher with a supervised method
+    sup, sbins = cut(df, "x", target="y", method="dt", n_bins=3,
+                     return_bins=True)
+    assert sup.where(F.col("x_bin") >= len(sbins) - 1).count() == 0
+
+
+def test_logger_tees_stdout(tmp_path, capsys):
+    from didtool_spark.functions.utils import Logger
+
+    lg = Logger(str(tmp_path / "run.log"))
+    lg.write("hello didtool\n")
+    assert "hello didtool" in open(tmp_path / "run.log").read()
+    assert "hello didtool" in capsys.readouterr().out

@@ -96,8 +96,9 @@ def test_gbm_model_stacking(model_df):
 
 def test_export_and_load_round_trip(model_df, tmp_path_factory):
     """export -> load_model_bundle -> distributed scoring matches the
-    in-session model exactly (reference model.py:282-304 export, minus
-    PMML)."""
+    in-session model exactly (reference model.py:282-304 export incl.
+    the PMML document; its round-trip equivalence is covered in
+    tests/test_pmml.py)."""
     import os
     from didtool_spark.operators.model import load_model_bundle
     from didtool_spark.operators.scoring import with_score
@@ -110,6 +111,16 @@ def test_export_and_load_round_trip(model_df, tmp_path_factory):
     paths = m.export(out)
     assert os.path.exists(paths["pkl"])
     assert open(paths["used_features"]).read().strip()
+    # NumpyGBM boosters export PMML; LightGBM (if importable) saves
+    # natively instead, so only assert the document in that config
+    from didtool_spark.functions.driver_fit import NumpyGBM
+
+    if isinstance(m.model, NumpyGBM):
+        import xml.etree.ElementTree as ET
+
+        assert ET.parse(paths["pmml"]).getroot().tag.endswith("PMML")
+    else:
+        assert "pmml" not in paths
 
     predict = load_model_bundle(paths["pkl"])
     scored = with_score(model_df, predict, ["x1", "x2"]).select("id", "prob")
@@ -134,7 +145,12 @@ def test_stacking_export(model_df, tmp_path_factory):
     ).train(early_stopping_rounds=5)
     out = str(tmp_path_factory.mktemp("stack_export"))
     paths = m.export(out)
-    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    # per fold: one pkl bundle (+ one PMML document for NumpyGBM)
+    from didtool_spark.functions.driver_fit import NumpyGBM
+
+    n_pmml = 2 if isinstance(m.models[0], NumpyGBM) else 0
+    assert len(paths) == 2 + n_pmml and all(os.path.exists(p) for p in paths)
+    assert sum(p.endswith(".pmml") for p in paths) == n_pmml
     predict = load_model_bundle(paths[0])
     import pandas as pd
 

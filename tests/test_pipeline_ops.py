@@ -448,3 +448,36 @@ def test_bmp_ppm_decode_parity():
     f2, n2 = decode_feature(bmp, "image", 4)
     np.testing.assert_array_equal(f1, f2)
     assert n1 == n2 == 1
+
+
+def test_minhash_arrow_matches_expr(docs, spark):
+    """The Arrow affine-min kernel and the JVM aggregate/zip_with kernel
+    share _minhash_coeffs and do exact int64 math on the same xxhash64
+    base hashes, so signatures — and therefore the verified pair sets —
+    are bit-identical, including null-text and empty-token rows."""
+    from didtool_spark.operators.dedup import (
+        base_hash_expr, minhash_arrow_udf, minhash_expr, shingles_expr,
+    )
+
+    edge = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "one two")],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+    hashed = both.select(
+        "doc_id",
+        base_hash_expr(shingles_expr(F.col("text"), 5)).alias("hs"),
+    )
+    joined = hashed.select(
+        "doc_id",
+        minhash_arrow_udf(8)(F.col("hs")).alias("arrow"),
+        minhash_expr(F.col("hs"), 8).alias("expr"),
+    )
+    # null-safe compare: both NULL (null text) or element-wise equal
+    mismatch = joined.where(~F.expr("arrow <=> expr")).count()
+    assert mismatch == 0
+
+    a = minhash_near_dupes(docs, threshold=0.5, compute="arrow").toPandas()
+    e = minhash_near_dupes(docs, threshold=0.5, compute="expr").toPandas()
+    key = lambda d: set(zip(d["id_a"], d["id_b"], d["jaccard"]))
+    assert len(a) > 0 and key(a) == key(e)
