@@ -409,17 +409,43 @@ def chimerge_edges(
             s += (b1 - j1c) ** 2 / j1c
         return s
 
+    # Adjacent-pair chi values are maintained incrementally: a merge at
+    # i only changes chi[i-1] and chi[i], so each iteration is one C
+    # argmin + two scalar recomputes instead of an O(n) python rescan
+    # (the rescan form is O(n^2) python calls — ~15s at 4k distinct
+    # values). The vectorized initializer mirrors chi_pair's operation
+    # order exactly, so values (and argmin tie-breaks: both take the
+    # FIRST minimum) are bit-identical to the scalar loop.
+    def chi_all() -> np.ndarray:
+        a0 = np.array(cnt0[:-1])
+        a1 = np.array(cnt1[:-1])
+        b0 = np.array(cnt0[1:])
+        b1 = np.array(cnt1[1:])
+        total = a0 + a1 + b0 + b1
+        r0, r1 = (a0 + b0) / total, (a1 + b1) / total
+        i1c, i0c = (a0 + a1) * r1, (a0 + a1) * r0
+        j1c, j0c = (b0 + b1) * r1, (b0 + b1) * r0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(i0c != 0, (a0 - i0c) ** 2 / i0c, 0.0)
+            s = s + np.where(i1c != 0, (a1 - i1c) ** 2 / i1c, 0.0)
+            s = s + np.where(j0c != 0, (b0 - j0c) ** 2 / j0c, 0.0)
+            s = s + np.where(j1c != 0, (b1 - j1c) ** 2 / j1c, 0.0)
+        mv = np.array(max_val)
+        return np.where(mv[:-1] == mv[1:], 0.0, s)
+
+    chi = chi_all() if len(max_val) > 1 else np.empty(0)
     while len(max_val) > n_bins:
-        min_i, min_chi = None, None
-        for i in range(len(max_val) - 1):
-            c = chi_pair(i)
-            if min_i is None or min_chi > c:
-                min_i, min_chi = i, c
-        if min_chi < threshold:
+        min_i = int(np.argmin(chi))
+        if chi[min_i] < threshold:
             cnt0[min_i] += cnt0[min_i + 1]
             cnt1[min_i] += cnt1[min_i + 1]
             max_val[min_i] = max_val[min_i + 1]
             del cnt0[min_i + 1], cnt1[min_i + 1], max_val[min_i + 1]
+            chi = np.delete(chi, min_i)
+            if min_i > 0:
+                chi[min_i - 1] = chi_pair(min_i - 1)
+            if min_i < len(max_val) - 1:
+                chi[min_i] = chi_pair(min_i)
         else:
             break
 
