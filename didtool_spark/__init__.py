@@ -77,6 +77,11 @@ from .operators.curate import (  # noqa: F401
     chunk_documents, pack_sequences, scrub_pii, stratified_sample,
 )
 
+# benchmark decontamination, Gopher quality rules, domain mixing
+from .operators.decontam import (  # noqa: F401
+    decontaminate, domain_mix, gopher_quality,
+)
+
 # multimodal decode (stdlib WAV/PPM/BMP; JPEG/video stubbed)
 from .operators.multimodal import extract_media_features  # noqa: F401
 

@@ -891,6 +891,216 @@ FROM uid
 """
 
 
+# ------------------------------------- decontamination / quality / mixing
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination (broadcast gram-set strategy):
+    docs with doc_id % 17 == 0 play the held-out benchmark, the rest are
+    the corpus; a corpus doc is contaminated iff it shares any 4-token
+    gram with the benchmark (n=4 gives a natural 38/~470 contamination
+    mix on this synthetic vocab — nothing planted)."""
+    from ..operators.decontam import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select("text")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    out = decontaminate(corpus, bench, n=4, strategy="broadcast")
+    return out.select("doc_id", "n_hit_grams", "contaminated")
+
+
+SQL_DECONTAMINATE = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+), bench AS (
+  SELECT DISTINCT g FROM (
+    SELECT unnest([array_to_string(tk[i:i+3], ' ')
+                   for i in range(1, greatest(len(tk) - 4, 0) + 2)
+                   if len(tk) >= 4]) AS g
+    FROM norm WHERE doc_id % 17 = 0) z
+), dg AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_distinct([array_to_string(tk[i:i+3], ' ')
+                                 for i in range(1, greatest(len(tk) - 4, 0) + 2)
+                                 if len(tk) >= 4])) AS g
+    FROM norm WHERE doc_id % 17 <> 0) z
+), hits AS (
+  SELECT dg.doc_id, count(*) AS n_hit
+  FROM dg JOIN bench USING (g) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hit, 0) AS INT) AS n_hit_grams,
+       CAST(CASE WHEN coalesce(h.n_hit, 0) >= 1 THEN 1 ELSE 0 END AS INT)
+         AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def _docs_with_planted_structure(spark, sf_dir) -> DataFrame:
+    """Deterministic multi-line / repetitive variants for the Gopher
+    rules (the synthetic corpus is single-line): first matching rule
+    per doc — duplicate lines (%5), bullet lines (%7), a repeated
+    2-gram run (%11), a trailing ellipsis line (%13)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = F.col("text")
+    tk = F.split(F.trim(t), r"\s+")
+    a = F.concat_ws(" ", F.slice(tk, 1, 6))
+    b = F.concat_ws(" ", F.slice(tk, 4, 6))
+    return docs.withColumn(
+        "text",
+        F.when(d % 5 == 0, F.concat(t, F.lit("\n"), a, F.lit("\n"), a))
+        .when(d % 7 == 0, F.concat(t, F.lit("\n- "), a, F.lit("\n- "), b))
+        .when(
+            d % 11 == 0,
+            F.concat(t, F.repeat(F.concat(F.lit(" "), tk[0], F.lit(" "), tk[1]), 8)),
+        )
+        .when(d % 13 == 0, F.concat(t, F.lit("\nto be continued...")))
+        .otherwise(t),
+    )
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import gopher_quality
+
+    planted = _docs_with_planted_structure(spark, sf_dir)
+    out = gopher_quality(planted, "text", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top2gram_char_frac", 6).alias("top2gram_char_frac"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        "keep",
+    )
+
+
+_SQL_PLANTED_STRUCTURE = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || a || chr(10) || a
+              WHEN doc_id % 7 = 0
+                THEN text || chr(10) || '- ' || a || chr(10) || '- ' || b
+              WHEN doc_id % 11 = 0
+                THEN text || repeat(' ' || tk[1] || ' ' || tk[2], 8)
+              WHEN doc_id % 13 = 0 THEN text || chr(10) || 'to be continued...'
+              ELSE text END AS text
+  FROM (SELECT doc_id, text, tk,
+               array_to_string(tk[1:6], ' ') AS a,
+               array_to_string(tk[4:9], ' ') AS b
+        FROM (SELECT doc_id, text,
+                     string_split_regex(trim(text), '\\s+') AS tk
+              FROM documents))
+"""
+
+SQL_QUALITY_GOPHER = f"""
+WITH planted AS ({_SQL_PLANTED_STRUCTURE}),
+base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+         string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+           AS toks
+  FROM planted
+), m AS (
+  SELECT doc_id, text, lines, toks,
+         greatest(len(lines), 1) AS n_lines,
+         list_distinct(lines) AS dlines,
+         CAST(list_sum(list_transform(lines, l -> length(l))) AS DOUBLE)
+           AS line_chars,
+         CAST(list_sum(list_transform(list_distinct(lines), l -> length(l)))
+              AS DOUBLE) AS dline_chars,
+         greatest(len(toks), 1) AS n_words
+  FROM base
+), f AS (
+  SELECT doc_id,
+         (1.0 - len(dlines) * 1.0 / n_lines)
+           * (CASE WHEN len(lines) > 0 THEN 1.0 ELSE 0.0 END) AS dup_line_frac,
+         CASE WHEN line_chars > 0 THEN 1.0 - dline_chars / line_chars
+              ELSE 0.0 END AS dup_line_char_frac,
+         len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) * 1.0
+           / n_lines AS bullet_line_frac,
+         len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+           * 1.0 / n_lines AS ellipsis_line_frac,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / n_words
+           AS mean_word_len,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) * 1.0
+           / n_words AS alpha_word_frac,
+         len(regexp_extract_all(text, '#|\\.\\.\\.|…')) * 1.0 / n_words
+           AS symbol_word_ratio,
+         length(array_to_string(toks, ' ')) AS wchars,
+         CASE WHEN len(toks) >= 2
+              THEN [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+              ELSE [] END AS grams
+  FROM m
+), topg AS (
+  SELECT doc_id,
+         max(cnt * glen) * 1.0 / greatest(any_value(wchars), 1)
+           AS top2gram_char_frac
+  FROM (
+    SELECT doc_id, wchars, g, count(*) AS cnt, length(g) AS glen
+    FROM (SELECT doc_id, wchars, unnest(grams) AS g FROM f)
+    GROUP BY doc_id, wchars, g
+  ) GROUP BY doc_id
+), j AS (
+  SELECT f.*, coalesce(topg.top2gram_char_frac, 0.0) AS top2
+  FROM f LEFT JOIN topg USING (doc_id)
+)
+SELECT doc_id,
+       round(dup_line_frac, 6) AS dup_line_frac,
+       round(dup_line_char_frac, 6) AS dup_line_char_frac,
+       round(top2, 6) AS top2gram_char_frac,
+       round(bullet_line_frac, 6) AS bullet_line_frac,
+       round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(alpha_word_frac, 6) AS alpha_word_frac,
+       round(symbol_word_ratio, 6) AS symbol_word_ratio,
+       CAST(CASE WHEN dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+                  AND top2 <= 0.20 AND bullet_line_frac <= 0.90
+                  AND ellipsis_line_frac <= 0.30
+                  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                  AND alpha_word_frac >= 0.80 AND symbol_word_ratio <= 0.10
+             THEN 1 ELSE 0 END AS INT) AS keep
+FROM j
+"""
+
+
+_MIX_WEIGHTS = {"src0": 1, "src1": 2, "src2": 1, "src3": 2, "src4": 1, "src5": 3}
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import domain_mix
+
+    docs = load(spark, sf_dir, "documents")
+    out = domain_mix(docs, "source", _MIX_WEIGHTS, id_col="doc_id", seed=5)
+    return out.select("doc_id", "source")
+
+
+SQL_DOMAIN_MIX = """
+WITH w AS (
+  SELECT * FROM (VALUES ('src0', 0.1), ('src1', 0.2), ('src2', 0.1),
+                        ('src3', 0.2), ('src4', 0.1), ('src5', 0.3)) AS t(src, wt)
+), c AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY 1
+), j AS (
+  SELECT w.src, w.wt, c.n, c.n / w.wt AS scale
+  FROM w JOIN c ON c.source = w.src
+), f AS (
+  SELECT src, least(wt * (SELECT min(scale) FROM j) / n, 1.0) AS keep_frac
+  FROM j
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN f ON d.source = f.src
+WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|5'), 1, 15))::BIGINT
+       % 1000000) / 1000000.0 < f.keep_frac
+"""
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -910,6 +1120,9 @@ PIPELINE_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "corpus_curation": q_corpus_curation,
+    "decontaminate": q_decontaminate,
+    "quality_gopher": q_quality_gopher,
+    "domain_mix": q_domain_mix,
 }
 
 PIPELINE_ORACLES = {
@@ -933,4 +1146,7 @@ PIPELINE_ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "decontaminate": SQL_DECONTAMINATE,
+    "quality_gopher": SQL_QUALITY_GOPHER,
+    "domain_mix": SQL_DOMAIN_MIX,
 }
