@@ -102,17 +102,26 @@ def decontaminate(
     if strategy not in ("broadcast", "shuffle"):
         raise ValueError(f"unknown strategy {strategy!r}")
     bench_col = bench_col or col
+    # Materialize the token array BELOW the gram transform: the slice
+    # inside _gram_hashes's lambda is evaluated once per gram position,
+    # so if it captures the _norm_tokens subtree directly the regex
+    # tokenization re-runs per position — O(tokens^2) per row on the
+    # interpreted HOF path. As a separate multiply-referenced alias it
+    # survives CollapseProject and the lambda reads a bound attribute.
+    # The docs side is also spread across the cluster first (HOFs are
+    # interpreted; one small source file would mean one task).
     bench_grams = (
-        benchmark.select(
-            F.explode(_gram_hashes(_norm_tokens(F.col(bench_col)), n)).alias("__g")
-        )
+        benchmark.select(_norm_tokens(F.col(bench_col)).alias("__toks"))
+        .select(F.explode(_gram_hashes(F.col("__toks"), n)).alias("__g"))
         .distinct()
     )
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(_gram_hashes(_norm_tokens(F.col(col)), n))).alias(
-            "__g"
-        ),
+    doc_grams = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col), _norm_tokens(F.col(col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(_gram_hashes(F.col("__toks"), n))).alias("__g"),
+        )
     )
     right = F.broadcast(bench_grams) if strategy == "broadcast" else bench_grams
     hits = (
@@ -178,17 +187,30 @@ def gopher_quality(
     if thresholds:
         th.update(thresholds)
 
+    # The signals are higher-order-function-heavy (interpreted, not
+    # codegen'd): spread the rows across the cluster even when the
+    # source is one small file, and materialize the shared line/token
+    # arrays ONCE — as multiply-referenced non-cheap aliases they
+    # survive CollapseProject, so each signal below reads the computed
+    # array instead of re-inlining the split/regexp subtree per column.
     c = F.col(col)
-    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    prepared = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).withColumns(
+        {
+            "__lines": F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != ""),
+            "__toks": _norm_tokens(c),
+        }
+    ).withColumn("__dlines", F.array_distinct(F.col("__lines")))
+
+    lines, dlines, toks = F.col("__lines"), F.col("__dlines"), F.col("__toks")
     n_lines = F.greatest(F.size(lines), F.lit(1))
-    dlines = F.array_distinct(lines)
     line_chars = F.aggregate(
         lines, F.lit(0.0), lambda acc, l: acc + F.length(l)
     )
     dline_chars = F.aggregate(
         dlines, F.lit(0.0), lambda acc, l: acc + F.length(l)
     )
-    toks = _norm_tokens(c)
     n_words = F.greatest(F.size(toks), F.lit(1))
     alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
     symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
@@ -198,8 +220,7 @@ def gopher_quality(
     )
 
     base = (
-        df.withColumn("__lines_n", F.size(lines))
-        .withColumn(
+        prepared.withColumn(
             "dup_line_frac",
             (F.lit(1.0) - F.size(dlines) / n_lines)
             * (F.size(lines) > 0).cast("double"),
@@ -218,23 +239,22 @@ def gopher_quality(
         )
         .withColumn("alpha_word_frac", alpha_words / n_words)
         .withColumn("symbol_word_ratio", symbols / n_words)
-        .drop("__lines_n")
+        .drop("__lines", "__dlines", "__toks")
     )
 
     # most-frequent-2-gram coverage: explode (id, gram) -> count ->
     # max(count * gram_chars) per doc; partial agg keeps the shuffle at
     # one row per distinct (doc, gram)
-    toks2 = _norm_tokens(c)
     grams2 = F.when(
-        F.size(toks2) >= 2,
+        F.size(toks) >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks2) - 2),
-            lambda i: F.concat_ws(" ", toks2[i], toks2[i + 1]),
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(
+    exploded = prepared.select(
         F.col(id_col),
-        (F.length(F.concat_ws(" ", toks2))).alias("__wchars"),
+        (F.length(F.concat_ws(" ", toks))).alias("__wchars"),
         F.explode(grams2).alias("__g"),
     )
     top = (

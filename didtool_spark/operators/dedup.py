@@ -30,7 +30,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .text import tokens_expr
+from .text import tokens_expr, window_concat_expr
 
 
 # ----------------------------------------------------------------- exact
@@ -55,17 +55,14 @@ def exact_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingles_expr(text_col: str | Column, k: int = 5) -> Column:
     """Distinct word k-shingles of the lowercased text. Documents
-    shorter than k tokens yield ONE shingle of all their tokens —
-    F.get (not []) tolerates the out-of-range positions with NULL,
-    which concat_ws drops; under ANSI Spark a plain index would throw
-    INVALID_ARRAY_INDEX on any short document in the corpus."""
-    toks = tokens_expr(text_col)
-    n = F.size(toks)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)]),
-    )
-    return F.array_distinct(sh)
+    shorter than k tokens yield ONE shingle of all their tokens.
+
+    Built on ``window_concat_expr`` (zip_with chain, no lambda capture):
+    tokenize cost is O(k) per row, and the expression stays safe to
+    collapse into a pandas-UDF argument — an index lambda capturing the
+    token subtree would re-tokenize per position AND break PythonUDF
+    extraction (see window_concat_expr)."""
+    return F.array_distinct(window_concat_expr(tokens_expr(text_col), k))
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:

@@ -28,6 +28,30 @@ def n_tokens_ws(col: str | Column) -> Column:
     return F.size(tokens_expr(col))
 
 
+def window_concat_expr(toks: Column, k: int) -> Column:
+    """Array of space-joined k-token windows: element ``i`` is
+    ``toks[i..i+k-1]``; a document with fewer than k tokens yields ONE
+    whole-document window.
+
+    Built as a zip_with chain over shifted slices rather than an
+    index lambda over ``sequence``: higher-order-function ARGUMENTS are
+    evaluated once per row, while a lambda body that captures the token
+    subtree re-evaluates it per element (O(k·n) tokenizations per row
+    interpreted) — and a nested lambda that captures the outer lambda's
+    variable silently breaks PythonUDF extraction when the expression
+    is collapsed into a pandas-UDF argument (the UDF stays in the plan
+    and dies on interpreted eval). This shape costs O(k) tokenize
+    evaluations per row and contains no capture at any nesting level.
+    """
+    win = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        # zip_with pads the shorter side with NULL; concat_ws drops it,
+        # and the final slice cuts the short tail windows anyway
+        win = F.zip_with(win, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(win, 1, F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+
+
 def n_tokens_bpe(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     # regexp_count: no match-array materialization (vs regexp_extract_all)
@@ -137,15 +161,8 @@ def fingerprint_exprs(col: str | Column) -> dict[str, Column]:
     hashes — shift-resistant)."""
     c = F.col(col) if isinstance(col, str) else col
     norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
-    toks = F.split(norm, " ")
-    n = F.size(toks)
-    tri = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),
-        lambda i: F.xxhash64(
-            F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2])
-        ),
-    )
+    tri = window_concat_expr(F.split(norm, " "), 3)
     return {
         "fp_exact": F.md5(norm),
-        "fp_rolling": F.array_min(tri),
+        "fp_rolling": F.array_min(F.transform(tri, lambda w: F.xxhash64(w))),
     }
