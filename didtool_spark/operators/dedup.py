@@ -613,3 +613,138 @@ def ngram_jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+# ------------------------------------------------- connected components
+
+def _edge_checksum(e: DataFrame) -> tuple[int, int]:
+    # sum of 64-bit hashes overflows long (ANSI mode throws): fold in
+    # decimal(38,0) — still order-insensitive and collision-resistant
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Resolve a candidate-pair graph into components: (id, component)
+    with ``component`` = the MIN node id of each connected component.
+    Nodes appearing in no pair are absent (callers coalesce to self —
+    see ``dedup_clusters``).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    standard shuffle-based CC that converges in O(log n) rounds
+    regardless of graph diameter (plain min-label propagation needs
+    O(diameter) rounds and dies on chain-shaped dup clusters).
+
+    Scale notes (the 100 TB path):
+    - Each round is two groupBy-min passes + equi-joins on the edge
+      table. Neighbor lists are NEVER collected into a task: the
+      per-node minimum comes from a partially-aggregated groupBy
+      (map-side combine), so a boilerplate hub with 10^8 neighbors
+      costs one scalar per map task, and the join back emits one row
+      per edge — hub skew is spread across whatever partitions its
+      edges already occupy (AQE skew-join splits the probe side).
+    - The edge set SHRINKS monotonically toward one star per
+      component, so later rounds are cheaper than early ones.
+    - ``localCheckpoint`` truncates the per-round lineage (an
+      iterative join chain would otherwise grow the plan
+      exponentially). On a real cluster with executor loss concerns,
+      set a reliable ``spark.sparkContext.setCheckpointDir`` and swap
+      in ``checkpoint()`` — same semantics, HDFS-backed.
+    - Convergence is detected by an (edge-count, xxhash64-sum)
+      checksum — one tiny aggregate per round, no expensive
+      ``exceptAll`` diff.
+    """
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev = None
+    for _ in range(max_rounds):
+        # ---- large-star: connect strictly-larger neighbors to the min
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", "u").alias("m"))
+        )
+        e = (
+            und.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star: orient max->min, connect smaller nbrs to min
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            o.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _edge_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # fixpoint: every edge is (node, component-min); roots map to selves
+    labels = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("id"), F.col("v").alias("component"))
+    return labels.union(roots).distinct()
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **minhash_kw,
+) -> DataFrame:
+    """Full near-dup cluster resolution: candidate pairs (MinHash-LSH by
+    default, or any (id_a, id_b) pair frame) -> transitive closure ->
+    one canonical doc per cluster. Returns one row per INPUT document:
+    (id_col, cluster_id, is_dup) with cluster_id = min doc id of the
+    near-dup component (own id for singletons) and is_dup = 1 for every
+    non-canonical member — the "keep one per cluster" flag pair-level
+    dedup cannot provide (pairs are not transitive: A~B, B~C but A!~C
+    must still collapse to one cluster).
+
+    reference parity: didtool has no corpus dedup; this is the
+    train-data-pipeline mandate. The pair graph is orders of magnitude
+    smaller than the corpus (only near-dup members appear), so the CC
+    iteration runs on a tiny fraction of the data; the final join back
+    to ``df`` is a left equi-join AQE will broadcast when the dup set
+    is small."""
+    if pairs is None:
+        pairs = minhash_near_dupes(df, text_col, id_col, **minhash_kw)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return df.select(F.col(id_col)).join(
+        cc.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        (F.col(id_col) != F.coalesce("component", F.col(id_col)))
+        .cast("int")
+        .alias("is_dup"),
+    )

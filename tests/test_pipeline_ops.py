@@ -481,3 +481,95 @@ def test_minhash_arrow_matches_expr(docs, spark):
     e = minhash_near_dupes(docs, threshold=0.5, compute="expr").toPandas()
     key = lambda d: set(zip(d["id_a"], d["id_b"], d["jaccard"]))
     assert len(a) > 0 and key(a) == key(e)
+
+
+# ------------------------------------------------- connected components
+
+def _uf_components(pairs, all_ids=None):
+    """Driver-side union-find ground truth: {id: min-of-component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for x in list(parent) + list(all_ids or []):
+        out[x] = find(x)
+    return out
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    import random
+
+    from didtool_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    pairs = sorted({
+        tuple(sorted(rng.sample(range(200), 2))) for _ in range(150)
+    })
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    want = _uf_components(pairs)
+    assert got == want
+
+
+def test_connected_components_chain_converges_fast(spark):
+    """A 64-node chain has diameter 63; large-star/small-star must
+    resolve it in O(log n) rounds — max_rounds=10 would fail plain
+    min-label propagation."""
+    from didtool_spark.operators.dedup import connected_components
+
+    pairs = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = connected_components(df, max_rounds=10).collect()
+    assert {r["id"] for r in got} == set(range(64))
+    assert all(r["component"] == 0 for r in got)
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """A~B and B~C pairs (no A~C pair) must still collapse to ONE
+    cluster with min-id canonical; singletons keep their own id."""
+    from didtool_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 4)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_dup"])
+        for r in dedup_clusters(docs, pairs=pairs).collect()
+    }
+    assert out == {
+        0: (0, 0), 1: (1, 0), 2: (2, 0),
+        3: (1, 1), 4: (2, 1), 5: (1, 1),
+    }
+
+
+def test_dedup_clusters_minhash_end_to_end(docs):
+    """Default pair source (MinHash) over the planted-dup corpus: every
+    planted exact/near dup lands in its source's cluster."""
+    from didtool_spark.operators.dedup import dedup_clusters
+
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(
+            docs, k_shingle=5, n_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    for planted, src in [(1000, 0), (1080, 80), (2005, 5), (2085, 85)]:
+        assert out[planted] == src, (planted, out[planted])
+    # a non-dup doc is its own singleton cluster
+    assert out[7] == 7
