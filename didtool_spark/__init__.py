@@ -61,8 +61,9 @@ from .operators.temporal import (  # noqa: F401
 
 # training-data pipeline operators
 from .operators.dedup import (  # noqa: F401
-    NearDupIndex, exact_dupes, minhash_bucket_stats, minhash_near_dupes,
-    near_dup_index, ngram_jaccard_pairs, simhash_near_dupes,
+    NearDupIndex, connected_components, dedup_clusters, exact_dupes,
+    minhash_bucket_stats, minhash_near_dupes, near_dup_index,
+    ngram_jaccard_pairs, simhash_near_dupes,
 )
 from .operators.similarity import (  # noqa: F401
     cosine_topk, embedding_near_dupes, ivf_fit_centroids, ivf_topk,
