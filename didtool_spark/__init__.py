@@ -63,7 +63,7 @@ from .operators.temporal import (  # noqa: F401
 from .operators.dedup import (  # noqa: F401
     NearDupIndex, connected_components, dedup_clusters, exact_dupes,
     minhash_bucket_stats, minhash_near_dupes, near_dup_index,
-    ngram_jaccard_pairs, simhash_near_dupes,
+    ngram_jaccard_pairs, simhash_near_dupes, split_by_cluster,
 )
 from .operators.similarity import (  # noqa: F401
     cosine_topk, embedding_near_dupes, ivf_fit_centroids, ivf_topk,

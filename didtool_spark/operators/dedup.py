@@ -748,3 +748,41 @@ def dedup_clusters(
         .cast("int")
         .alias("is_dup"),
     )
+
+
+def split_by_cluster(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    test_frac: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    group_col: str = "group",
+    **minhash_kw,
+) -> DataFrame:
+    """Contamination-safe train/test split: assign whole NEAR-DUP
+    CLUSTERS to one side, never individual documents — a per-document
+    split leaks test content into train through its near-duplicates
+    (the standard eval-contamination failure; decontaminate() guards
+    against a KNOWN benchmark, this guards the corpus against its own
+    split). group 0 = train, 1 = test, decided by a deterministic md5
+    Bernoulli on the CLUSTER id (same portable hash rule as
+    stratified_sample), so the split is reproducible under any
+    partitioning and cluster co-assignment is structural, not sampled.
+
+    Returns df + (cluster_id, ``group_col``); downstream didtool-parity
+    operators (split_data, GBMModelSingle) consume ``group_col``
+    directly."""
+    from .curate import _hash_unit
+
+    assign = dedup_clusters(
+        df, pairs=pairs, text_col=text_col, id_col=id_col, **minhash_kw
+    )
+    assign = assign.select(
+        id_col,
+        "cluster_id",
+        (_hash_unit(F.col("cluster_id"), seed) < F.lit(float(test_frac)))
+        .cast("int")
+        .alias(group_col),
+    )
+    return df.join(assign, id_col)

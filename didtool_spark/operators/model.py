@@ -257,14 +257,18 @@ class GBMModelSingle:
         return paths
 
     def optimize_model_param(self, searching_space: dict, n_iter: int = 10,
-                             seed: int = 0):
+                             seed: int = 0, method: str = "bayes"):
         """Reference model.py:306-370 optimize_model_param: search the
-        hyperparameter space maximizing cross-validated AUC on the
-        (mapped) train rows, then update the params. BayesianOptimization
-        isn't in this runtime, so the search is seeded random sampling
-        over the same space dict ({param: (lo, hi)}) — same contract
-        (maximize 5-fold CV AUC), documented divergence in the proposal
-        strategy."""
+        hyperparameter space maximizing 5-fold CV AUC on the (mapped)
+        train rows, then update the params.
+
+        method="bayes" (default, reference-parity): the same GP-UCB
+        loop the reference drives through the BayesianOptimization
+        package, reimplemented from scratch in numpy (Matern-5/2
+        surrogate, UCB kappa=2.576, 5 random init probes —
+        functions/bayesopt.py; the package isn't in this runtime).
+        method="random": seeded uniform sampling over the same space —
+        the cheaper baseline kept from round 2."""
         self.mapper.fit(self.df, self.target, self.group_col)
         pdf = _sample_pandas(
             self.df.where(F.col(self.group_col) == 0),
@@ -292,15 +296,30 @@ class GBMModelSingle:
                 scores.append(_np_auc(y[folds == k], p))
             return float(np.mean(scores))
 
-        best, best_params = -math.inf, {}
-        for _ in range(n_iter):
-            cand = {}
-            for k, (lo, hi) in searching_space.items():
-                v = rng.uniform(lo, hi)
-                cand[k] = int(round(v)) if k in int_sets else float(v)
-            s = cv_auc(cand)
-            if s > best:
-                best, best_params = s, cand
+        def _typed(raw: dict) -> dict:
+            return {
+                k: int(round(v)) if k in int_sets else float(v)
+                for k, v in raw.items()
+            }
+
+        if method == "bayes":
+            from ..functions.bayesopt import BayesOpt
+
+            bo = BayesOpt(searching_space, seed=seed)
+            res = bo.maximize(lambda **kw: cv_auc(_typed(kw)), n_iter=n_iter)
+            best_params, best = _typed(res["params"]), res["target"]
+        elif method == "random":
+            best, best_params = -math.inf, {}
+            for _ in range(n_iter):
+                cand = _typed(
+                    {k: rng.uniform(lo, hi)
+                     for k, (lo, hi) in searching_space.items()}
+                )
+                s = cv_auc(cand)
+                if s > best:
+                    best, best_params = s, cand
+        else:
+            raise ValueError(f"unknown search method {method!r}")
         self.update_model_params(best_params)
         return best_params, best
 

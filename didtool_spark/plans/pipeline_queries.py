@@ -1157,12 +1157,72 @@ FROM docs d LEFT JOIN cc ON cc.id = d.doc_id
 
 
 
+def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe split: whole near-dup clusters assigned to
+    train/test by an md5 Bernoulli on the CLUSTER id. Oracle = the
+    dedup_clusters recursive-CTE closure + the same portable hash rule
+    stratified_sample's oracle already uses."""
+    from ..operators.dedup import split_by_cluster
+
+    docs = _docs_with_planted_near(spark, sf_dir)
+    out = split_by_cluster(
+        docs, test_frac=0.2, seed=7,
+        k_shingle=5, n_hashes=32, bands=16, threshold=0.5,
+    )
+    return out.select("doc_id", "cluster_id", "group")
+
+
+SQL_SPLIT_BY_CLUSTER = f"""
+WITH RECURSIVE docs AS ({SQL_PLANTED_NEAR}),
+t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM docs
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 4, 1)),
+           i -> array_to_string(tk[i:i+4], ' '))) AS s
+  FROM t
+), inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE nc * 1.0 / (sa.n + sb.n - nc) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(id, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+),
+cc AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+assigned AS (
+  SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS cluster_id
+  FROM docs d LEFT JOIN cc ON cc.id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST((('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '|7'), 1, 15))::BIGINT
+             % 1000000) / 1000000.0 < 0.2 AS INT) AS "group"
+FROM assigned
+"""
+
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
     "exact_dedup": q_exact_dedup,
     "minhash_dedup": q_minhash_dedup,
     "dedup_clusters": q_dedup_clusters,
+    "split_by_cluster": q_split_by_cluster,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_dedup": q_simhash_dedup,
     "embedding_topk": q_embedding_topk,
@@ -1189,6 +1249,7 @@ PIPELINE_ORACLES = {
     "simhash_dedup": SQL_SIMHASH,
     "minhash_dedup": SQL_NEAR_DUP_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "split_by_cluster": SQL_SPLIT_BY_CLUSTER,
     "ngram_jaccard": SQL_NEAR_DUP_PAIRS,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "embedding_topk_lsh": SQL_EMBEDDING_TOPK_LSH,

@@ -573,3 +573,24 @@ def test_dedup_clusters_minhash_end_to_end(docs):
         assert out[planted] == src, (planted, out[planted])
     # a non-dup doc is its own singleton cluster
     assert out[7] == 7
+
+
+def test_split_by_cluster_never_splits_a_cluster(docs):
+    """Every near-dup cluster must land wholly in train or wholly in
+    test, and the test fraction must track test_frac on cluster ids."""
+    import pandas as pd
+
+    from didtool_spark.operators.dedup import split_by_cluster
+
+    out = split_by_cluster(
+        docs, test_frac=0.3, seed=11,
+        k_shingle=5, n_hashes=32, bands=16, threshold=0.5,
+    ).select("doc_id", "cluster_id", "group").toPandas()
+    assert len(out) == docs.count()
+    per_cluster = out.groupby("cluster_id")["group"].nunique()
+    assert (per_cluster == 1).all()
+    # planted dup follows its source's side
+    m = out.set_index("doc_id")["group"]
+    assert m[1000] == m[0] and m[2005] == m[5]
+    frac = out.drop_duplicates("cluster_id")["group"].mean()
+    assert 0.15 < frac < 0.45  # Bernoulli(0.3) over ~100 clusters
