@@ -158,12 +158,80 @@ def run_level(n_exec: int, n_convs: int) -> dict:
     )
 
 
+def _steal_window(seconds: float = 5.0) -> float:
+    import time
+
+    def sample():
+        vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+    s0, t0 = sample()
+    time.sleep(seconds)
+    s1, t1 = sample()
+    return round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+
+
+def wait_for_quiet(
+    max_steal_pct: float = 0.4,
+    min_multi_gbps: float = 105.0,
+    max_load1: float = 3.0,
+    max_wait_s: int = 2400,
+    poll_s: int = 60,
+) -> dict:
+    """Block until the host looks quiet (hypervisor steal, aggregate
+    memory-bandwidth probe, loadavg), or the wait budget runs out.
+    Measuring DURING known co-tenant contention wastes an hour per
+    series and records pairs that measure the neighbors, not the
+    engine; every pair is still journaled whenever it IS measured —
+    this gates when measurement starts, never which results are kept."""
+    import time
+
+    waited = 0
+    while True:
+        steal = _steal_window(5.0)
+        multi = bandwidth_probe_multi()
+        load1 = round(os.getloadavg()[0], 1)
+        quiet = (
+            steal <= max_steal_pct
+            and multi >= min_multi_gbps
+            and load1 <= max_load1
+        )
+        stats = {
+            "gate_steal_pct": steal, "gate_multi_gbps": multi,
+            "gate_load1": load1, "gate_waited_s": waited,
+        }
+        if quiet or waited >= max_wait_s:
+            stats["gate_passed"] = quiet
+            return stats
+        print(json.dumps({"quiet_gate": "waiting", **stats}), flush=True)
+        time.sleep(poll_s)
+        waited += poll_s + 5
+
+
+def _journal_pair(low: int, high: int, n_turns: int, pair: dict, note: str) -> None:
+    journal = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+    entry = {
+        "low_executors": low, "high_executors": high, "n_turns": n_turns,
+        "pairs": [pair], "best_efficiency": pair["efficiency"],
+        "median_efficiency": pair["efficiency"], "note": note,
+    }
+    with open(journal, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
+
 def run_series(low: int, high: int, n_convs: int, reps: int) -> dict:
     """Interleaved (low, high) pairs; one efficiency per pair."""
     factor = high / low
     pairs = []
     n_turns = None
+    gate = os.environ.get("SPARK_GRAFT_QUIET_GATE", "1") != "0"
+    note = (
+        "interleaved, probe+steal instrumented, quiet-gated "
+        "(steal<=0.4%, aggregate-BW probe>=105 GB/s before each pair)"
+        if gate else ""
+    )
     for _ in range(reps):
+        gate_stats = wait_for_quiet() if gate else {}
         r_low = run_level(low, n_convs)
         r_high = run_level(high, n_convs)
         n_turns = r_low["n_turns"]
@@ -186,7 +254,9 @@ def run_series(low: int, high: int, n_convs: int, reps: int) -> dict:
                 ),
             }
         )
+        pairs[-1].update(gate_stats)
         print(json.dumps({"series": f"{low}->{high}", **pairs[-1]}), flush=True)
+        _journal_pair(low, high, n_turns, pairs[-1], note)
     effs = sorted(p["efficiency"] for p in pairs)
     mid = len(effs) // 2
     median = effs[mid] if len(effs) % 2 else (effs[mid - 1] + effs[mid]) / 2
@@ -197,6 +267,8 @@ def run_series(low: int, high: int, n_convs: int, reps: int) -> dict:
         "pairs": pairs,
         "best_efficiency": max(effs),
         "median_efficiency": round(median, 3),
+        "note": note,
+        "journaled": True,
     }
 
 
@@ -227,7 +299,8 @@ def write_report(series: list[dict]) -> None:
     journal = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
     with open(journal, "a") as f:
         for s in series:
-            f.write(json.dumps(s) + "\n")
+            if not s.get("journaled"):
+                f.write(json.dumps(s) + "\n")
     all_series: list[dict] = []
     with open(journal) as f:
         for line in f:
