@@ -83,6 +83,9 @@ from .operators.decontam import (  # noqa: F401
     decontaminate, domain_mix, gopher_quality,
 )
 
+# n-gram LM perplexity quality scoring (CCNet-style filter)
+from .operators.lm import NgramLM, lm_perplexity  # noqa: F401
+
 # multimodal decode (stdlib WAV/PPM/BMP; JPEG/video stubbed)
 from .operators.multimodal import extract_media_features  # noqa: F401
 

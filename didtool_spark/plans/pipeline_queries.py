@@ -1216,6 +1216,70 @@ FROM assigned
 
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity, self-fitted on the documents
+    table (fit = two distributed count aggregations; score = broadcast
+    LM joins + one per-doc fold). Oracle replays the identical
+    add-k/Jelinek-Mercer math over the same counts in SQL."""
+    from ..operators.lm import lm_perplexity
+
+    docs = load(spark, sf_dir, "documents")
+    out = lm_perplexity(docs, k=0.5, lam=0.8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+SQL_LM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\\s+')) > 0
+),
+uni AS (
+  SELECT w, count(*)::DOUBLE AS c
+  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w
+),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+big AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, count(*)::DOUBLE AS c
+  FROM (
+    SELECT unnest(list_transform(range(1, len(tk)),
+                                 i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+    FROM toks WHERE len(tk) > 1
+  ) GROUP BY 1, 2
+),
+first AS (
+  SELECT t.doc_id, len(t.tk) AS n_tokens,
+         ln((coalesce(u.c, 0) + 0.5) / (tot.n + 0.5 * (tot.v + 1))) AS lp0
+  FROM toks t CROSS JOIN tot LEFT JOIN uni u ON u.w = t.tk[1]
+),
+pos AS (
+  SELECT t.doc_id,
+         ln(0.8 * coalesce(b.c / u1.c, 0)
+            + 0.2 * (coalesce(u2.c, 0) + 0.5) / (tot.n + 0.5 * (tot.v + 1))) AS lp
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk)),
+                                 i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+    FROM toks WHERE len(tk) > 1
+  ) t
+  CROSS JOIN tot
+  LEFT JOIN big b ON b.w1 = t.p.w1 AND b.w2 = t.p.w2
+  LEFT JOIN uni u1 ON u1.w = t.p.w1
+  LEFT JOIN uni u2 ON u2.w = t.p.w2
+),
+folded AS (SELECT doc_id, sum(lp) AS lps FROM pos GROUP BY doc_id)
+SELECT f.doc_id, f.n_tokens,
+       round(-(f.lp0 + coalesce(fo.lps, 0)) / f.n_tokens, 6) AS avg_nll,
+       round(exp(-(f.lp0 + coalesce(fo.lps, 0)) / f.n_tokens), 6) AS perplexity
+FROM first f LEFT JOIN folded fo USING (doc_id)
+"""
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -1240,6 +1304,7 @@ PIPELINE_QUERIES = {
     "decontaminate": q_decontaminate,
     "quality_gopher": q_quality_gopher,
     "domain_mix": q_domain_mix,
+    "lm_perplexity": q_lm_perplexity,
 }
 
 PIPELINE_ORACLES = {
@@ -1268,4 +1333,5 @@ PIPELINE_ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "quality_gopher": SQL_QUALITY_GOPHER,
     "domain_mix": SQL_DOMAIN_MIX,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
 }
