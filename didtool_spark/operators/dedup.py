@@ -666,10 +666,16 @@ def connected_components(
       checksum — one tiny aggregate per round, no expensive
       ``exceptAll`` diff.
     """
+    # Materialize the input edges ONCE before iterating: every round
+    # references `e` several times (the und self-union, the m join), so
+    # an un-checkpointed pair lineage — e.g. the whole MinHash candidate
+    # pipeline — would re-execute per reference in round 1. After this,
+    # each round starts from a materialized edge table.
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     prev = None
     for _ in range(max_rounds):
@@ -686,6 +692,9 @@ def connected_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
+            # small-star reads this twice (the o->m agg and the o join):
+            # materialize so the large-star join chain runs once
+            .localCheckpoint(eager=True)
         )
         # ---- small-star: orient max->min, connect smaller nbrs to min
         o = e.select(
