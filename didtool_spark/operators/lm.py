@@ -93,16 +93,24 @@ class NgramLM:
         toks = corpus.select(_norm_tokens(F.col(col)).alias("__toks")).where(
             F.size("__toks") > 0
         )
+        # Cache both fitted tables: they are vocab-sized, but their
+        # PLANS each contain a full corpus scan — score() references
+        # ``uni`` three times (three separate broadcast exchanges, the
+        # selects under them differ so ReuseExchange cannot kick in),
+        # and without the cache every reference re-scans the corpus.
+        # The collect below doubles as the materializing action for uni.
         uni = (
             toks.select(F.explode("__toks").alias("w"))
             .groupBy("w")
             .agg(F.count("*").alias("c"))
+            .cache()
         )
         bi = (
             toks.where(F.size("__toks") > 1)
             .select(F.explode(_bigram_structs(F.col("__toks"))).alias("p"))
             .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
             .agg(F.count("*").alias("c"))
+            .cache()
         )
         # one tiny action for the two scalars (vocab-sized input)
         tot = uni.agg(
