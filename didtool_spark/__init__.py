@@ -61,9 +61,10 @@ from .operators.temporal import (  # noqa: F401
 
 # training-data pipeline operators
 from .operators.dedup import (  # noqa: F401
-    NearDupIndex, connected_components, dedup_clusters, exact_dupes,
-    minhash_bucket_stats, minhash_near_dupes, near_dup_index,
-    ngram_jaccard_pairs, simhash_near_dupes, split_by_cluster,
+    NearDupIndex, connected_components, dedup_clusters,
+    duplicated_substring_stats, exact_dupes, minhash_bucket_stats,
+    minhash_near_dupes, near_dup_index, ngram_jaccard_pairs,
+    remove_duplicated_substrings, simhash_near_dupes, split_by_cluster,
 )
 from .operators.similarity import (  # noqa: F401
     cosine_topk, embedding_near_dupes, ivf_fit_centroids, ivf_topk,

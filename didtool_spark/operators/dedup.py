@@ -795,3 +795,203 @@ def split_by_cluster(
         .alias(group_col),
     )
     return df.join(assign, id_col)
+
+
+# ------------------------------------------- exact substring (window-hash)
+
+def _window_hashes(toks: Column, k: int) -> Column:
+    """xxhash64 of every k-token window (array<bigint>, element i =
+    hash of toks[i..i+k-1]); fewer than k tokens -> empty array (a doc
+    shorter than the window can never carry a duplicated substring of
+    length k — unlike shingles_expr, which falls back to a whole-doc
+    shingle for near-dup recall). Built on window_concat_expr (zip_with
+    chain — O(k) tokenize evaluations per row, no lambda capture)."""
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(window_concat_expr(toks, k), lambda g: F.xxhash64(g)),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _dup_window_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    min_count: int,
+    strategy: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the exact-substring family: (per-doc token counts,
+    merged duplicated spans). A window is duplicated iff its normalized
+    k-token text occurs >= min_count times across the WHOLE corpus —
+    counting repeats inside a single document too, the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    dedup via suffix arrays) criterion, approximated at fixed window
+    length k so it becomes pure DataFrame algebra:
+
+      explode (doc, pos, window-hash)         [one scan, no text moved]
+      -> groupBy hash, count >= min_count     [map-side combine; the
+                                               shuffled unit is 8 bytes]
+      -> join back on hash                    [equi-join; broadcast-able
+                                               when the dup set is small]
+      -> gaps-and-islands merge per doc       [window over (doc, pos) —
+                                               only DUP windows reach it]
+
+    Scale notes (100 TB): the explode emits ~n_tokens rows per doc but
+    only (id, pos, int64) triples — text never shuffles; the dup-hash
+    table after HAVING is the duplicated-substring vocabulary
+    (boilerplate), orders of magnitude smaller than the corpus;
+    strategy='broadcast' ships it to the scan when it fits, the
+    'shuffle' default lets AQE pick (skew-split on hot boilerplate
+    hashes). The island merge partitions by doc — bounded per-doc work.
+    """
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    norm = F.split(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " ")
+    # materialized token alias: HOFs are interpreted — see decontam.py
+    base = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).select(F.col(id_col), norm.alias("__toks"))
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(_window_hashes(F.col("__toks"), k)).alias("__pos", "__gh"),
+    )
+    dup = (
+        wins.groupBy("__gh")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("__gh")
+    )
+    dwin = wins.join(F.broadcast(dup) if strategy == "broadcast" else dup, "__gh")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    # coverage of window at pos is [pos, pos+k-1]; sorted starts =>
+    # sorted ends, so contiguity only needs the previous start: a new
+    # island begins when this window leaves a gap (pos > prev + k)
+    brk = (
+        F.when(F.lag("__pos").over(w).isNull(), 1)
+        .when(F.col("__pos") > F.lag("__pos").over(w) + k, 1)
+        .otherwise(0)
+    )
+    spans = (
+        dwin.withColumn("__isl", F.sum(brk).over(w))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("__pos").alias("s"),
+            (F.max("__pos") + (k - 1)).alias("e"),
+            F.count(F.lit(1)).alias("__nw"),
+        )
+    )
+    n_tokens = base.select(F.col(id_col), F.size("__toks").alias("n_tokens"))
+    return n_tokens, spans
+
+
+def duplicated_substring_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+    strategy: str = "shuffle",
+) -> DataFrame:
+    """Per-document duplicated-substring statistics: one row per INPUT
+    doc with ``n_tokens``, ``n_dup_windows`` (duplicated k-token window
+    starts), ``n_dup_spans`` (merged maximal duplicated spans),
+    ``dup_tokens`` (tokens covered by those spans) and ``dup_frac``.
+    k=50 is the Lee et al. threshold; the gate/demo queries use a
+    smaller k to match the synthetic corpus' doc lengths."""
+    n_tokens, spans = _dup_window_spans(
+        df, text_col, id_col, k, min_count, strategy
+    )
+    stats = spans.groupBy(id_col).agg(
+        F.sum("__nw").cast("int").alias("n_dup_windows"),
+        F.count(F.lit(1)).cast("int").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("int").alias("dup_tokens"),
+    )
+    return (
+        n_tokens.join(stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def remove_duplicated_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+    strategy: str = "shuffle",
+    out_col: str = "clean_text",
+    with_stats: bool = False,
+) -> DataFrame:
+    """Cut every duplicated span out of each document (the actual
+    Lee et al. removal, at token granularity on normalized text):
+    returns ``df`` + ``out_col`` = the space-joined tokens outside all
+    merged duplicated spans. Whitespace/case inside surviving text is
+    normalized — removal operates on the same token stream the match
+    was found in, so the cut can never split a surviving token.
+    ``with_stats=True`` also adds the duplicated_substring_stats
+    columns, derived from the SAME single spans pass (per-row array
+    expressions over the collected span list — no second aggregation).
+
+    The span list per doc is collect_list of merged spans — bounded by
+    doc length (documents are bounded; conversations are not, which is
+    why the temporal family has bucketed strategies and this does not
+    need them). The token filter is one per-row array expression."""
+    _, spans = _dup_window_spans(df, text_col, id_col, k, min_count, strategy)
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e", "__nw")).alias("__spans")
+    )
+    norm = F.split(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "), " ")
+    out = (
+        df.join(span_lists, id_col, "left")
+        .withColumn(
+            "__spans",
+            F.coalesce(
+                "__spans",
+                F.array().cast("array<struct<s:int,e:int,__nw:bigint>>"),
+            ),
+        )
+        .withColumn("__toks", norm)
+    )
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size("__toks") - 1),
+        lambda i: ~F.exists(
+            F.col("__spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+        ),
+    )
+    clean = F.concat_ws(
+        " ", F.transform(kept, lambda i: F.element_at(F.col("__toks"), i + 1))
+    )
+    out = out.withColumn(out_col, clean)
+    if with_stats:
+        sp = F.col("__spans")
+        dup_tokens = F.aggregate(
+            sp, F.lit(0), lambda acc, x: acc + (x["e"] - x["s"] + 1)
+        )
+        out = (
+            out.withColumn("n_tokens", F.size("__toks").cast("int"))
+            .withColumn(
+                "n_dup_windows",
+                F.aggregate(sp, F.lit(0), lambda acc, x: acc + x["__nw"].cast("int")),
+            )
+            .withColumn("n_dup_spans", F.size(sp))
+            .withColumn("dup_tokens", dup_tokens)
+            .withColumn(
+                "dup_frac",
+                F.round(dup_tokens / F.greatest(F.size("__toks"), F.lit(1)), 6),
+            )
+        )
+    return out.drop("__spans", "__toks")

@@ -1280,6 +1280,108 @@ FROM first f LEFT JOIN folded fo USING (doc_id)
 """
 
 
+# --------------------------------------------- exact substring dedup
+
+# planted duplication for the substring gate: a fixed boilerplate tail
+# on doc_id%4 (cross-doc duplicate) and a twice-repeated 8-token phrase
+# on doc_id%9 (within-doc duplicate) — first matching rule wins, same
+# scheme as _docs_with_planted_structure. Literal strings so the DuckDB
+# oracle replays the planting exactly.
+_SUB_BOILER = (
+    "subscribe to our newsletter today for the latest product updates "
+    "and exclusive member offers"
+)
+_SUB_REPEAT = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+
+
+def _docs_with_planted_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d, t = F.col("doc_id"), F.col("text")
+    return docs.withColumn(
+        "text",
+        F.when(d % 4 == 0, F.concat(t, F.lit(" " + _SUB_BOILER)))
+        .when(d % 9 == 0, F.concat(t, F.lit(" " + _SUB_REPEAT + " " + _SUB_REPEAT)))
+        .otherwise(t),
+    )
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, fixed-window k=8 variant):
+    per-doc duplicated-window stats + the cleaned text with every merged
+    duplicated span cut out, all from ONE spans pass
+    (remove_duplicated_substrings(with_stats=True))."""
+    from ..operators.dedup import remove_duplicated_substrings
+
+    planted = _docs_with_planted_substrings(spark, sf_dir)
+    out = remove_duplicated_substrings(
+        planted, k=8, min_count=2, with_stats=True
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_windows",
+        "n_dup_spans",
+        "dup_tokens",
+        "dup_frac",
+        "clean_text",
+    )
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || ' {_SUB_BOILER}'
+              WHEN doc_id % 9 = 0 THEN text || ' {_SUB_REPEAT} {_SUB_REPEAT}'
+              ELSE text END AS text
+  FROM documents
+), norm AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM planted
+), wing AS (
+  SELECT doc_id, pos, array_to_string(tk[pos+1:pos+8], ' ') AS g
+  FROM (SELECT doc_id, tk,
+               unnest(range(0, greatest(len(tk) - 7, 0))) AS pos
+        FROM norm)
+), dup AS (
+  SELECT g FROM wing GROUP BY g HAVING count(*) >= 2
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (SELECT w.doc_id, w.pos,
+               lag(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS prev
+        FROM wing w JOIN dup USING (g))
+), spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e,
+         count(*) AS nw
+  FROM isl GROUP BY 1, 2
+), stats AS (
+  SELECT doc_id,
+         CAST(sum(nw) AS INT) AS n_dup_windows,
+         CAST(count(*) AS INT) AS n_dup_spans,
+         CAST(sum(e - s + 1) AS INT) AS dup_tokens,
+         list(struct_pack(s := s, e := e)) AS sp
+  FROM spans GROUP BY 1
+)
+SELECT n.doc_id,
+       CAST(len(n.tk) AS INT) AS n_tokens,
+       CAST(coalesce(st.n_dup_windows, 0) AS INT) AS n_dup_windows,
+       CAST(coalesce(st.n_dup_spans, 0) AS INT) AS n_dup_spans,
+       CAST(coalesce(st.dup_tokens, 0) AS INT) AS dup_tokens,
+       round(coalesce(st.dup_tokens, 0) / greatest(len(n.tk), 1), 6) AS dup_frac,
+       CASE WHEN st.doc_id IS NULL THEN array_to_string(n.tk, ' ')
+            -- array_to_string([]) is NULL in DuckDB; Spark concat_ws -> ''
+            ELSE coalesce(array_to_string(
+              [n.tk[j] for j in range(1, len(n.tk) + 1)
+               if len(list_filter(st.sp, x -> j - 1 >= x.s AND j - 1 <= x.e)) = 0],
+              ' '), '')
+       END AS clean_text
+FROM norm n LEFT JOIN stats st USING (doc_id)
+"""
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -1305,6 +1407,7 @@ PIPELINE_QUERIES = {
     "quality_gopher": q_quality_gopher,
     "domain_mix": q_domain_mix,
     "lm_perplexity": q_lm_perplexity,
+    "substring_dedup": q_substring_dedup,
 }
 
 PIPELINE_ORACLES = {
@@ -1334,4 +1437,5 @@ PIPELINE_ORACLES = {
     "quality_gopher": SQL_QUALITY_GOPHER,
     "domain_mix": SQL_DOMAIN_MIX,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
 }

@@ -594,3 +594,88 @@ def test_split_by_cluster_never_splits_a_cluster(docs):
     assert m[1000] == m[0] and m[2005] == m[5]
     frac = out.drop_duplicates("cluster_id")["group"].mean()
     assert 0.15 < frac < 0.45  # Bernoulli(0.3) over ~100 clusters
+
+
+# ------------------------------------------------ exact substring dedup
+
+def test_duplicated_substring_stats_and_removal(spark):
+    from didtool_spark.operators.dedup import (
+        duplicated_substring_stats,
+        remove_duplicated_substrings,
+    )
+
+    boiler = "subscribe to our newsletter for the latest updates and offers"
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta " + boiler),
+        (2, "one two three four five six seven " + boiler),
+        (3, "totally unique text with no repeats anywhere at all"),
+        (4, "rep rep rep rep rep rep rep rep tail words here"),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    st = {
+        r["doc_id"]: r
+        for r in duplicated_substring_stats(df, k=5, min_count=2).collect()
+    }
+    # cross-doc boilerplate: 10 shared tokens -> 6 windows, one span
+    assert st[1]["n_dup_windows"] == 6 and st[1]["dup_tokens"] == 10
+    assert st[2]["n_dup_spans"] == 1 and st[2]["dup_tokens"] == 10
+    # clean docs and sub-k docs untouched
+    assert st[3]["dup_tokens"] == 0 and st[5]["dup_tokens"] == 0
+    # within-doc repetition counts (Lee et al. semantics)
+    assert st[4]["dup_tokens"] == 8 and st[4]["n_dup_spans"] == 1
+    assert abs(st[1]["dup_frac"] - 10 / 16) < 1e-9
+
+    cl = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicated_substrings(df, k=5, min_count=2).collect()
+    }
+    assert cl[1] == "alpha beta gamma delta epsilon zeta"
+    assert cl[2] == "one two three four five six seven"
+    assert cl[3] == rows[2][1]
+    assert cl[4] == "tail words here"
+    assert cl[5] == "short doc"
+
+
+def test_remove_duplicated_substrings_with_stats_matches_stats(spark):
+    """with_stats=True derives the same numbers as
+    duplicated_substring_stats from one spans pass."""
+    from didtool_spark.operators.dedup import (
+        duplicated_substring_stats,
+        remove_duplicated_substrings,
+    )
+
+    rows = [
+        (i, f"prefix{i} " + "the quick brown fox jumps over the lazy dog " * 2)
+        for i in range(6)
+    ] + [(9, "nothing duplicated in this document at all honestly")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = (
+        duplicated_substring_stats(df, k=6, min_count=2)
+        .orderBy("doc_id")
+        .collect()
+    )
+    b = (
+        remove_duplicated_substrings(df, k=6, min_count=2, with_stats=True)
+        .select(
+            "doc_id", "n_tokens", "n_dup_windows", "n_dup_spans",
+            "dup_tokens", "dup_frac",
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_remove_duplicated_substrings_broadcast_equals_shuffle(spark):
+    from didtool_spark.operators.dedup import remove_duplicated_substrings
+
+    rows = [
+        (1, "shared run of tokens one two three four five six end a"),
+        (2, "other doc shared run of tokens one two three four five six"),
+        (3, "fully distinct content here with nothing else going on"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = remove_duplicated_substrings(df, k=5, strategy="shuffle").orderBy("doc_id")
+    b = remove_duplicated_substrings(df, k=5, strategy="broadcast").orderBy("doc_id")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
