@@ -66,6 +66,9 @@ from .operators.dedup import (  # noqa: F401
     minhash_near_dupes, near_dup_index, ngram_jaccard_pairs,
     remove_duplicated_substrings, simhash_near_dupes, split_by_cluster,
 )
+from .operators.dsir import (  # noqa: F401
+    dsir_log_ratios, dsir_scores, importance_resample,
+)
 from .operators.similarity import (  # noqa: F401
     cosine_topk, embedding_near_dupes, ivf_fit_centroids, ivf_topk,
     lsh_topk,

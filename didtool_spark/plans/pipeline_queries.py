@@ -1382,6 +1382,65 @@ FROM norm n LEFT JOIN stats st USING (doc_id)
 """
 
 
+# --------------------------------------------- DSIR importance resampling
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) selection: docs with doc_id%7==0 play the
+    target domain, the rest are the raw pool; hashed unigram+bigram
+    buckets (B=2048), add-1 smoothing, Gumbel-top-30% keep with the
+    exact-percentile threshold (the SQL-replayable form; approx is the
+    at-scale default)."""
+    from ..operators.dsir import importance_resample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    raw = docs.where(F.col("doc_id") % 7 != 0)
+    out = importance_resample(
+        raw, target, frac=0.3, n_buckets=2048, alpha=1.0, seed=7,
+        threshold="exact",
+    )
+    return out.select(
+        "doc_id", F.round("log_weight", 6).alias("log_weight"), "keep"
+    )
+
+
+SQL_IMPORTANCE_RESAMPLE = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+), bk AS (
+  SELECT doc_id, (doc_id % 7 = 0) AS is_t,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT % 2048 AS b
+  FROM (SELECT doc_id,
+               unnest(tk || [tk[i] || ' ' || tk[i+1]
+                             for i in range(1, len(tk))]) AS g
+        FROM norm)
+), tc AS (SELECT b, count(*) AS ct FROM bk WHERE is_t GROUP BY 1),
+rc AS (SELECT b, count(*) AS cr FROM bk WHERE NOT is_t GROUP BY 1),
+tt AS (SELECT sum(ct) AS nt FROM tc),
+rt AS (SELECT sum(cr) AS nr FROM rc),
+lr AS (
+  SELECT rc.b,
+         ln((coalesce(tc.ct, 0) + 1.0) / (tt.nt + 2048.0))
+         - ln((rc.cr + 1.0) / (rt.nr + 2048.0)) AS log_ratio
+  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN rt
+), sc AS (
+  SELECT bk.doc_id, sum(lr.log_ratio) AS lw
+  FROM bk JOIN lr USING (b) WHERE NOT bk.is_t GROUP BY 1
+), pert AS (
+  SELECT doc_id, lw,
+         lw + (-ln(-ln(
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 15))::BIGINT
+            % 1000000 + 0.5) / 1000000.0))) AS s
+  FROM sc
+), thr AS (SELECT quantile_cont(s, 0.7) AS t FROM pert)
+SELECT p.doc_id, round(p.lw, 6) AS log_weight,
+       CAST(CASE WHEN p.s >= thr.t THEN 1 ELSE 0 END AS INT) AS keep
+FROM pert p CROSS JOIN thr
+"""
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -1408,6 +1467,7 @@ PIPELINE_QUERIES = {
     "domain_mix": q_domain_mix,
     "lm_perplexity": q_lm_perplexity,
     "substring_dedup": q_substring_dedup,
+    "importance_resample": q_importance_resample,
 }
 
 PIPELINE_ORACLES = {
@@ -1438,4 +1498,5 @@ PIPELINE_ORACLES = {
     "domain_mix": SQL_DOMAIN_MIX,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "importance_resample": SQL_IMPORTANCE_RESAMPLE,
 }

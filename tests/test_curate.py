@@ -109,3 +109,63 @@ def test_pack_sequences_quota_and_balance(spark):
     # shards reasonably balanced (hash distribution)
     sizes = pdf.groupby("shard").size()
     assert sizes.min() > 0.5 * sizes.mean()
+
+
+# ------------------------------------------------ DSIR importance resampling
+
+def test_importance_resample_prefers_target_like_docs(spark):
+    from didtool_spark.operators.dsir import importance_resample
+
+    t_words = "medical clinical patient dosage symptom diagnosis".split()
+    r_words = "football referee goalkeeper stadium penalty midfield".split()
+    import itertools
+    def mk(words, doc_id, n=30):
+        gen = itertools.cycle(words)
+        return (doc_id, " ".join(next(gen) for _ in range(n)))
+    target = spark.createDataFrame(
+        [mk(t_words, i) for i in range(10)], ["doc_id", "text"]
+    )
+    # raw pool: 10 target-like docs (ids 100+), 30 off-domain (200+)
+    raw = spark.createDataFrame(
+        [mk(t_words, 100 + i) for i in range(10)]
+        + [mk(r_words, 200 + i) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    out = importance_resample(
+        raw, target, frac=0.25, n_buckets=512, seed=3, threshold="exact"
+    ).toPandas().set_index("doc_id").sort_index()
+    assert len(out) == 40
+    # every target-like doc outweighs every off-domain doc
+    assert out.loc[100:109, "log_weight"].min() > out.loc[200:229, "log_weight"].max()
+    # ~25% kept, and the kept set is exactly the target-like docs
+    assert out["keep"].sum() == 10
+    assert set(out[out["keep"] == 1].index) == {100 + i for i in range(10)}
+
+
+def test_importance_resample_approx_matches_exact_here(spark):
+    """At unit scale the approx_percentile threshold lands on the same
+    selected set as the exact percentile (sanity that the scale path
+    computes the same statistic, not a different rule)."""
+    from didtool_spark.operators.dsir import importance_resample
+    from pyspark.sql import functions as F
+
+    docs = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.when(F.pmod(F.xxhash64("id", F.lit(i)), 3) == 0, F.lit("alpha"))
+                .when(F.pmod(F.xxhash64("id", F.lit(i)), 3) == 1, F.lit("beta"))
+                .otherwise(F.lit("gamma"))
+                for i in range(20)
+            ],
+        ).alias("text"),
+    )
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    raw = docs.where(F.col("doc_id") % 5 != 0)
+    kw = dict(frac=0.4, n_buckets=256, seed=1)
+    a = importance_resample(raw, target, threshold="exact", **kw).toPandas()
+    b = importance_resample(raw, target, threshold="approx", **kw).toPandas()
+    m = a.merge(b, on="doc_id", suffixes=("_e", "_a"))
+    assert (m["log_weight_e"] == m["log_weight_a"]).all()
+    assert (m["keep_e"] == m["keep_a"]).all()
