@@ -630,22 +630,57 @@ def _edge_checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(edges: list[tuple[int, int]]):
+    """Exact union-find over a collected edge list; returns
+    {node: min-node-of-component} — identical labels to the
+    distributed fixpoint."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # second pass: root then min-label (roots are already the min by
+    # construction — we always parent the larger root to the smaller)
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 50,
+    max_driver_edges: int | None = 2_000_000,
 ) -> DataFrame:
     """Resolve a candidate-pair graph into components: (id, component)
     with ``component`` = the MIN node id of each connected component.
     Nodes appearing in no pair are absent (callers coalesce to self —
     see ``dedup_clusters``).
 
-    Algorithm: alternating large-star / small-star (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) — the
-    standard shuffle-based CC that converges in O(log n) rounds
-    regardless of graph diameter (plain min-label propagation needs
-    O(diameter) rounds and dies on chain-shaped dup clusters).
+    Small graphs short-circuit: when the distinct edge set has at most
+    ``max_driver_edges`` rows (one cheap count on the materialized
+    edges) it is collected and resolved by exact driver union-find —
+    the same capped-collect-with-distributed-fallback pattern as the
+    binning fits (binning.py collect_capped). 2M edges is ~32 MB of
+    longs on the driver; a near-dup pair graph only exceeds that at
+    corpus scales where the iterative path below is the point. Pass
+    ``max_driver_edges=None`` (or 0) to force the distributed path.
+
+    Algorithm (distributed path): alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the standard shuffle-based CC that converges in O(log n)
+    rounds regardless of graph diameter (plain min-label propagation
+    needs O(diameter) rounds and dies on chain-shaped dup clusters).
 
     Scale notes (the 100 TB path):
     - Each round is two groupBy-min passes + equi-joins on the edge
@@ -677,6 +712,21 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if max_driver_edges:
+        # one count on the already-materialized edge table, then either
+        # a single bounded collect or the iterative path — never an
+        # unbounded collect
+        n_edges = e.count()
+        if n_edges <= max_driver_edges:
+            labels = _driver_union_find(
+                [(r["u"], r["v"]) for r in e.collect()]
+            )
+            spark = pairs.sparkSession
+            if not labels:
+                return spark.createDataFrame([], "id long, component long")
+            return spark.createDataFrame(
+                list(labels.items()), "id long, component long"
+            )
     prev = None
     for _ in range(max_rounds):
         # ---- large-star: connect strictly-larger neighbors to the min

@@ -679,3 +679,25 @@ def test_remove_duplicated_substrings_broadcast_equals_shuffle(spark):
     a = remove_duplicated_substrings(df, k=5, strategy="shuffle").orderBy("doc_id")
     b = remove_duplicated_substrings(df, k=5, strategy="broadcast").orderBy("doc_id")
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """The capped-collect union-find short-circuit must label exactly
+    like the iterative large-star/small-star fixpoint — chain graphs
+    (worst case for label propagation) and a star, with singleton ids
+    absent from both."""
+    from didtool_spark.operators.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(10, 20)]        # chain 10..20
+        + [(100, x) for x in (101, 102, 103)]      # star at 100
+        + [(7, 5), (5, 3)]                         # out-of-order chain
+        + [(42, 42)]                               # self-loop dropped
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = connected_components(pairs).toPandas()
+    slow = connected_components(pairs, max_driver_edges=None).toPandas()
+    f = dict(zip(fast["id"], fast["component"]))
+    s = dict(zip(slow["id"], slow["component"]))
+    assert f == s
+    assert f[19] == 10 and f[103] == 100 and f[7] == 3 and 42 not in f
