@@ -84,7 +84,7 @@ from .operators.curate import (  # noqa: F401
 
 # benchmark decontamination, Gopher quality rules, domain mixing
 from .operators.decontam import (  # noqa: F401
-    decontaminate, domain_mix, gopher_quality,
+    c4_rules, decontaminate, domain_mix, gopher_quality,
 )
 
 # n-gram LM perplexity quality scoring (CCNet-style filter)

@@ -344,3 +344,62 @@ def domain_mix(
         .where(_hash_unit(F.col(id_col), seed) < F.col("__keep_frac"))
         .drop("__keep_frac")
     )
+
+
+# C4 (Raffel et al. 2020, §2.2 "Colossal Clean Crawled Corpus") line
+# and document rules. Line kept iff it ends in terminal punctuation,
+# has >= C4_MIN_LINE_WORDS words, and does not mention javascript;
+# document kept iff it contains no curly brace or "lorem ipsum" and
+# retains >= C4_MIN_KEPT_LINES lines (the sentence-count proxy).
+C4_TERMINAL = r'[.!?"]$'
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_rules(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4 heuristic cleaning: per-line filter + document-level flags.
+
+    Adds ``n_lines``, ``n_kept_lines``, ``keep`` and ``out_col`` (the
+    kept lines, trimmed, newline-joined). Entirely per-row array
+    expressions — no shuffle, no Python; embarrassingly parallel at any
+    corpus size (the C4 pipeline stage that IS just a map).
+
+    Divergences from the paper, kept deliberately: the "at least three
+    sentences" page rule uses kept-LINE count as the sentence proxy
+    (the paper's sentence splitter is a language-specific model); the
+    bad-words list is out of scope (policy, not engine).
+    """
+    c = F.col(col)
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike(C4_TERMINAL)
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_line_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    doc_ok = (
+        ~F.lower(c).contains("lorem ipsum")
+        & ~c.contains("{")
+    )
+    out = (
+        df.withColumn("__lines", lines)
+        .withColumn("__kept", kept)
+        .withColumn("n_lines", F.size("__lines").cast("int"))
+        .withColumn("n_kept_lines", F.size("__kept").cast("int"))
+        .withColumn(
+            "keep",
+            (doc_ok & (F.col("n_kept_lines") >= min_kept_lines)).cast("int"),
+        )
+        .withColumn(
+            out_col,
+            F.concat_ws("\n", F.transform(F.col("__kept"), lambda l: F.trim(l))),
+        )
+    )
+    return out.drop("__lines", "__kept")

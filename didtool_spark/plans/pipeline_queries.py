@@ -1382,6 +1382,78 @@ FROM norm n LEFT JOIN stats st USING (doc_id)
 """
 
 
+# ------------------------------------------------------ C4 cleaning rules
+
+def _docs_with_planted_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line variants for the C4 rules (the synthetic corpus is
+    single-line, unpunctuated): five deterministic lines per doc —
+    two or three keepable (terminal punctuation, >=5 words), one short,
+    one javascript — plus a lorem-ipsum tail on %6 and a curly-brace
+    tail on %10 (doc-level drops)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    l1 = F.concat(F.concat_ws(" ", F.slice(tk, 1, 10)), F.lit("."))
+    l2 = F.concat_ws(" ", F.slice(tk, 1, 3))
+    l3 = F.lit("javascript is required to view this page.")
+    l4 = F.concat(F.concat_ws(" ", F.slice(tk, 4, 8)), F.lit("?"))
+    l5 = F.concat(F.concat_ws(" ", F.slice(tk, 2, 7)), F.lit("!"))
+    base = F.concat_ws("\n", l1, l2, l3, l4, l5)
+    return docs.select(
+        "doc_id",
+        F.when(d % 6 == 0, F.concat(base, F.lit("\nlorem ipsum dolor.")))
+        .when(d % 10 == 0, F.concat(base, F.lit("\n{ config }")))
+        .otherwise(base)
+        .alias("text"),
+    )
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import c4_rules
+
+    planted = _docs_with_planted_c4_lines(spark, sf_dir)
+    out = c4_rules(planted)
+    return out.select("doc_id", "n_lines", "n_kept_lines", "keep", "clean_text")
+
+
+SQL_C4_CLEAN = """
+WITH tkn AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+), planted AS (
+  SELECT doc_id,
+         coalesce(array_to_string(tk[1:10], ' '), '') || '.' || chr(10) ||
+         coalesce(array_to_string(tk[1:3], ' '), '') || chr(10) ||
+         'javascript is required to view this page.' || chr(10) ||
+         coalesce(array_to_string(tk[4:11], ' '), '') || '?' || chr(10) ||
+         coalesce(array_to_string(tk[2:8], ' '), '') || '!' ||
+         CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'lorem ipsum dolor.'
+              WHEN doc_id % 10 = 0 THEN chr(10) || '{ config }'
+              ELSE '' END AS text
+  FROM tkn
+), split_lines AS (
+  SELECT doc_id, text,
+         [l for l in string_split(text, chr(10)) if trim(l) <> ''] AS lines
+  FROM planted
+), kept_lines AS (
+  SELECT doc_id, text, lines,
+         [l for l in lines
+          if regexp_matches(trim(l), '[.!?"]$')
+             AND len(string_split_regex(trim(l), '\\s+')) >= 5
+             AND NOT contains(lower(l), 'javascript')] AS kept
+  FROM split_lines
+)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept_lines,
+       CAST(CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+                  AND NOT contains(text, '{')
+                  AND len(kept) >= 3 THEN 1 ELSE 0 END AS INT) AS keep,
+       coalesce(array_to_string([trim(l) for l in kept], chr(10)), '')
+         AS clean_text
+FROM kept_lines
+"""
+
+
 # --------------------------------------------- DSIR importance resampling
 
 def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1468,6 +1540,7 @@ PIPELINE_QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "substring_dedup": q_substring_dedup,
     "importance_resample": q_importance_resample,
+    "c4_clean": q_c4_clean,
 }
 
 PIPELINE_ORACLES = {
@@ -1499,4 +1572,5 @@ PIPELINE_ORACLES = {
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "importance_resample": SQL_IMPORTANCE_RESAMPLE,
+    "c4_clean": SQL_C4_CLEAN,
 }

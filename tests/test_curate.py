@@ -169,3 +169,34 @@ def test_importance_resample_approx_matches_exact_here(spark):
     m = a.merge(b, on="doc_id", suffixes=("_e", "_a"))
     assert (m["log_weight_e"] == m["log_weight_a"]).all()
     assert (m["keep_e"] == m["keep_a"]).all()
+
+
+def test_c4_rules_line_and_doc_semantics(spark):
+    from didtool_spark.operators.decontam import c4_rules
+
+    rows = [
+        # 3 keepable lines -> kept document
+        (1, "the first sentence is long enough.\nshort\n"
+            "another full sentence right here!\nthis one asks a question?"),
+        # lorem ipsum anywhere drops the doc (lines still counted)
+        (2, "a good sentence stands here tall.\nsecond proper sentence here too!\n"
+            "third full sentence present now.\nlorem ipsum dolor sit"),
+        # curly brace drops the doc
+        (3, "a good sentence stands here tall.\nsecond proper sentence here too!\n"
+            "third full sentence present now.\nvar x = { a: 1 }"),
+        # javascript line is cut but doc can survive on the others
+        (4, "enable javascript to continue reading.\n"
+            "one real sentence sits right here.\n"
+            "two real sentences sit right here!\n"
+            "three real sentences sit right here?"),
+        # too few keepable lines -> dropped
+        (5, "just one good sentence lives here.\nand nothing else"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in c4_rules(df).collect()}
+    assert out[1]["keep"] == 1 and out[1]["n_kept_lines"] == 3
+    assert "short" not in out[1]["clean_text"]
+    assert out[2]["keep"] == 0 and out[3]["keep"] == 0
+    assert out[4]["keep"] == 1 and out[4]["n_kept_lines"] == 3
+    assert "javascript" not in out[4]["clean_text"]
+    assert out[5]["keep"] == 0 and out[5]["n_kept_lines"] == 1
