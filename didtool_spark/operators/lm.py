@@ -34,6 +34,12 @@ bigrams back off to (1-lam)*P_uni, so the score stays well-defined and
 the broadcast stays bounded (top-V vocab + surviving bigrams). The
 pruning changes scores (documented divergence knob, default off) the
 same way KenLM pruning does in the reference pipeline.
+
+Caching note: fit() caches the two vocab-sized count tables (see the
+comment there — score() references them across non-reusable
+exchanges); like the dedup family's eager caches they stay pinned
+until the session evicts them — call ``spark.catalog.clearCache()``
+between corpora in a long-lived session loop (bench.py does).
 """
 
 from __future__ import annotations
