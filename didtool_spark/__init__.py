@@ -64,7 +64,8 @@ from .operators.dedup import (  # noqa: F401
     NearDupIndex, connected_components, dedup_clusters,
     duplicated_substring_stats, exact_dupes, minhash_bucket_stats,
     minhash_near_dupes, near_dup_index, ngram_jaccard_pairs,
-    remove_duplicated_substrings, simhash_near_dupes, split_by_cluster,
+    paragraph_dedup, remove_duplicated_substrings, simhash_near_dupes,
+    split_by_cluster,
 )
 from .operators.dsir import (  # noqa: F401
     dsir_log_ratios, dsir_scores, importance_resample,
@@ -74,7 +75,7 @@ from .operators.similarity import (  # noqa: F401
     lsh_topk,
 )
 from .operators.text import (  # noqa: F401
-    fingerprint_exprs, with_lang_id, with_text_features,
+    fingerprint_exprs, tfidf_keywords, with_lang_id, with_text_features,
 )
 
 # training-data curation (PII scrub, chunking, sampling, packing)

@@ -51,6 +51,69 @@ def exact_dupes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Paragraph-level exact dedup across the corpus (RefinedWeb-style):
+    a paragraph is kept only in its FIRST occurrence — the smallest
+    (doc id, position) over all documents containing an identical
+    (whitespace-normalized, case-folded) copy — and every document is
+    reassembled from its surviving paragraphs in original order.
+
+    Returns (id, out_col, n_paras, n_kept). Documents whose every
+    paragraph occurred earlier elsewhere come back with ``out_col = ''``
+    and ``n_kept = 0`` (the caller decides whether to drop empties).
+
+    Plan: posexplode -> md5-of-normalized-paragraph -> groupBy(hash)
+    min(struct(id, pos)) (map-side combined; the shuffle carries one
+    row per distinct paragraph) -> join back on hash -> single
+    groupBy(id) reassembly where collect_list skips the dropped
+    paragraphs via when()-null (collect_list drops nulls), array_sort
+    restores document order. Two shuffles total (paragraph hash, doc
+    id); no window, no driver state. At 10^12 docs the hash groupBy is
+    the only wide dependency and boilerplate hot paragraphs are
+    *aggregated*, not co-located row-by-row.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("__pos", "__para"),
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col("__para"))), r"\s+", " ")
+    hashed = paras.withColumn("__h", F.md5(norm))
+    first = hashed.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias(
+            "__first"
+        )
+    )
+    kept = hashed.join(first, "__h").withColumn(
+        "__keep",
+        (F.col("__first.i") == F.col(id_col)) & (F.col("__first.p") == F.col("__pos")),
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_paras"),
+        F.sum(F.col("__keep").cast("int")).cast("int").alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("__pos").alias("p"), F.col("__para").alias("t")),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias(out_col),
+    )
+    return rebuilt.select(id_col, out_col, "n_paras", "n_kept")
+
+
 # --------------------------------------------------------------- shingles
 
 def shingles_expr(text_col: str | Column, k: int = 5) -> Column:

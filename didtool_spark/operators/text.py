@@ -6,7 +6,7 @@ no Python in the row path, fully codegen'd, scale = scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # small public stopword seed lists (heuristic language votes)
 STOPWORDS = {
@@ -153,6 +153,60 @@ def lang_id_expr(col: str | Column) -> Column:
     the scan path)."""
     votes = lang_votes_expr(col)
     return lang_id_from_votes(col, votes)
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-k keywords by smoothed TF-IDF
+    (tf = count/len; idf = ln((1+N)/(1+df)) + 1, sklearn's smooth_idf).
+
+    Plan (three shuffles, all on natural keys):
+      1. explode tokens -> groupBy (doc, token) count — partial
+         aggregation combines map-side, so the shuffle carries
+         (doc, token, count), not one row per token occurrence;
+      2. document frequency = groupBy token over the SAME (doc, token)
+         table (already distinct per doc — no count(DISTINCT) pass) —
+         vocab-sized result, shuffle on token; joined back on token
+         (AQE broadcasts it when the vocabulary is small);
+      3. per-doc top-k via row_number over (doc) — shuffle on doc id.
+    N (corpus size) is a scalar aggregate joined in by broadcast.
+    Ties are deterministic: ordered by rounded score desc, token asc.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
+    doc_len = tf.groupBy(id_col).agg(F.sum("cnt").alias("doc_len"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df") >= min_df)
+    n_docs = df.select(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .join(doc_len, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("cnt") / F.col("doc_len"))
+                * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "token", "score", "rank")
+    )
 
 
 def fingerprint_exprs(col: str | Column) -> dict[str, Column]:

@@ -13,10 +13,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.dedup import exact_dupes, minhash_near_dupes, ngram_jaccard_pairs, simhash_near_dupes
+from ..operators.dedup import (
+    exact_dupes,
+    minhash_near_dupes,
+    ngram_jaccard_pairs,
+    paragraph_dedup,
+    simhash_near_dupes,
+)
 from ..operators.multimodal import extract_media_features, synthetic_media
 from ..operators.similarity import cosine_topk, lsh_topk
-from ..operators.text import lang_id_expr, with_text_features
+from ..operators.text import lang_id_expr, tfidf_keywords, with_text_features
 from .demo_queries import load
 
 STOP_SQL = {
@@ -1513,6 +1519,99 @@ FROM pert p CROSS JOIN thr
 """
 
 
+# ------------------------------------------- paragraph dedup / tf-idf
+
+_BOILER = "subscribe to our newsletter for updates and exclusive offers"
+
+
+def _docs_with_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-structured corpus planted from the documents table:
+    doc i = [own text, decade-leader text, constant boilerplate] joined
+    by blank lines — the leader paragraph recurs 10x (and is a
+    within-doc self-dup for the leader itself), the boilerplate recurs
+    corpus-wide. Same derivation replayed in the oracle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    leader = docs.select(
+        F.col("doc_id").alias("__lead_id"), F.col("text").alias("__lead_text")
+    )
+    return (
+        docs.withColumn("__lead_id", F.col("doc_id") - F.col("doc_id") % 10)
+        .join(leader, "__lead_id")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n\n", F.col("text"), F.col("__lead_text"), F.lit(_BOILER)
+            ).alias("text"),
+        )
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_dedup(_docs_with_paragraphs(spark, sf_dir))
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH corpus AS (
+  SELECT a.doc_id,
+         a.text || chr(10) || chr(10) || b.text || chr(10) || chr(10)
+           || '{_BOILER}' AS text
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id - (a.doc_id % 10)
+), sp AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM corpus
+), p AS (
+  SELECT doc_id, generate_subscripts(ps, 1) - 1 AS pos, unnest(ps) AS para
+  FROM sp
+), h AS (
+  SELECT doc_id, pos, para,
+         md5(regexp_replace(trim(lower(para)), '\\s+', ' ', 'g')) AS hh
+  FROM p
+), first AS (
+  SELECT hh, min(struct_pack(i := doc_id, p := pos)) AS f FROM h GROUP BY hh
+), k AS (
+  SELECT h.doc_id, h.pos, h.para,
+         (first.f.i = h.doc_id AND first.f.p = h.pos) AS keep
+  FROM h JOIN first USING (hh)
+)
+SELECT doc_id,
+       coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                  FILTER (WHERE keep), '') AS text_clean,
+       CAST(count(*) AS INT) AS n_paras,
+       CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS INT) AS n_kept
+FROM k GROUP BY doc_id
+"""
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords(docs, top_k=5)
+
+
+SQL_TFIDF_KEYWORDS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS cnt FROM toks
+  WHERE token <> '' GROUP BY doc_id, token
+), dl AS (SELECT doc_id, sum(cnt) AS doc_len FROM tf GROUP BY doc_id),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round((tf.cnt * 1.0 / dl.doc_len)
+               * (ln((1.0 + nd.n_docs) / (1.0 + dfreq.df)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN nd
+), ranked AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -1541,6 +1640,8 @@ PIPELINE_QUERIES = {
     "substring_dedup": q_substring_dedup,
     "importance_resample": q_importance_resample,
     "c4_clean": q_c4_clean,
+    "paragraph_dedup": q_paragraph_dedup,
+    "tfidf_keywords": q_tfidf_keywords,
 }
 
 PIPELINE_ORACLES = {
@@ -1573,4 +1674,6 @@ PIPELINE_ORACLES = {
     "substring_dedup": SQL_SUBSTRING_DEDUP,
     "importance_resample": SQL_IMPORTANCE_RESAMPLE,
     "c4_clean": SQL_C4_CLEAN,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "tfidf_keywords": SQL_TFIDF_KEYWORDS,
 }

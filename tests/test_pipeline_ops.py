@@ -701,3 +701,76 @@ def test_connected_components_driver_path_matches_distributed(spark):
     s = dict(zip(slow["id"], slow["component"]))
     assert f == s
     assert f[19] == 10 and f[103] == 100 and f[7] == 3 and 42 not in f
+
+
+def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
+    from didtool_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (0, "alpha bravo\n\nshared para\n\nunique zero"),
+        (1, "shared para\n\nunique one"),
+        (2, "shared para\n\nshared para"),   # within-doc self-dup
+        (3, "shared para"),                   # fully duplicated doc
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    # doc 0 owns the first occurrence of every one of its paragraphs
+    assert out[0]["text_clean"] == rows[0][1]
+    assert (out[0]["n_paras"], out[0]["n_kept"]) == (3, 3)
+    # later docs lose the shared paragraph but keep their own, in order
+    assert out[1]["text_clean"] == "unique one"
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 0)
+    assert out[3]["text_clean"] == "" and out[3]["n_kept"] == 0
+    # normalization: case/whitespace variants are the same paragraph
+    out2 = paragraph_dedup(
+        spark.createDataFrame(
+            [(10, "Hello  World"), (11, "hello world")], ["doc_id", "text"]
+        )
+    ).collect()
+    d = {r["doc_id"]: r["n_kept"] for r in out2}
+    assert d == {10: 1, 11: 0}
+
+
+def test_tfidf_keywords_matches_numpy(spark):
+    from didtool_spark.operators.text import tfidf_keywords
+
+    rows = [
+        (0, "apple apple banana cherry"),
+        (1, "banana cherry cherry date"),
+        (2, "apple date date date elder"),
+    ]
+    got = tfidf_keywords(
+        spark.createDataFrame(rows, ["doc_id", "text"]), top_k=2
+    ).collect()
+    # numpy oracle: tf = cnt/len, idf = ln((1+N)/(1+df)) + 1
+    import collections
+    import math
+
+    docs = {i: t.split() for i, t in rows}
+    df_ = collections.Counter()
+    for toks in docs.values():
+        df_.update(set(toks))
+    n = len(docs)
+    exp = {}
+    for i, toks in docs.items():
+        c = collections.Counter(toks)
+        scored = sorted(
+            (
+                (round((k / len(toks)) * (math.log((1 + n) / (1 + df_[t])) + 1), 6), t)
+                for t, k in c.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        exp[i] = [(t, s, r + 1) for r, (s, t) in enumerate(scored[:2])]
+    got_by_doc = {}
+    for r in got:
+        got_by_doc.setdefault(r["doc_id"], []).append(
+            (r["token"], r["score"], r["rank"])
+        )
+    for i in got_by_doc:
+        got_by_doc[i].sort(key=lambda x: x[2])
+    assert got_by_doc == exp
