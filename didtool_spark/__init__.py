@@ -70,6 +70,10 @@ from .operators.dedup import (  # noqa: F401
 from .operators.dsir import (  # noqa: F401
     dsir_log_ratios, dsir_scores, importance_resample,
 )
+from .operators.classifier import (  # noqa: F401
+    QualityClassifier, doc_bucket_counts, fit_quality_classifier,
+    score_quality,
+)
 from .operators.similarity import (  # noqa: F401
     cosine_topk, embedding_near_dupes, ivf_fit_centroids, ivf_topk,
     lsh_topk,

@@ -1519,6 +1519,148 @@ FROM pert p CROSS JOIN thr
 """
 
 
+# ------------------------------------------- quality classifier
+
+# Deterministic sf-independent labeled fixture: 240 docs of 30 tokens,
+# good docs (label 1, odd ids) drawn from English-like vocabulary, bad
+# docs (label 0) from junk tokens; token picks are md5-indexed so the
+# exact corpus is reproducible in Spark expressions, driver Python, and
+# SQL. The numpy fit below runs ONCE at import on the Python mirror;
+# the Spark gate query re-fits through the real distributed-agg path
+# and must land on bit-identical weights (same sparse counts, same
+# canonical ordering, same numpy code) — the oracle replays scoring
+# from the weights as SQL literals (the LSH plane-literal pattern).
+_QC_GOOD = [
+    "the", "and", "of", "data", "model", "clean", "text", "quality",
+    "report", "analysis", "results", "method", "study", "value",
+    "table", "with",
+]
+_QC_BAD = [
+    "$$$", "!!!", "xx1", "0000", "###", "spam", "click", "free",
+    "@@@", "zzz", "win", "now", "???", "buy", "cheap", "%%%",
+]
+_QC_N_DOCS = 240
+_QC_N_TOKENS = 30
+_QC_BUCKETS = 512
+
+
+def _qc_pick_py(d: int, i: int) -> str:
+    import hashlib
+
+    vocab = _QC_GOOD if d % 2 == 1 else _QC_BAD
+    h = hashlib.md5(f"qc|{d}|{i}".encode()).hexdigest()
+    return vocab[int(h[:15], 16) % len(vocab)]
+
+
+def _qc_fixture_py() -> list[tuple[int, int, str]]:
+    return [
+        (
+            d,
+            d % 2,
+            " ".join(_qc_pick_py(d, i) for i in range(_QC_N_TOKENS)),
+        )
+        for d in range(_QC_N_DOCS)
+    ]
+
+
+def _qc_gram_buckets_py(text: str, n_buckets: int) -> list[int]:
+    import hashlib
+
+    tk = text.strip().lower().split(" ")
+    grams = tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+    return [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n_buckets
+        for g in grams
+    ]
+
+
+def _qc_fit_py():
+    from collections import Counter
+
+    from ..operators.classifier import _lr_fit_numpy
+
+    rows, labels = [], {}
+    for d, y, text in _qc_fixture_py():
+        labels[d] = y
+        for b, c in Counter(_qc_gram_buckets_py(text, _QC_BUCKETS)).items():
+            rows.append((d, b, c))
+    return _lr_fit_numpy(rows, labels, _QC_BUCKETS, n_iter=300, lr=5.0, l2=1e-4)
+
+
+def _qc_fixture_spark(spark: SparkSession) -> DataFrame:
+    good = F.array(*[F.lit(w) for w in _QC_GOOD])
+    bad = F.array(*[F.lit(w) for w in _QC_BAD])
+    base = spark.range(_QC_N_DOCS).select(F.col("id").alias("doc_id"))
+
+    def pick(i: int):
+        h = F.md5(F.format_string("qc|%d|%d", F.col("doc_id"), F.lit(i)))
+        idx = (
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % len(_QC_GOOD)
+        ).cast("int")
+        vocab = F.when(F.col("doc_id") % 2 == 1, good).otherwise(bad)
+        return F.element_at(vocab, idx + 1)
+
+    return base.select(
+        "doc_id",
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+        F.concat_ws(" ", *[pick(i) for i in range(_QC_N_TOKENS)]).alias("text"),
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style quality filter: fit the hashed-n-gram logistic
+    regression on the deterministic labeled fixture (distributed
+    feature agg -> capped collect -> numpy GD), then score the
+    documents table JVM-side. The oracle replays scoring from the
+    import-time-fitted weight literals — fit parity is structural
+    (same sparse integer counts, same canonical ordering, same numpy
+    routine => bit-identical weights)."""
+    from ..operators.classifier import fit_quality_classifier, score_quality
+
+    model = fit_quality_classifier(
+        _qc_fixture_spark(spark), n_buckets=_QC_BUCKETS, n_iter=300, lr=5.0,
+        l2=1e-4,
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return score_quality(docs, model)
+
+
+def _sql_quality_classifier() -> str:
+    w, bias = _qc_fit_py()
+    wlits = ", ".join(repr(float(v)) for v in w)
+    return f"""
+WITH w AS (
+  SELECT generate_subscripts(l, 1) - 1 AS b, unnest(l) AS wt
+  FROM (SELECT [{wlits}]::DOUBLE[] AS l)
+), norm AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS tk
+  FROM documents
+), bk AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % {_QC_BUCKETS} AS b
+  FROM (SELECT doc_id,
+               unnest(tk || [tk[i] || ' ' || tk[i+1]
+                             for i in range(1, len(tk))]) AS g
+        FROM norm)
+), cnts AS (
+  SELECT doc_id, b, count(*) AS cnt FROM bk GROUP BY doc_id, b
+), agg AS (
+  SELECT doc_id,
+         sum(cnt * coalesce(w.wt, 0.0)) AS dot,
+         sum(cnt) AS n
+  FROM cnts LEFT JOIN w USING (b) GROUP BY doc_id
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(dot / n + {repr(float(bias))}))), 6) AS quality_prob,
+       CAST(CASE WHEN 1.0 / (1.0 + exp(-(dot / n + {repr(float(bias))}))) >= 0.5
+            THEN 1 ELSE 0 END AS INT) AS quality_label
+FROM agg
+"""
+
+
+SQL_QUALITY_CLASSIFIER = _sql_quality_classifier()
+
+
 # ------------------------------------------- paragraph dedup / tf-idf
 
 _BOILER = "subscribe to our newsletter for updates and exclusive offers"
@@ -1642,6 +1784,7 @@ PIPELINE_QUERIES = {
     "c4_clean": q_c4_clean,
     "paragraph_dedup": q_paragraph_dedup,
     "tfidf_keywords": q_tfidf_keywords,
+    "quality_classifier": q_quality_classifier,
 }
 
 PIPELINE_ORACLES = {
@@ -1676,4 +1819,5 @@ PIPELINE_ORACLES = {
     "c4_clean": SQL_C4_CLEAN,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
 }

@@ -774,3 +774,46 @@ def test_tfidf_keywords_matches_numpy(spark):
     for i in got_by_doc:
         got_by_doc[i].sort(key=lambda x: x[2])
     assert got_by_doc == exp
+
+
+def test_quality_classifier_separates_and_distributed_fit_agrees(spark):
+    import numpy as np
+
+    from didtool_spark.operators.classifier import (
+        fit_quality_classifier,
+        score_quality,
+    )
+    from didtool_spark.plans.pipeline_queries import _qc_fixture_spark
+
+    fixture = _qc_fixture_spark(spark)
+    model = fit_quality_classifier(fixture, n_buckets=512, n_iter=300)
+    scores = {
+        r["doc_id"]: (r["quality_prob"], r["quality_label"])
+        for r in score_quality(fixture, model).collect()
+    }
+    # training accuracy on a separable fixture should be essentially 1
+    correct = sum(1 for d, (_, lab) in scores.items() if lab == d % 2)
+    assert correct >= 0.99 * len(scores)
+    assert all(p > 0.7 for d, (p, _) in scores.items() if d % 2 == 1)
+    assert all(p < 0.3 for d, (p, _) in scores.items() if d % 2 == 0)
+
+    # the distributed GD path runs the same math with Spark reductions:
+    # weights agree to float-sum-order noise
+    dist = fit_quality_classifier(
+        fixture, n_buckets=512, n_iter=20, distributed=True
+    )
+    drv = fit_quality_classifier(fixture, n_buckets=512, n_iter=20)
+    np.testing.assert_allclose(dist.weights, drv.weights, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(dist.bias, drv.bias, rtol=1e-8, atol=1e-10)
+
+
+def test_quality_classifier_collect_cap(spark):
+    import pytest as _pytest
+
+    from didtool_spark.operators.classifier import fit_quality_classifier
+    from didtool_spark.plans.pipeline_queries import _qc_fixture_spark
+
+    with _pytest.raises(ValueError, match="max_train_docs"):
+        fit_quality_classifier(
+            _qc_fixture_spark(spark), n_buckets=64, max_train_docs=10
+        )
