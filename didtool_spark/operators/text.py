@@ -155,6 +155,169 @@ def lang_id_expr(col: str | Column) -> Column:
     return lang_id_from_votes(col, votes)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS scheme): hash every k-token shingle, then
+    keep the MINIMUM hash of every window of ``w`` consecutive shingle
+    hashes. Guarantees any shared run of ``w + k - 1`` tokens between
+    two documents produces at least one shared fingerprint, at ~1/w the
+    storage of full shingle sets. Returns one (id, fp) row per distinct
+    selected hash per document.
+
+    Divergence from the paper: fingerprints are deduplicated per doc by
+    hash only (no positions) — overlap DETECTION needs the set, not the
+    alignment.
+
+    All column expressions: the rolling minimum is a zip_with chain of
+    shifted slices with ``least`` (null-padded tails are ignored, so a
+    document with fewer than ``w`` shingles yields ONE fingerprint —
+    the min over all of them), the same no-capture shape as
+    ``window_concat_expr`` and for the same reason (O(w) evaluations,
+    survives PythonUDF extraction). ``hash_fn='md5_60'`` swaps xxhash64
+    for the portable 60-bit md5 prefix so a SQL engine can replay the
+    selection exactly (same gate cost the MinHash/SimHash family pays).
+    """
+    kgrams = window_concat_expr(tokens_expr(text_col), k)
+    if hash_fn == "xxhash64":
+        h = F.transform(kgrams, lambda g: F.xxhash64(g))
+    elif hash_fn == "md5_60":
+        h = F.transform(
+            kgrams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    based = df.select(F.col(id_col), h.alias("__h"))
+    rm = F.col("__h")
+    for j in range(1, w):
+        shifted = F.slice(
+            F.col("__h"), j + 1, F.greatest(F.size("__h") - j, F.lit(0))
+        )
+        rm = F.zip_with(rm, shifted, lambda a, b: F.least(a, b))
+    rm = F.slice(rm, 1, F.greatest(F.size("__h") - (w - 1), F.lit(1)))
+    return based.select(
+        F.col(id_col), F.explode(F.array_distinct(rm)).alias("fp")
+    )
+
+
+def fingerprint_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_common: int = 2,
+    max_postings: int = 1000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Document-overlap candidates from shared winnowing fingerprints:
+    (id_a, id_b, n_common) for every pair sharing at least
+    ``min_common`` fingerprints. The same bounded-inverted-index shape
+    as MinHash banding: the only shuffle keys are (fp), and hot
+    fingerprints — boilerplate shared by more than ``max_postings``
+    docs — are dropped MAP-SIDE via a broadcast anti-join of the
+    (small) hot-fp set before the self-join can co-locate them, so no
+    task ever materializes a boilerplate posting list."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, hash_fn)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > max_postings)
+        .select("fp")
+    )
+    fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus-level bigram collocations ranked by pointwise mutual
+    information: PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) with p over
+    bigram/unigram occurrence totals; pairs below ``min_count``
+    occurrences are dropped (PMI's low-count pathology). Returns the
+    global ``top_k`` as (token_a, token_b, n_pair, pmi), ties broken
+    deterministically on the rounded PMI then the tokens.
+
+    Plan: two counting aggregations (token, bigram — map-side combined,
+    the shuffled unit is a count), two joins of the bigram table to the
+    unigram counts (AQE broadcasts the unigram side when the vocabulary
+    is bounded), scalar totals as broadcast cross joins, and a top-k
+    sort over the ``min_count``-filtered pair table — at web scale the
+    filter leaves collocations, not the long tail, so the global sort
+    input is bounded."""
+    toks = df.select(tokens_expr(text_col).alias("__toks"))
+    uni = (
+        toks.select(F.explode("__toks").alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = F.slice(
+        F.zip_with(
+            F.col("__toks"),
+            F.slice(
+                F.col("__toks"), 2, F.greatest(F.size("__toks") - 1, F.lit(0))
+            ),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+        1,
+        F.greatest(F.size("__toks") - 1, F.lit(0)),
+    )
+    big = (
+        toks.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= min_count)
+    )
+    n1 = uni.agg(F.sum("c").cast("double").alias("n1"))
+    n2 = toks.select(
+        F.sum(F.greatest(F.size("__toks") - 1, F.lit(0))).cast("double").alias("n2")
+    )
+    sp = F.split(F.col("bg"), " ", 2)
+    scored = (
+        big.withColumn("token_a", sp.getItem(0))
+        .withColumn("token_b", sp.getItem(1))
+        .join(uni.select(F.col("t").alias("token_a"), F.col("c").alias("ca")), "token_a")
+        .join(uni.select(F.col("t").alias("token_b"), F.col("c").alias("cb")), "token_b")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "token_a",
+            "token_b",
+            F.col("cab").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("cab") / F.col("n2"))
+                    / ((F.col("ca") / F.col("n1")) * (F.col("cb") / F.col("n1")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("token_a"), F.asc("token_b")
+    ).limit(top_k)
+
+
 def tfidf_keywords(
     df: DataFrame,
     text_col: str = "text",

@@ -1519,6 +1519,87 @@ FROM pert p CROSS JOIN thr
 """
 
 
+# ------------------------------------------- winnowing / collocations
+
+def q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) overlap candidates on the planted-near corpus:
+    k=5 shingles, window w=4, portable md5_60 hash so the oracle can
+    replay the exact min-selection."""
+    from ..operators.text import fingerprint_overlap
+
+    docs = _docs_with_planted_near(spark, sf_dir)
+    return fingerprint_overlap(
+        docs, "text", "doc_id", k=5, w=4, min_common=2, max_postings=1000,
+        hash_fn="md5_60",
+    )
+
+
+SQL_FINGERPRINT_OVERLAP = f"""
+WITH docs AS ({SQL_PLANTED_NEAR}),
+t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk FROM docs
+), h AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(tk) - 4, 1)),
+           i -> ('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 15))::BIGINT
+         ) AS hs
+  FROM t
+), fp AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(hs) - 3, 1)),
+           j -> list_min(hs[j:j+3]))) AS fp
+  FROM h
+), sz AS (SELECT fp, count(*) AS c FROM fp GROUP BY fp),
+kept AS (SELECT fp.* FROM fp JOIN sz USING (fp) WHERE sz.c <= 1000)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS INT) AS n_common
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import collocations
+
+    docs = load(spark, sf_dir, "documents").select("text")
+    return collocations(docs, min_count=5, top_k=100)
+
+
+SQL_COLLOCATIONS = """
+WITH t AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS tk FROM documents
+), uni AS (
+  SELECT u AS tok, count(*) AS c
+  FROM (SELECT unnest(tk) AS u FROM t) WHERE u <> '' GROUP BY u
+), big AS (
+  SELECT bg, count(*) AS cab
+  FROM (SELECT unnest(list_transform(
+                 generate_series(1, greatest(len(tk) - 1, 0)),
+                 i -> tk[i] || ' ' || tk[i+1])) AS bg
+        FROM t)
+  GROUP BY bg HAVING count(*) >= 5
+), n1 AS (SELECT sum(c)::DOUBLE AS n1 FROM uni),
+n2 AS (SELECT sum(greatest(len(tk) - 1, 0))::DOUBLE AS n2 FROM t),
+scored AS (
+  SELECT string_split(bg, ' ')[1] AS token_a,
+         string_split(bg, ' ')[2] AS token_b,
+         cab AS n_pair,
+         round(ln((cab / n2.n2) /
+                  ((ua.c / n1.n1) * (ub.c / n1.n1))), 6) AS pmi
+  FROM big
+  JOIN uni ua ON ua.tok = string_split(bg, ' ')[1]
+  JOIN uni ub ON ub.tok = string_split(bg, ' ')[2]
+  CROSS JOIN n1 CROSS JOIN n2
+)
+SELECT token_a, token_b, n_pair, pmi
+FROM scored
+ORDER BY pmi DESC, token_a ASC, token_b ASC
+LIMIT 100
+"""
+
+
 # ------------------------------------------- quality classifier
 
 # Deterministic sf-independent labeled fixture: 240 docs of 30 tokens,
@@ -1785,6 +1866,8 @@ PIPELINE_QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "tfidf_keywords": q_tfidf_keywords,
     "quality_classifier": q_quality_classifier,
+    "fingerprint_overlap": q_fingerprint_overlap,
+    "collocations": q_collocations,
 }
 
 PIPELINE_ORACLES = {
@@ -1820,4 +1903,6 @@ PIPELINE_ORACLES = {
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "fingerprint_overlap": SQL_FINGERPRINT_OVERLAP,
+    "collocations": SQL_COLLOCATIONS,
 }

@@ -817,3 +817,80 @@ def test_quality_classifier_collect_cap(spark):
         fit_quality_classifier(
             _qc_fixture_spark(spark), n_buckets=64, max_train_docs=10
         )
+
+
+def test_winnow_guarantee_and_overlap(spark):
+    """Winnowing's core guarantee: any shared token run of length
+    >= w + k - 1 produces at least one shared fingerprint; disjoint
+    docs share none."""
+    from didtool_spark.operators.text import (
+        fingerprint_overlap,
+        winnow_fingerprints,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 = w+k-1
+    rows = [
+        (0, f"one two three {shared} four five six"),
+        (1, f"nine ten {shared} eleven twelve thirteen fourteen"),
+        (2, "completely different words with no run in common at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+
+    ov = fingerprint_overlap(df, k=5, w=4, min_common=1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in ov} == {(0, 1)}
+
+    # a doc shorter than k+w-1 tokens still yields exactly one fp
+    tiny = spark.createDataFrame([(9, "just three words")], ["doc_id", "text"])
+    assert len(winnow_fingerprints(tiny, k=5, w=4).collect()) == 1
+
+    # md5_60 sibling selects the same COUNT of fingerprints per doc
+    alt = winnow_fingerprints(df, k=5, w=4, hash_fn="md5_60").collect()
+    alt_by_doc = {}
+    for r in alt:
+        alt_by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert set(alt_by_doc) == set(by_doc)
+
+
+def test_collocations_matches_counter_oracle(spark):
+    import collections
+    import math
+
+    from didtool_spark.operators.text import collocations
+
+    rows = [
+        ("new york is a big city",),
+        ("new york has new parks",),
+        ("the city of new york",),
+        ("york new is rare",),
+    ]
+    got = collocations(
+        spark.createDataFrame(rows, ["text"]), min_count=2, top_k=5
+    ).collect()
+    uni: collections.Counter = collections.Counter()
+    big: collections.Counter = collections.Counter()
+    for (t,) in rows:
+        tk = t.split()
+        uni.update(tk)
+        big.update(zip(tk, tk[1:]))
+    n1 = sum(uni.values())
+    n2 = sum(big.values())
+    exp = sorted(
+        (
+            (
+                round(math.log((c / n2) / ((uni[a] / n1) * (uni[b] / n1))), 6),
+                a,
+                b,
+                c,
+            )
+            for (a, b), c in big.items()
+            if c >= 2
+        ),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:5]
+    assert [(r["pmi"], r["token_a"], r["token_b"], r["n_pair"]) for r in got] == exp

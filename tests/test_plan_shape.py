@@ -133,3 +133,40 @@ def test_bucketed_rolling_no_global_window(spark, tmp_path_factory):
 
     for spec in re.findall(r"partitionBy=\[([^\]]*)\]", p):
         assert "__bucket" in spec, spec
+
+
+def test_new_text_ops_plan_shapes(spark):
+    """Scale contracts for the session's text/dedup additions:
+    - paragraph_dedup: no Window (groupBy-min, not a per-hash sort), no
+      Python eval in the row path;
+    - tfidf_keywords: document frequency comes from the (doc, token)
+      table — no count(DISTINCT) expand — and the scalar corpus size
+      enters via broadcast;
+    - quality-classifier scoring: bounded weight table broadcast, no
+      Python eval;
+    - winnowing fingerprints: pure expressions, no Window, no Python.
+    """
+    import numpy as np
+
+    from didtool_spark.operators.classifier import QualityClassifier, score_quality
+    from didtool_spark.operators.dedup import paragraph_dedup
+    from didtool_spark.operators.text import tfidf_keywords, winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+    p = plan_str(paragraph_dedup(docs))
+    assert "Window" not in p and "PythonUDF" not in p and "BatchEvalPython" not in p
+
+    p = plan_str(tfidf_keywords(docs))
+    assert "Expand" not in p, "df must not use count(DISTINCT) expansion"
+    assert "BroadcastExchange" in p, "scalar corpus count must broadcast"
+    assert "PythonUDF" not in p
+
+    model = QualityClassifier(np.zeros(64), 0.0, 64)
+    p = plan_str(score_quality(docs, model))
+    assert "BroadcastHashJoin" in p, "weight table must broadcast"
+    assert "PythonUDF" not in p
+
+    p = plan_str(winnow_fingerprints(docs))
+    assert "Window" not in p and "PythonUDF" not in p
+    assert "Exchange" not in p, "fingerprint selection is shuffle-free"
