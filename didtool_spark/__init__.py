@@ -76,7 +76,7 @@ from .operators.classifier import (  # noqa: F401
 )
 from .operators.similarity import (  # noqa: F401
     cosine_topk, embedding_near_dupes, ivf_fit_centroids, ivf_topk,
-    lsh_topk,
+    lsh_topk, prototype_prune, semantic_dedup,
 )
 from .operators.text import (  # noqa: F401
     fingerprint_exprs, tfidf_keywords, with_lang_id, with_text_features,

@@ -683,3 +683,152 @@ def embedding_near_dupes(
     return out.where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
+
+
+# ------------------------------------------------------------ SemDeDup
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compute: str = "arrow",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then deduplicate WITHIN each cluster only — two
+    rows are semantic duplicates when their cosine similarity reaches
+    ``threshold``, and the paper keeps the member with the LOWEST
+    similarity to the cluster centroid (the least prototypical one).
+
+    Deterministic keep rule, replayable in ANSI SQL: order each
+    cluster's rows by (squared distance to assigned centroid DESC,
+    id ASC) and keep the FIRST occurrence — a row is a duplicate iff
+    some EARLIER row in that order is >= threshold-similar to it. This
+    is the standard upper-triangular implementation of the paper's rule
+    (pairwise sims are only ever consulted against already-kept rows).
+
+    Output: one row per corpus row —
+      (id, cluster, centroid_dist, max_prior_sim, is_dup).
+    ``max_prior_sim`` is NULL for the row that opens its cluster.
+
+    Scale design: clusters are the ONLY co-location unit — one
+    self-equi-join shuffle on (cluster), pairwise work is
+    sum(|C_k|^2)/2 and embarrassingly parallel across clusters; that is
+    the paper's own cost model (they run k=110k on 1.3e9 embeddings to
+    keep |C_k| small). Pick n_centroids ~ n/target_cluster_size; a hot
+    cluster is visible in `groupBy(cluster).count()` before the join.
+    Cosines use the float32-product sequential-sum form, bit-identical
+    to the DuckDB replay (see SQL_EMBEDDING_TOPK's note).
+
+    ``compute``: 'arrow' (BLAS batch assignment, default) or 'expr'
+    (pure-JVM lambda expressions) — parity-tested like ivf_topk.
+    """
+    if compute == "arrow":
+        cl = nearest_centroid_arrow(centroids)(F.col(vec_col))
+        dists = centroid_dists_arrow(centroids)(F.col(vec_col))
+    else:
+        cl = _cluster_expr(F.col(vec_col), centroids)
+        dists = _sq_dists_expr(F.col(vec_col), centroids)
+    base = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            cl.alias("cluster"),
+            dists.alias("__d"),
+        )
+        .withColumn("centroid_dist", F.col("__d")[F.col("cluster")])
+        .withColumn("n", _norm(F.col("v")))
+        .drop("__d")
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "cluster",
+        F.col("centroid_dist").alias("da"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "cluster",
+        F.col("centroid_dist").alias("db"),
+    )
+    # b strictly precedes a in the keep order (farther-from-centroid
+    # first, id tie-break) — one equi-join shuffle on cluster
+    prior = (F.col("db") > F.col("da")) | (
+        (F.col("db") == F.col("da")) & (F.col("id_b") < F.col("id_a"))
+    )
+    sims = (
+        a.join(b, "cluster")
+        .where(prior)
+        .select(
+            "id_a",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "__sim"
+            ),
+        )
+        .groupBy("id_a")
+        .agg(F.max("__sim").alias("max_prior_sim"))
+    )
+    return (
+        base.join(sims, base["id"] == sims["id_a"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.round("centroid_dist", 6).alias("centroid_dist"),
+            F.round("max_prior_sim", 6).alias("max_prior_sim"),
+            F.coalesce(F.col("max_prior_sim") >= threshold, F.lit(False)).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
+def prototype_prune(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    prune_frac: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compute: str = "arrow",
+) -> DataFrame:
+    """SSL-prototypes pruning (Sorscher et al. 2022, arXiv:2206.14486,
+    as composed with SemDeDup in D4, Tirumala et al. 2023,
+    arXiv:2308.12284): within each k-means cluster, drop the
+    ``prune_frac`` most PROTOTYPICAL rows — the ones closest to their
+    centroid — which carry the least marginal information for training.
+
+    Deterministic rank: (squared centroid distance ASC, id ASC);
+    row is pruned iff rank <= floor(prune_frac * cluster_size).
+    Output: (id, cluster, centroid_dist, proto_rank, is_pruned).
+
+    Plan: assignment is a per-row expression over the literal centroid
+    matrix (no shuffle), then ONE window over (cluster) for rank +
+    count — the same single-shuffle shape as a grouped aggregation;
+    cluster populations are the balance knob exactly as in
+    semantic_dedup."""
+    if compute == "arrow":
+        cl = nearest_centroid_arrow(centroids)(F.col(vec_col))
+        dists = centroid_dists_arrow(centroids)(F.col(vec_col))
+    else:
+        cl = _cluster_expr(F.col(vec_col), centroids)
+        dists = _sq_dists_expr(F.col(vec_col), centroids)
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        cl.alias("cluster"),
+        dists.alias("__d"),
+    ).withColumn("centroid_dist", F.col("__d")[F.col("cluster")]).drop("__d")
+    w = Window.partitionBy("cluster").orderBy(
+        F.asc("centroid_dist"), F.asc("id")
+    )
+    wc = Window.partitionBy("cluster")
+    return base.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.round("centroid_dist", 6).alias("centroid_dist"),
+        F.row_number().over(w).alias("proto_rank"),
+        (
+            F.row_number().over(w)
+            <= F.floor(F.count(F.lit(1)).over(wc) * F.lit(float(prune_frac))).cast(
+                "int"
+            )
+        ).alias("is_pruned"),
+    )

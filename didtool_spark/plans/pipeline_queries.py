@@ -1600,6 +1600,90 @@ LIMIT 100
 """
 
 
+# ------------------------------------------- SemDeDup / D4 pruning
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the gate centroid matrix (the Lloyd *fit* stays
+    unit-tested like IVF's — same split as the supervised binning
+    gates). ``compute='expr'`` so the per-row centroid distances are
+    the sequential-sum form DuckDB's list_sum replays bit-identically:
+    unlike IVF (where dists only pick an argmin) they are OUTPUT here
+    and order the keep rule."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, _ivf_gate_centroids(), threshold=0.4, compute="expr"
+    )
+
+
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import prototype_prune
+
+    emb = load(spark, sf_dir, "embeddings")
+    return prototype_prune(
+        emb, _ivf_gate_centroids(), prune_frac=0.2, compute="expr"
+    )
+
+
+def _semdedup_assigned_ctes() -> str:
+    """Shared literal-centroid replay CTEs: assignment (first-min
+    tie-break) + squared distance to the assigned centroid."""
+    cents = _ivf_gate_centroids()
+    vals = ",\n    ".join(
+        f"({i}, [{', '.join(repr(v) for v in row)}])" for i, row in enumerate(cents)
+    )
+    dist = (
+        "list_sum(list_transform(list_zip(c.v, cents.cvec), "
+        "x -> (x[1]::DOUBLE - x[2]) * (x[1]::DOUBLE - x[2])))"
+    )
+    return f"""
+c AS (SELECT vec_id, embedding AS v FROM embeddings),
+cents AS (SELECT * FROM (VALUES
+    {vals}) AS t(cid, cvec)),
+assigned AS (
+  SELECT vec_id, v, cid AS cluster, d AS centroid_dist FROM (
+    SELECT c.vec_id, c.v, cents.cid, {dist} AS d,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {dist}, cents.cid) AS rn
+    FROM c CROSS JOIN cents) WHERE rn = 1
+)"""
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH {_semdedup_assigned_ctes()},
+sims AS (
+  SELECT a.vec_id AS id_a,
+         max(list_sum(list_transform(list_zip(a.v, b.v), x -> (x[1] * x[2])::DOUBLE))
+             / (sqrt(list_sum(list_transform(a.v, v -> (v * v)::DOUBLE)))
+                * sqrt(list_sum(list_transform(b.v, v -> (v * v)::DOUBLE)))))
+           AS max_prior_sim
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster
+   AND (b.centroid_dist > a.centroid_dist
+        OR (b.centroid_dist = a.centroid_dist AND b.vec_id < a.vec_id))
+  GROUP BY a.vec_id
+)
+SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+       round(a.centroid_dist, 6) AS centroid_dist,
+       round(s.max_prior_sim, 6) AS max_prior_sim,
+       coalesce(s.max_prior_sim >= 0.4, false) AS is_dup
+FROM assigned a LEFT JOIN sims s ON a.vec_id = s.id_a
+"""
+
+
+SQL_PROTOTYPE_PRUNE = f"""
+WITH {_semdedup_assigned_ctes()}
+SELECT vec_id, CAST(cluster AS INT) AS cluster,
+       round(centroid_dist, 6) AS centroid_dist,
+       CAST(row_number() OVER w AS INT) AS proto_rank,
+       row_number() OVER w <= floor(0.2 * count(*) OVER (PARTITION BY cluster))
+         AS is_pruned
+FROM assigned
+WINDOW w AS (PARTITION BY cluster ORDER BY centroid_dist ASC, vec_id ASC)
+"""
+
+
 # ------------------------------------------- quality classifier
 
 # Deterministic sf-independent labeled fixture: 240 docs of 30 tokens,
@@ -1868,6 +1952,8 @@ PIPELINE_QUERIES = {
     "quality_classifier": q_quality_classifier,
     "fingerprint_overlap": q_fingerprint_overlap,
     "collocations": q_collocations,
+    "semantic_dedup": q_semantic_dedup,
+    "prototype_prune": q_prototype_prune,
 }
 
 PIPELINE_ORACLES = {
@@ -1905,4 +1991,6 @@ PIPELINE_ORACLES = {
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "fingerprint_overlap": SQL_FINGERPRINT_OVERLAP,
     "collocations": SQL_COLLOCATIONS,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "prototype_prune": SQL_PROTOTYPE_PRUNE,
 }

@@ -219,8 +219,18 @@ def _journal_pair(low: int, high: int, n_turns: int, pair: dict, note: str) -> N
         f.write(json.dumps(entry) + "\n")
 
 
+# a pair whose run-window hypervisor steal exceeds this on either level
+# measured the co-tenants, not the engine — it is journaled like every
+# other pair (nothing is hidden) but does not count toward the quiet
+# quota, and the series keeps measuring until enough quiet pairs exist
+RUN_STEAL_MAX_PCT = 1.0
+
+
 def run_series(low: int, high: int, n_convs: int, reps: int) -> dict:
-    """Interleaved (low, high) pairs; one efficiency per pair."""
+    """Interleaved (low, high) pairs; one efficiency per pair. ``reps``
+    is the QUIET-pair quota: pairs whose run-window steal exceeds
+    RUN_STEAL_MAX_PCT are journaled but retried (bounded attempts) —
+    the pre-run quiet gate cannot see a co-tenant that wakes mid-run."""
     factor = high / low
     pairs = []
     n_turns = None
@@ -230,7 +240,10 @@ def run_series(low: int, high: int, n_convs: int, reps: int) -> dict:
         "(steal<=0.4%, aggregate-BW probe>=105 GB/s before each pair)"
         if gate else ""
     )
-    for _ in range(reps):
+    quiet_pairs = 0
+    attempts = 0
+    while quiet_pairs < reps and attempts < reps * 3:
+        attempts += 1
         gate_stats = wait_for_quiet() if gate else {}
         r_low = run_level(low, n_convs)
         r_high = run_level(high, n_convs)
@@ -255,6 +268,13 @@ def run_series(low: int, high: int, n_convs: int, reps: int) -> dict:
             }
         )
         pairs[-1].update(gate_stats)
+        run_steal = max(
+            pairs[-1].get("low_steal_pct") or 0.0,
+            pairs[-1].get("high_steal_pct") or 0.0,
+        )
+        pairs[-1]["run_quiet"] = run_steal <= RUN_STEAL_MAX_PCT
+        if pairs[-1]["run_quiet"]:
+            quiet_pairs += 1
         print(json.dumps({"series": f"{low}->{high}", **pairs[-1]}), flush=True)
         _journal_pair(low, high, n_turns, pairs[-1], note)
     effs = sorted(p["efficiency"] for p in pairs)
@@ -329,21 +349,35 @@ def write_report(series: list[dict]) -> None:
     tables = "\n".join(_series_table(s) for s in merged.values())
     # overall per-shape summary across every journaled pair (all
     # methodology classes — the per-series tables below carry the notes)
-    shape_all: dict[tuple, list[float]] = {}
+    shape_all: dict[tuple, list[dict]] = {}
     for s in all_series:
         k = (s["low_executors"], s["high_executors"])
-        shape_all.setdefault(k, []).extend(p["efficiency"] for p in s["pairs"])
-    summary_rows = []
-    for (lo, hi), effs in sorted(shape_all.items()):
-        es = sorted(effs)
+        shape_all.setdefault(k, []).extend(s["pairs"])
+    def _med(es: list[float]) -> float:
+        es = sorted(es)
         mid = len(es) // 2
-        med = es[mid] if len(es) % 2 else (es[mid - 1] + es[mid]) / 2
+        return round(es[mid] if len(es) % 2 else (es[mid - 1] + es[mid]) / 2, 3)
+    summary_rows = []
+    for (lo, hi), ps in sorted(shape_all.items()):
+        effs = [p["efficiency"] for p in ps]
+        # run-quiet subset: hypervisor steal DURING the measured window
+        # <= RUN_STEAL_MAX_PCT on both levels — a validity criterion
+        # measured per pair, not a post-hoc selection on the outcome
+        quiet = [
+            p["efficiency"]
+            for p in ps
+            if max(p.get("low_steal_pct") or 0.0, p.get("high_steal_pct") or 0.0)
+            <= RUN_STEAL_MAX_PCT
+        ]
+        qcell = (
+            f"{len(quiet)} / {max(quiet)} / {_med(quiet)}" if quiet else "0 / — / —"
+        )
         summary_rows.append(
-            f"| {lo} -> {hi} | {len(es)} | {max(es)} | {round(med, 3)} |"
+            f"| {lo} -> {hi} | {len(effs)} | {max(effs)} | {_med(effs)} | {qcell} |"
         )
     summary = (
-        "| series | pairs | best | median |\n|---|---|---|---|\n"
-        + "\n".join(summary_rows)
+        "| series | pairs | best | median | run-quiet pairs (steal<=1%): n / best / median |\n"
+        "|---|---|---|---|---|\n" + "\n".join(summary_rows)
     )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(

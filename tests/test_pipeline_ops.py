@@ -2,6 +2,7 @@
 similarity-search correctness, text features, multimodal plumbing."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -894,3 +895,96 @@ def test_collocations_matches_counter_oracle(spark):
         key=lambda x: (-x[0], x[1], x[2]),
     )[:5]
     assert [(r["pmi"], r["token_a"], r["token_b"], r["n_pair"]) for r in got] == exp
+
+
+def _semdedup_numpy_oracle(vecs, cents, threshold):
+    """Independent python reference for semantic_dedup: argmin-assign,
+    order by (dist desc, id asc), first-occurrence keep."""
+    import numpy as np
+
+    V = np.asarray(vecs, dtype=np.float64)
+    C = np.asarray(cents, dtype=np.float64)
+    d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cl = d.argmin(axis=1)
+    cd = d[np.arange(len(V)), cl]
+    out = {}
+    for k in set(cl):
+        ids = [i for i in range(len(V)) if cl[i] == k]
+        order = sorted(ids, key=lambda i: (-cd[i], i))
+        for pos, i in enumerate(order):
+            prior = order[:pos]
+            if prior:
+                sims = [
+                    float(V[i] @ V[j] / (np.linalg.norm(V[i]) * np.linalg.norm(V[j])))
+                    for j in prior
+                ]
+                m = max(sims)
+                out[i] = (int(cl[i]), cd[i], m, m >= threshold)
+            else:
+                out[i] = (int(cl[i]), cd[i], None, False)
+    return out
+
+
+@pytest.mark.parametrize("compute", ["expr", "arrow"])
+def test_semantic_dedup_matches_numpy(spark, compute):
+    from didtool_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(21)
+    centers = rng.randn(4, 8) * 4
+    vecs = []
+    for c in centers:
+        base = c + rng.randn(8) * 0.3
+        vecs.append(base)
+        vecs.append(base + rng.randn(8) * 0.01)  # planted semantic dup
+        vecs.extend(c + rng.randn(4, 8) * 1.5)
+    vecs = np.asarray(vecs, dtype=np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[float(x) for x in c] for c in centers]
+    got = semantic_dedup(df, cents, threshold=0.9, compute=compute).toPandas()
+    exp = _semdedup_numpy_oracle(vecs, cents, 0.9)
+    assert len(got) == len(vecs)
+    n_dups = 0
+    for r in got.itertuples():
+        cl, cd, m, dup = exp[r.vec_id]
+        assert r.cluster == cl
+        assert abs(r.centroid_dist - cd) < 1e-4
+        if m is None:
+            assert pd.isna(r.max_prior_sim)
+        else:
+            assert abs(r.max_prior_sim - m) < 1e-4
+        assert bool(r.is_dup) == dup
+        n_dups += bool(r.is_dup)
+    # every planted twin (the later id of each pair) must be flagged
+    assert n_dups >= 4
+
+
+def test_prototype_prune_ranks_and_fraction(spark):
+    from didtool_spark.operators.similarity import prototype_prune
+
+    # two centroids; cluster 0 gets 10 points at known distances,
+    # cluster 1 gets 5
+    cents = [[0.0, 0.0], [100.0, 0.0]]
+    rows = []
+    for i in range(10):
+        rows.append((i, [float(i), 0.0]))           # dist = i^2 to c0
+    for i in range(5):
+        rows.append((100 + i, [100.0 + i, 0.0]))    # dist = i^2 to c1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = prototype_prune(df, cents, prune_frac=0.2, compute="expr").toPandas()
+    c0 = out[out["cluster"] == 0].sort_values("proto_rank")
+    c1 = out[out["cluster"] == 1].sort_values("proto_rank")
+    # rank follows distance-to-centroid ascending
+    assert list(c0["vec_id"]) == list(range(10))
+    assert list(c1["vec_id"]) == [100 + i for i in range(5)]
+    # floor(0.2 * 10) = 2 pruned in c0; floor(0.2 * 5) = 1 in c1
+    assert list(c0["is_pruned"]) == [True, True] + [False] * 8
+    assert list(c1["is_pruned"]) == [True] + [False] * 4
+
+    # arrow sibling agrees on every column
+    out2 = prototype_prune(df, cents, prune_frac=0.2, compute="arrow").toPandas()
+    a = out.sort_values("vec_id").reset_index(drop=True)
+    b = out2.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)

@@ -170,3 +170,26 @@ def test_new_text_ops_plan_shapes(spark):
     p = plan_str(winnow_fingerprints(docs))
     assert "Window" not in p and "PythonUDF" not in p
     assert "Exchange" not in p, "fingerprint selection is shuffle-free"
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """SemDeDup scale contract: cluster id is the only co-location key
+    (no all-pairs cross join), assignment is pure expressions in the
+    expr path (no Python eval), and prototype_prune is ONE
+    cluster-partitioned window exchange."""
+    import re
+
+    from didtool_spark.operators.similarity import prototype_prune, semantic_dedup
+    from didtool_spark.plans.pipeline_queries import _ivf_gate_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = _ivf_gate_centroids()
+
+    p = plan_str(semantic_dedup(emb, cents, compute="expr"))
+    assert "PythonUDF" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    p = plan_str(prototype_prune(emb, cents, compute="expr"))
+    assert "PythonUDF" not in p
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex == 1, p
