@@ -78,8 +78,12 @@ from .operators.similarity import (  # noqa: F401
     cosine_topk, embedding_near_dupes, ivf_fit_centroids, ivf_topk,
     lsh_topk, prototype_prune, semantic_dedup,
 )
+from .operators.bpe import (  # noqa: F401
+    bpe_tokenize, fit_bpe,
+)
 from .operators.text import (  # noqa: F401
-    fingerprint_exprs, tfidf_keywords, with_lang_id, with_text_features,
+    collocations, fingerprint_exprs, fingerprint_overlap, tfidf_keywords,
+    winnow_fingerprints, with_lang_id, with_text_features,
 )
 
 # training-data curation (PII scrub, chunking, sampling, packing)

@@ -1684,6 +1684,91 @@ WINDOW w AS (PARTITION BY cluster ORDER BY centroid_dist ASC, vec_id ASC)
 """
 
 
+# ------------------------------------------- BPE tokenizer
+
+# Deterministic fit corpus (morphology-rich so merges are meaningful).
+# The gate query re-fits through the real Spark path (word-freq agg ->
+# canonical sort -> fit_bpe_py); the import-time python mirror counts
+# the same words, so the merges are identical by construction and the
+# oracle replays them as literal chained replaces — the same
+# fixture-fit + literal-replay split as quality_classifier.
+_BPE_FIXTURE = [
+    "the lowest prices are lower than the low prices of last year",
+    "newest news is newer than the new news of the west",
+    "the widest rivers are wider than the wide river here",
+    "running runner runs ran the longest run of the season",
+    "testing tested tests the latest test of the newest system",
+    "faster and fastest runners run farther than slower ones",
+    "the highest mountains are higher than the high hills",
+    "working workers worked the hardest work of the week",
+    "reading readers read the greatest books ever written",
+    "the strongest storms are stronger than the strong winds",
+    "singing singers sing the sweetest songs of the summer",
+    "the deepest oceans are deeper than the deep seas",
+]
+_BPE_N_MERGES = 48
+
+
+def _bpe_fixture_merges_py() -> list[tuple[str, str]]:
+    from collections import Counter
+
+    from ..operators.bpe import fit_bpe_py
+
+    counts: Counter = Counter()
+    for t in _BPE_FIXTURE:
+        counts.update(w for w in t.split() if w)
+    return fit_bpe_py(sorted(counts.items()), _BPE_N_MERGES)
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merges learned on the deterministic fixture (real Spark fit
+    path), applied to the documents table via the distinct-word-vocab
+    strategy; per-doc token count + md5 of the space-joined token
+    stream gives the gate a full-value check at one row per doc."""
+    from ..operators.bpe import bpe_tokenize, fit_bpe
+
+    fixture = spark.createDataFrame([(t,) for t in _BPE_FIXTURE], "text string")
+    merges = fit_bpe(fixture, "text", n_merges=_BPE_N_MERGES)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = bpe_tokenize(docs, merges)
+    return toks.select(
+        "doc_id",
+        F.size("tokens").cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"),
+    )
+
+
+def _sql_bpe_tokenize() -> str:
+    from ..operators.bpe import EOW, SEP
+
+    merges = _bpe_fixture_merges_py()
+    d, dd = SEP, SEP + SEP
+    chain = f"'{dd}' || regexp_replace(w, '(.)', '\\1{dd}', 'g') || '{EOW}{dd}'"
+    for a, b in merges:
+        chain = f"replace({chain}, '{d}{a}{dd}{b}{d}', '{d}{a}{b}{d}')"
+    tokstr = f"replace(trim({chain}, '{d}'), '{dd}', ' ')"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(replace(trim(text), '{d}', ''), '\\s+'),
+                     w -> w <> '') AS wds
+  FROM documents
+), tok AS (
+  SELECT doc_id,
+         array_to_string(list_transform(wds, w -> {tokstr}), ' ') AS ts
+  FROM t
+)
+SELECT doc_id,
+       CAST(CASE WHEN ts = '' THEN 0
+                 ELSE len(string_split(ts, ' ')) END AS INT) AS n_tokens,
+       md5(ts) AS tokens_md5
+FROM tok
+"""
+
+
+SQL_BPE_TOKENIZE = _sql_bpe_tokenize()
+
+
 # ------------------------------------------- quality classifier
 
 # Deterministic sf-independent labeled fixture: 240 docs of 30 tokens,
@@ -1954,6 +2039,7 @@ PIPELINE_QUERIES = {
     "collocations": q_collocations,
     "semantic_dedup": q_semantic_dedup,
     "prototype_prune": q_prototype_prune,
+    "bpe_tokenize": q_bpe_tokenize,
 }
 
 PIPELINE_ORACLES = {
@@ -1993,4 +2079,5 @@ PIPELINE_ORACLES = {
     "collocations": SQL_COLLOCATIONS,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "prototype_prune": SQL_PROTOTYPE_PRUNE,
+    "bpe_tokenize": SQL_BPE_TOKENIZE,
 }

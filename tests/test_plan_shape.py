@@ -193,3 +193,18 @@ def test_semantic_dedup_plan_shape(spark):
     assert "PythonUDF" not in p
     n_ex = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_ex == 1, p
+
+
+def test_bpe_tokenize_plan_shape(spark):
+    """Scale contract of the vocab strategy: the chained-replace
+    segmentation runs over the DISTINCT-word table (an Aggregate below
+    the join — each word segmented once), occurrences join to it (AQE
+    broadcast here), and NO Python eval node exists anywhere."""
+    from didtool_spark.operators.bpe import bpe_tokenize, fit_bpe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    merges = fit_bpe(docs.limit(50), "text", n_merges=8)
+    p = plan_str(bpe_tokenize(docs, merges))
+    assert "PythonUDF" not in p and "BatchEvalPython" not in p
+    assert "HashAggregate" in p  # the distinct-word vocab table
+    assert "staticinvoke" in p.lower() or "replace" in p.lower()
