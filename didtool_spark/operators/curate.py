@@ -166,3 +166,40 @@ def pack_sequences(
     return tagged.withColumn(
         "pack_no", F.floor(cum / F.lit(int(budget))).cast("int")
     )
+
+
+def pack_conversations(
+    turns: DataFrame,
+    token_col: str,
+    conv_col: str = "conv_id",
+    budget: int = 2048,
+    n_shards: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """Conversation-boundary-respecting sequence packing: whole
+    conversations are assigned to fixed-token-budget packs — a
+    conversation is NEVER split across packs (splitting one severs the
+    dialogue context the pack exists to train on). The unit being
+    packed is the per-conversation token total; the pack id then joins
+    back to every turn.
+
+    Same quota rule and scale shape as ``pack_sequences`` (hash-shard
+    -> exclusive-cumsum window -> floor(cum/budget)), plus one
+    aggregation to build the conversation totals and one equi-join to
+    fan the pack id back out. The join key is the conversation id, so
+    AQE broadcasts the (bounded: one row per conversation) pack table
+    when it fits and degrades to a shuffled equi-join when it does not.
+    A conversation longer than ``budget`` still lands in exactly one
+    pack (flagged ``oversize`` for the caller to truncate or drop).
+
+    Output: the input turns plus (shard, pack_no, conv_tokens,
+    oversize).
+    """
+    totals = turns.groupBy(conv_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("conv_tokens")
+    )
+    packed = pack_sequences(
+        totals, "conv_tokens", id_col=conv_col, budget=budget,
+        n_shards=n_shards, seed=seed,
+    ).withColumn("oversize", F.col("conv_tokens") > F.lit(int(budget)))
+    return turns.join(packed, conv_col)

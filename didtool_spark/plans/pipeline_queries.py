@@ -779,6 +779,45 @@ FROM t
 """
 
 
+def q_pack_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-boundary packing over the events table (user_id as
+    the conversation key, props length as the token proxy): per-turn
+    rows carry the pack of their WHOLE conversation."""
+    from ..operators.curate import pack_conversations
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.length("props").alias("n_tok")
+    )
+    out = pack_conversations(
+        ev, "n_tok", conv_col="user_id", budget=4096, n_shards=8, seed=1
+    )
+    return out.select(
+        "event_id", "user_id", "shard", "pack_no",
+        F.col("conv_tokens").cast("long").alias("conv_tokens"), "oversize",
+    )
+
+
+SQL_PACK_CONVERSATIONS = """
+WITH totals AS (
+  SELECT user_id, CAST(sum(len(props)) AS BIGINT) AS conv_tokens,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#1'), 1, 15))::BIGINT
+              % 8 AS INT) AS shard
+  FROM events GROUP BY user_id
+), packed AS (
+  SELECT user_id, shard, conv_tokens,
+         CAST(floor(
+           CAST(coalesce(sum(conv_tokens) OVER (
+             PARTITION BY shard ORDER BY user_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           / 4096.0) AS INT) AS pack_no,
+         conv_tokens > 4096 AS oversize
+  FROM totals
+)
+SELECT e.event_id, e.user_id, p.shard, p.pack_no, p.conv_tokens, p.oversize
+FROM events e JOIN packed p USING (user_id)
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship end-to-end curation pipeline in ONE lazy plan:
     quality/lang scoring -> filter -> exact dedup (min-id canonical per
@@ -2040,6 +2079,7 @@ PIPELINE_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "prototype_prune": q_prototype_prune,
     "bpe_tokenize": q_bpe_tokenize,
+    "pack_conversations": q_pack_conversations,
 }
 
 PIPELINE_ORACLES = {
@@ -2080,4 +2120,5 @@ PIPELINE_ORACLES = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "prototype_prune": SQL_PROTOTYPE_PRUNE,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
+    "pack_conversations": SQL_PACK_CONVERSATIONS,
 }

@@ -200,3 +200,30 @@ def test_c4_rules_line_and_doc_semantics(spark):
     assert out[4]["keep"] == 1 and out[4]["n_kept_lines"] == 3
     assert "javascript" not in out[4]["clean_text"]
     assert out[5]["keep"] == 0 and out[5]["n_kept_lines"] == 1
+
+
+def test_pack_conversations_never_splits_a_conv(spark):
+    from didtool_spark.operators.curate import pack_conversations
+
+    turns = spark.range(3000).select(
+        F.col("id").alias("turn_id"),
+        (F.col("id") % 300).alias("conv_id"),
+        (F.pmod(F.xxhash64("id"), 50) + 1).cast("int").alias("n_tok"),
+    )
+    out = pack_conversations(
+        turns, "n_tok", conv_col="conv_id", budget=256, n_shards=8, seed=3
+    ).toPandas()
+    assert len(out) == 3000  # every turn retained
+    # one (shard, pack_no) per conversation — never split
+    per_conv = out.groupby("conv_id")[["shard", "pack_no"]].nunique()
+    assert (per_conv == 1).all().all()
+    # conv_tokens is the conversation total, oversize iff > budget
+    tot = out.groupby("conv_id")["n_tok"].sum()
+    got = out.groupby("conv_id")["conv_tokens"].first()
+    assert (tot == got).all()
+    assert (out["oversize"] == (out["conv_tokens"] > 256)).all()
+    # quota rule holds at the conversation level
+    g = out.groupby(["conv_id", "shard", "pack_no"])["n_tok"].sum().groupby(
+        ["shard", "pack_no"]
+    ).sum()
+    assert (g < 256 + tot.max()).all()
