@@ -1,0 +1,106 @@
+"""Transcript-specific data-quality operators.
+
+An agent stuck in a loop emits near-identical turns over and over —
+training on such transcripts teaches the loop. ``loop_stats`` measures
+per-conversation repetition: how many turns repeat an EARLIER turn of
+the same conversation (exact after normalization), and the longest run
+of consecutive identical turns (the smoking gun of a retry loop).
+
+Plan shape (the scale contract, asserted in test_plan_shape):
+everything hangs off ONE hash exchange on the conversation key — the
+lag window partitions by (conv), the first-occurrence window by
+(conv, turn hash), and the final rollup groups by (conv); Spark's
+EnsureRequirements recognizes that a conv-partitioned stream already
+clusters every (conv, x) key, so the later steps add Sorts, never
+Exchanges. The per-conversation window carries the same hot-key caveat
+as with_lags (temporal.py) — one conversation with 10^9 turns
+serializes its task; the rollup itself is safe (map-side combined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _norm_hash(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(
+        F.regexp_replace(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+", " ")
+    )
+
+
+def loop_stats(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    loop_frac_threshold: float = 0.5,
+    max_run_threshold: int = 3,
+) -> DataFrame:
+    """Per-conversation repetition rollup:
+
+    - ``n_turns``
+    - ``n_repeat_turns``: turns whose normalized text already occurred
+      at a smaller ``order_col`` in the same conversation
+    - ``loop_frac`` = n_repeat_turns / n_turns (round 6)
+    - ``max_imm_run``: longest run of CONSECUTIVE turns each equal to
+      its immediate predecessor (0 when no turn repeats its
+      predecessor; a value of k means k+1 identical turns in a row)
+    - ``is_looping``: loop_frac >= ``loop_frac_threshold`` OR
+      max_imm_run >= ``max_run_threshold``
+
+    Normalization: lower, trim, collapse whitespace — the exact-dedup
+    rule (dedup.py), so a turn differing only in spacing still counts
+    as a repeat.
+    """
+    h = _norm_hash(text_col)
+    base = turns.select(
+        F.col(conv_col).alias("__conv"),
+        F.col(order_col).alias("__ord"),
+        h.alias("__h"),
+    )
+    w_conv = Window.partitionBy("__conv").orderBy("__ord")
+    # immediate repeat + run grouping: cumulative count of run BREAKS
+    flagged = base.select(
+        "__conv",
+        "__ord",
+        "__h",
+        (F.lag("__h").over(w_conv) == F.col("__h")).cast("int").alias("__imm"),
+    )
+    flagged = flagged.withColumn(
+        "__imm", F.coalesce(F.col("__imm"), F.lit(0))
+    ).withColumn(
+        "__brk",
+        F.sum(1 - F.col("__imm")).over(
+            Window.partitionBy("__conv")
+            .orderBy("__ord")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    # first occurrence of each normalized turn within the conversation
+    first = F.min("__ord").over(Window.partitionBy("__conv", "__h"))
+    flagged = flagged.withColumn(
+        "__rep", (F.col("__ord") > first).cast("int")
+    )
+    per_run = flagged.groupBy("__conv", "__brk").agg(
+        F.sum("__imm").alias("__run"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__rep").alias("__nr"),
+    )
+    out = per_run.groupBy("__conv").agg(
+        F.sum("__n").cast("long").alias("n_turns"),
+        F.sum("__nr").cast("long").alias("n_repeat_turns"),
+        F.max("__run").cast("int").alias("max_imm_run"),
+    )
+    return out.select(
+        F.col("__conv").alias(conv_col),
+        "n_turns",
+        "n_repeat_turns",
+        F.round(F.col("n_repeat_turns") / F.col("n_turns"), 6).alias("loop_frac"),
+        "max_imm_run",
+        (
+            (F.col("n_repeat_turns") / F.col("n_turns") >= loop_frac_threshold)
+            | (F.col("max_imm_run") >= max_run_threshold)
+        ).alias("is_looping"),
+    )

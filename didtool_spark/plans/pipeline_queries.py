@@ -1808,6 +1808,50 @@ FROM tok
 SQL_BPE_TOKENIZE = _sql_bpe_tokenize()
 
 
+# ------------------------------------------- transcript loop detection
+
+def q_loop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-loop detection over the events table as the transcript
+    analog (user_id = conversation, event_id = turn order, event_type =
+    turn text — few distinct values, so real repetition structure)."""
+    from ..operators.transcript import loop_stats
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return loop_stats(
+        ev, conv_col="user_id", order_col="event_id", text_col="event_type",
+        loop_frac_threshold=0.5, max_run_threshold=3,
+    )
+
+
+SQL_LOOP_STATS = """
+WITH t AS (
+  SELECT user_id AS conv, event_id AS ord,
+         md5(regexp_replace(trim(lower(coalesce(event_type, ''))), '\\s+', ' ', 'g')) AS h
+  FROM events
+), f AS (
+  SELECT conv, ord, h,
+         CASE WHEN lag(h) OVER w = h THEN 1 ELSE 0 END AS imm,
+         CASE WHEN ord > min(ord) OVER (PARTITION BY conv, h) THEN 1 ELSE 0 END AS rep
+  FROM t WINDOW w AS (PARTITION BY conv ORDER BY ord)
+), g AS (
+  SELECT conv, imm, rep,
+         sum(1 - imm) OVER (PARTITION BY conv ORDER BY ord
+                            ROWS UNBOUNDED PRECEDING) AS brk
+  FROM f
+), runs AS (
+  SELECT conv, brk, sum(imm) AS run, count(*) AS n, sum(rep) AS nr
+  FROM g GROUP BY conv, brk
+)
+SELECT conv AS user_id,
+       CAST(sum(n) AS BIGINT) AS n_turns,
+       CAST(sum(nr) AS BIGINT) AS n_repeat_turns,
+       round(sum(nr) * 1.0 / sum(n), 6) AS loop_frac,
+       CAST(max(run) AS INT) AS max_imm_run,
+       (sum(nr) * 1.0 / sum(n) >= 0.5 OR max(run) >= 3) AS is_looping
+FROM runs GROUP BY conv
+"""
+
+
 # ------------------------------------------- quality classifier
 
 # Deterministic sf-independent labeled fixture: 240 docs of 30 tokens,
@@ -2080,6 +2124,7 @@ PIPELINE_QUERIES = {
     "prototype_prune": q_prototype_prune,
     "bpe_tokenize": q_bpe_tokenize,
     "pack_conversations": q_pack_conversations,
+    "loop_stats": q_loop_stats,
 }
 
 PIPELINE_ORACLES = {
@@ -2121,4 +2166,5 @@ PIPELINE_ORACLES = {
     "prototype_prune": SQL_PROTOTYPE_PRUNE,
     "bpe_tokenize": SQL_BPE_TOKENIZE,
     "pack_conversations": SQL_PACK_CONVERSATIONS,
+    "loop_stats": SQL_LOOP_STATS,
 }
