@@ -81,7 +81,9 @@ from .operators.similarity import (  # noqa: F401
 from .operators.bpe import (  # noqa: F401
     bpe_tokenize, fit_bpe,
 )
-from .operators.transcript import loop_stats  # noqa: F401
+from .operators.transcript import (  # noqa: F401
+    loop_stats, render_conversations,
+)
 from .operators.text import (  # noqa: F401
     collocations, fingerprint_exprs, fingerprint_overlap, tfidf_keywords,
     winnow_fingerprints, with_lang_id, with_text_features,

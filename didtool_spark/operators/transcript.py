@@ -104,3 +104,53 @@ def loop_stats(
             | (F.col("max_imm_run") >= max_run_threshold)
         ).alias("is_looping"),
     )
+
+
+def render_conversations(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    turn_sep: str = "\n",
+    role_sep: str = ": ",
+) -> DataFrame:
+    """Render each conversation to one training-ready text blob:
+    turns ordered by ``order_col``, each formatted ``role + role_sep +
+    text``, joined by ``turn_sep``. The standard flattening before
+    tokenization/packing (compose with ``bpe_tokenize`` and
+    ``pack_conversations``).
+
+    Output: (conv, text, n_turns, n_chars). ONE groupBy(conv) shuffle;
+    order restored inside the aggregate via array_sort over
+    (order, formatted) structs, so no window/sort stage precedes the
+    aggregation and map-side partial aggregation stays enabled."""
+    formatted = F.concat(
+        F.coalesce(F.col(role_col).cast("string"), F.lit("")),
+        F.lit(role_sep),
+        F.coalesce(F.col(text_col).cast("string"), F.lit("")),
+    )
+    g = (
+        turns.select(
+            F.col(conv_col).alias("__conv"),
+            F.col(order_col).alias("__ord"),
+            formatted.alias("__f"),
+        )
+        .groupBy("__conv")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__ord", "__f"))),
+                    lambda s: s["__f"],
+                ),
+                turn_sep,
+            ).alias("text"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+        )
+    )
+    return g.select(
+        F.col("__conv").alias(conv_col),
+        "text",
+        "n_turns",
+        F.length("text").cast("long").alias("n_chars"),
+    )

@@ -1852,6 +1852,30 @@ FROM runs GROUP BY conv
 """
 
 
+def q_render_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transcript import render_conversations
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "props"
+    )
+    return render_conversations(
+        ev, conv_col="user_id", order_col="event_id",
+        role_col="event_type", text_col="props",
+    )
+
+
+SQL_RENDER_CONVERSATIONS = """
+SELECT user_id,
+       string_agg(coalesce(event_type, '') || ': ' || coalesce(props, ''),
+                  chr(10) ORDER BY event_id) AS text,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(length(string_agg(coalesce(event_type, '') || ': ' || coalesce(props, ''),
+                              chr(10) ORDER BY event_id)) AS BIGINT) AS n_chars
+FROM events
+GROUP BY user_id
+"""
+
+
 # ------------------------------------------- quality classifier
 
 # Deterministic sf-independent labeled fixture: 240 docs of 30 tokens,
@@ -2125,6 +2149,7 @@ PIPELINE_QUERIES = {
     "bpe_tokenize": q_bpe_tokenize,
     "pack_conversations": q_pack_conversations,
     "loop_stats": q_loop_stats,
+    "render_conversations": q_render_conversations,
 }
 
 PIPELINE_ORACLES = {
@@ -2167,4 +2192,5 @@ PIPELINE_ORACLES = {
     "bpe_tokenize": SQL_BPE_TOKENIZE,
     "pack_conversations": SQL_PACK_CONVERSATIONS,
     "loop_stats": SQL_LOOP_STATS,
+    "render_conversations": SQL_RENDER_CONVERSATIONS,
 }

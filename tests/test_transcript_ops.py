@@ -48,3 +48,38 @@ def test_loop_stats_single_exchange(spark):
     )
     p = plan_str(loop_stats(df))
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_render_conversations_order_and_nulls(spark):
+    from didtool_spark.operators.transcript import render_conversations
+
+    rows = [
+        ("A", 2, "assistant", "fine"),
+        ("A", 0, "user", "hi"),
+        ("A", 1, "tool", None),
+        ("B", 0, None, "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r["conv_id"]: r for r in render_conversations(df).collect()}
+    assert out["A"]["text"] == "user: hi\ntool: \nassistant: fine"
+    assert out["A"]["n_turns"] == 3
+    assert out["A"]["n_chars"] == len(out["A"]["text"])
+    assert out["B"]["text"] == ": solo"
+
+
+def test_render_conversations_single_exchange(spark):
+    import re
+
+    from tests.test_plan_shape import plan_str
+
+    from didtool_spark.operators.transcript import render_conversations
+
+    df = spark.createDataFrame(
+        [("A", 0, "user", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    p = plan_str(render_conversations(df))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "Window" not in p  # order restored inside the aggregate
