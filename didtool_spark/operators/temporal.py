@@ -36,6 +36,8 @@ __all__ = [
     "with_rolling",
     "forward_fill",
     "asof_join",
+    "FeatureTable",
+    "build_training_set",
 ]
 
 
@@ -818,3 +820,125 @@ def asof_join(
         )
     )
     return res.select(*final_cols)
+
+
+class FeatureTable:
+    """Spec for one feature table in :func:`build_training_set`.
+
+    ``value_cols=None`` means every non-key, non-ts column; ``strict``
+    excludes same-timestamp feature rows (ts_f < ts_anchor instead of
+    <=) — per-table, so one training set can mix label-safe strict
+    sources with inclusive ones.
+    """
+
+    def __init__(self, df: DataFrame, value_cols: Sequence[str] | None = None,
+                 strict: bool = False):
+        self.df = df
+        self.value_cols = value_cols
+        self.strict = strict
+
+
+def build_training_set(
+    anchors: DataFrame,
+    tables: dict[str, "FeatureTable | DataFrame"],
+    keys: Sequence[str] | str = "conv_id",
+    ts_col: str = "ts",
+    strategy: str = "window",
+    **asof_kwargs,
+) -> DataFrame:
+    """Feature-store-style multi-table point-in-time join: every anchor
+    row gets, for each named feature table, the latest value of each of
+    its columns as of the anchor timestamp (zero temporal leakage, per
+    the north rule's entity x timestamp contract). Output columns are
+    ``{table}_{col}``.
+
+    strategy="window" (default): ALL tables are unioned with the
+    anchors in one tagged stream and forward-filled in ONE ordered
+    window pass — one Exchange+Sort on ``keys`` total, however many
+    feature tables join (a chain of N as-of joins would shuffle N
+    times). Per-table strictness is encoded in the sort tag: at an
+    equal timestamp, inclusive feature rows (tag 0) sort before the
+    anchor (tag 1), strict ones (tag 2) after it, so `last(ignorenulls)`
+    sees exactly the rows the contract allows.
+
+    strategy="chain": N sequential :func:`asof_join` calls — the
+    hot-key fallback, because each pairwise join accepts
+    ``strategy="bucketed"`` via ``asof_kwargs`` (the single-pass window
+    form, like any keyed window, serializes a hot key in one task).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    reserved = set(keys) | {ts_col}
+    specs: list[tuple[str, DataFrame, list[str], bool]] = []
+    for name, spec in tables.items():
+        if isinstance(spec, DataFrame):
+            spec = FeatureTable(spec)
+        vcols = (
+            list(spec.value_cols)
+            if spec.value_cols is not None
+            else [c for c in spec.df.columns if c not in reserved]
+        )
+        specs.append((name, spec.df, vcols, spec.strict))
+
+    anchor_cols = [c for c in anchors.columns if c not in reserved]
+
+    if strategy == "chain":
+        out = anchors
+        for name, fdf, vcols, strict in specs:
+            renamed = fdf.select(
+                *keys, ts_col, *[F.col(c).alias(f"{name}_{c}") for c in vcols]
+            )
+            out = asof_join(
+                out, renamed, keys=keys, ts_col=ts_col,
+                value_cols=[f"{name}_{c}" for c in vcols], strict=strict,
+                **asof_kwargs,
+            )
+        return out
+
+    if strategy != "window":
+        raise ValueError(f"unknown training-set strategy {strategy!r}")
+
+    all_vals = [(name, fdf, c) for name, fdf, vcols, _ in specs for c in vcols]
+
+    def null_like(src_df: DataFrame, col: str) -> Column:
+        return F.lit(None).cast(src_df.schema[col].dataType)
+
+    a_side = anchors.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__src"),
+        *[null_like(fdf, c).alias(f"__v_{n}_{c}") for n, fdf, c in all_vals],
+        *anchor_cols,
+    )
+    unioned = a_side
+    for name, fdf, vcols, strict in specs:
+        tag = 2 if strict else 0
+        side = fdf.select(
+            *keys,
+            F.col(ts_col).alias("__ts"),
+            F.lit(tag).alias("__src"),
+            *[
+                (F.col(c) if n == name else null_like(f2, c)).alias(f"__v_{n}_{c}")
+                for n, f2, c in all_vals
+            ],
+            *[null_like(anchors, c).alias(c) for c in anchor_cols],
+        )
+        unioned = unioned.unionByName(side)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__src")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__v_{n}_{c}", ignorenulls=True).over(w).alias(f"__f_{n}_{c}")
+            for n, _, c in all_vals
+        ],
+    )
+    return filled.where(F.col("__src") == 1).select(
+        *keys,
+        F.col("__ts").alias(ts_col),
+        *anchor_cols,
+        *[F.col(f"__f_{n}_{c}").alias(f"{n}_{c}") for n, _, c in all_vals],
+    )

@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.temporal import (
+    FeatureTable,
     asof_join,
+    build_training_set,
     forward_fill,
     sessionize,
     with_lags,
@@ -312,6 +314,54 @@ FROM s GROUP BY user_id
 """
 
 
+def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store multi-table point-in-time join: every error event
+    gets the latest view value as of it (inclusive) AND the latest
+    purchase value strictly before it — TWO feature tables with mixed
+    strictness materialized in ONE Exchange+Sort via the tagged-union
+    single-pass plan (build_training_set, strategy="window"). Feature
+    tables are pre-deduped at (user_id, ts) so as-of ties are
+    deterministic on both engines."""
+    ev = load(spark, sf_dir, "events")
+    anchors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts").agg(F.max("value").alias("val"))
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts").agg(F.max("value").alias("val"))
+    )
+    out = build_training_set(
+        anchors,
+        {"views": FeatureTable(views), "purch": FeatureTable(purch, strict=True)},
+        keys="user_id",
+        ts_col="ts",
+    )
+    return out.select(
+        "event_id",
+        F.round("views_val", 6).alias("last_view_value"),
+        F.round("purch_val", 6).alias("last_purchase_value"),
+    )
+
+
+SQL_TRAINING_SET = """
+WITH a AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+v AS (SELECT user_id, ts, max(value) AS val FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+p AS (SELECT user_id, ts, max(value) AS val FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+av AS (
+  SELECT a.event_id, a.user_id, a.ts, v.val AS vval
+  FROM a ASOF LEFT JOIN v ON a.user_id = v.user_id AND a.ts >= v.ts
+)
+SELECT av.event_id,
+       round(av.vval, 6) AS last_view_value,
+       round(p.val, 6) AS last_purchase_value
+FROM av ASOF LEFT JOIN p ON av.user_id = p.user_id AND av.ts > p.ts
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -322,6 +372,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
     "session_features": q_session_features,
+    "training_set": q_training_set,
 }
 
 ORACLES = {
@@ -334,4 +385,5 @@ ORACLES = {
     "asof_join": SQL_ASOF,
     "asof_join_bucketed": SQL_ASOF,
     "session_features": SQL_SESSION_FEATURES,
+    "training_set": SQL_TRAINING_SET,
 }

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.binning import Binner
 from ..operators.category import CategoryTransformer, ListTransformer, OneHotTransformer
-from ..operators.metrics import auc, iv, ks, psi
+from ..operators.metrics import auc, iv, iv_all, ks, psi, psi_all
 from ..operators.scorecard import ScoreCardTransformer
 from ..operators.split import split_data
 from ..operators.woe import LabelEncoder, WOEEncoder
@@ -295,6 +295,199 @@ SELECT round(sum((ar - er) * ln(ar / er)), 6) AS psi_value FROM r
 """
 
 
+def q_iv_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iv_all (stats.py:32-67) over two categorical features via the
+    single-pass melted plan: ONE groupBy over ONE scan covers every
+    (feature, value) cell; per-feature IV is driver math over that
+    aggregate. The oracle melts the same two features in SQL and
+    replays the 0.5-floor IV formula per feature."""
+    ev = _events(spark, sf_dir).withColumn(
+        "vband",
+        F.concat(
+            F.lit("b"),
+            F.floor(F.col("value") / 100).cast("int").cast("string"),
+        ),
+    )
+    stats = iv_all(
+        ev, ["event_type", "vband"], "y",
+        categorical_cols=["event_type", "vband"],
+    )
+    rows = [(f_, round(float(stats.loc[f_, "iv"]), 6))
+            for f_ in ["event_type", "vband"]]
+    return spark.createDataFrame(rows, "feature string, iv double")
+
+
+SQL_IV_ALL = """
+WITH src AS (
+  SELECT event_type,
+         'b' || CAST(CAST(floor(value / 100) AS INT) AS VARCHAR) AS vband,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+melt AS (
+  SELECT 'event_type' AS feature, event_type AS val, y FROM src
+  UNION ALL
+  SELECT 'vband' AS feature, vband AS val, y FROM src
+),
+t AS (
+  SELECT feature, val, sum(1 - y) c0, sum(y) c1 FROM melt GROUP BY feature, val
+),
+tot AS (SELECT feature, sum(c0) t0, sum(c1) t1 FROM t GROUP BY feature)
+SELECT t.feature,
+       round(sum(
+         (greatest(c1, 0.5) / greatest(t1, 0.5) - greatest(c0, 0.5) / greatest(t0, 0.5))
+         * ln((greatest(c1, 0.5) / greatest(t1, 0.5)) /
+              (greatest(c0, 0.5) / greatest(t0, 0.5)))
+       ), 6) AS iv
+FROM t JOIN tot ON tot.feature = t.feature
+GROUP BY t.feature
+"""
+
+
+def q_psi_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """psi_all (stats.py:70-123) group-vs-previous drift over two
+    categorical features and three deterministic groups — the melted
+    single-pass plan aggregates every (group, feature, value) cell in
+    ONE groupBy; each of the 4 (feature x group-pair) PSIs is driver
+    math. Oracle replays the pairing, union-of-values universe, and
+    1e-10 rate floors."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "grp", F.concat(F.lit("g"), F.pmod(F.col("event_id"), 3).cast("string"))
+    ).withColumn(
+        "vband",
+        F.concat(
+            F.lit("b"),
+            F.floor(F.col("value") / 100).cast("int").cast("string"),
+        ),
+    )
+    res = psi_all(
+        ev, ["event_type", "vband"], group_col="grp",
+        categorical_cols=["event_type", "vband"],
+    )
+    rows = []
+    for f_ in ["event_type", "vband"]:
+        for g in list(res.columns)[1:]:  # first group has no previous
+            rows.append((f_, g, round(float(res.loc[f_, g]), 6)))
+    return spark.createDataFrame(rows, "feature string, grp string, psi double")
+
+
+SQL_PSI_ALL = """
+WITH src AS (
+  SELECT 'g' || CAST(event_id % 3 AS VARCHAR) AS grp,
+         event_type,
+         'b' || CAST(CAST(floor(value / 100) AS INT) AS VARCHAR) AS vband
+  FROM events
+),
+melt AS (
+  SELECT grp, 'event_type' AS feature, event_type AS val FROM src
+  UNION ALL
+  SELECT grp, 'vband' AS feature, vband AS val FROM src
+),
+cnt AS (SELECT grp, feature, val, count(*) n FROM melt GROUP BY grp, feature, val),
+tot AS (SELECT grp, feature, sum(n) t FROM cnt GROUP BY grp, feature),
+pairs AS (SELECT * FROM (VALUES ('g0', 'g1'), ('g1', 'g2')) AS p(eg, ag)),
+universe AS (
+  SELECT p.eg, p.ag, c.feature, c.val
+  FROM pairs p JOIN cnt c ON c.grp IN (p.eg, p.ag)
+  GROUP BY p.eg, p.ag, c.feature, c.val
+),
+r AS (
+  SELECT u.ag AS grp, u.feature,
+         greatest(coalesce(ec.n, 0) * 1.0 / et.t, 1e-10) er,
+         greatest(coalesce(ac.n, 0) * 1.0 / at.t, 1e-10) ar
+  FROM universe u
+  LEFT JOIN cnt ec ON ec.grp = u.eg AND ec.feature = u.feature AND ec.val = u.val
+  LEFT JOIN cnt ac ON ac.grp = u.ag AND ac.feature = u.feature AND ac.val = u.val
+  JOIN tot et ON et.grp = u.eg AND et.feature = u.feature
+  JOIN tot at ON at.grp = u.ag AND at.feature = u.feature
+)
+SELECT feature, grp, round(sum((ar - er) * ln(ar / er)), 6) AS psi
+FROM r GROUP BY feature, grp
+"""
+
+
+def q_selector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector chain stats (selector.py:60-192): the three distributed
+    aggregation passes — missing rates, per-feature IV (step cut), and
+    the pairwise Pearson matrix — value-checked end to end. The
+    sequential keep/drop iteration over the matrix is driver logic
+    covered by unit goldens (not ANSI-SQL-expressible ordering)."""
+    from ..operators.selector import Selector
+
+    ev = _events(spark, sf_dir)
+    df = ev.select(
+        "y",
+        F.col("value").alias("v1"),
+        (F.col("value") * 0.5 + F.pmod(F.col("event_id"), 10)).alias("v2"),
+        F.when(F.pmod(F.col("event_id"), 5) == 0, F.lit(None).cast("double"))
+         .otherwise(F.pmod(F.col("user_id"), 100).cast("double")).alias("v3"),
+    )
+    sel = (
+        Selector(df, "y")
+        .drop_missing(0.9)
+        .drop_low_iv(0.0, cut_method="step")
+        .drop_correlated(0.9)
+    )
+    feats = ["v1", "v2", "v3"]
+    rows = []
+    for f_ in feats:
+        rows.append(("missing", f_, "", round(float(sel.missing_stats.loc[f_, "missing_rate"]), 6)))
+        rows.append(("iv", f_, "", round(float(sel.iv_stats.loc[f_, "iv"]), 6)))
+    for i, a in enumerate(feats):
+        for b in feats[i + 1:]:
+            rows.append(("corr", a, b, round(float(sel.corr_matrix.loc[a, b]), 6)))
+    return spark.createDataFrame(rows, "stat string, fa string, fb string, val double")
+
+
+SQL_SELECTOR_STATS = """
+WITH src AS (
+  SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+         value AS v1,
+         value * 0.5 + (event_id % 10) AS v2,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(user_id % 100 AS DOUBLE) END AS v3
+  FROM events
+),
+melt AS (
+  SELECT 'v1' AS f, v1 AS x, y FROM src
+  UNION ALL SELECT 'v2', v2, y FROM src
+  UNION ALL SELECT 'v3', v3, y FROM src
+),
+-- per-feature step grid over non-null values (cut.py:15-66, right-closed)
+s AS (SELECT f, min(x) mn, max(x) mx FROM melt WHERE x IS NOT NULL GROUP BY f),
+b AS (
+  SELECT m.f,
+         CASE WHEN m.x IS NULL THEN -1
+              ELSE CAST(least(greatest(ceil((m.x - s.mn) / ((s.mx - s.mn) / 10.0)), 1), 10) - 1 AS INT)
+         END AS b,
+         m.y
+  FROM melt m JOIN s ON s.f = m.f
+),
+t AS (SELECT f, b, sum(1 - y) c0, sum(y) c1 FROM b GROUP BY f, b),
+tot AS (SELECT f, sum(c0) t0, sum(c1) t1 FROM t GROUP BY f),
+ivs AS (
+  SELECT t.f,
+         round(sum(
+           (greatest(c1, 0.5) / greatest(t1, 0.5) - greatest(c0, 0.5) / greatest(t0, 0.5))
+           * ln((greatest(c1, 0.5) / greatest(t1, 0.5)) /
+                (greatest(c0, 0.5) / greatest(t0, 0.5)))
+         ), 6) AS iv
+  FROM t JOIN tot ON tot.f = t.f GROUP BY t.f
+)
+SELECT 'missing' AS stat, f AS fa, '' AS fb,
+       round(avg(CASE WHEN x IS NULL OR isnan(x) THEN 1.0 ELSE 0.0 END), 6) AS val
+FROM melt GROUP BY f
+UNION ALL
+SELECT 'iv', f, '', iv FROM ivs
+UNION ALL
+SELECT 'corr', 'v1', 'v2', round(corr(v1, v2), 6) FROM src
+UNION ALL
+SELECT 'corr', 'v1', 'v3', round(corr(v1, v3), 6) FROM src
+UNION ALL
+SELECT 'corr', 'v2', 'v3', round(corr(v2, v3), 6) FROM src
+"""
+
+
 # ------------------------------------------------------------- encoders
 
 def q_category_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,6 +752,9 @@ OP_QUERIES = {
     "iv_continuous": q_iv_continuous,
     "psi_discrete": q_psi_discrete,
     "psi_continuous": q_psi_continuous,
+    "iv_all": q_iv_all,
+    "psi_all": q_psi_all,
+    "selector_stats": q_selector_stats,
     "list_encode": q_list_encode,
     "category_encode": q_category_encode,
     "onehot_encode": q_onehot_encode,
@@ -581,6 +777,9 @@ OP_ORACLES = {
     "iv_continuous": SQL_IV_CONTINUOUS,
     "psi_discrete": SQL_PSI_DISCRETE,
     "psi_continuous": SQL_PSI_CONTINUOUS,
+    "iv_all": SQL_IV_ALL,
+    "psi_all": SQL_PSI_ALL,
+    "selector_stats": SQL_SELECTOR_STATS,
     "list_encode": SQL_LIST_ENCODE,
     "category_encode": SQL_CATEGORY_ENCODE,
     "onehot_encode": SQL_ONEHOT_ENCODE,

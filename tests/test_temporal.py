@@ -1,10 +1,13 @@
 """Temporal core vs pandas oracles (merge_asof, groupby-window)."""
 
+import datetime
+
 import numpy as np
 import pandas as pd
 import pytest
 
 from didtool_spark.data.transcripts import generate_transcripts
+from pyspark.sql.functions import col as F_col, length as F_length, max as F_max
 from didtool_spark.operators.temporal import (
     asof_join,
     forward_fill,
@@ -275,3 +278,118 @@ def test_materialize_bucketed_equals_window(tr):
     pd.testing.assert_frame_equal(
         a, b[a.columns], check_exact=False, atol=1e-9, rtol=1e-9, check_like=True
     )
+
+
+# ------------------------------------------------- build_training_set
+
+def test_build_training_set_single_exchange_and_values(spark, tr, tr_pd):
+    """Multi-table point-in-time join: window strategy must match a
+    chain of pairwise as-of joins AND a pandas merge_asof oracle, with
+    mixed per-table strictness; the single-pass plan must shuffle once
+    however many tables join."""
+    from didtool_spark.operators.temporal import FeatureTable, build_training_set
+
+    anchors = tr.where(F_col("role") == "user").select("conv_id", "turn_idx", "ts")
+    # two feature tables, deduped at (conv_id, ts) for deterministic ties
+    t_len = (
+        tr.where(F_col("role") == "assistant")
+        .groupBy("conv_id", "ts")
+        .agg(F_max(F_length("text")).alias("alen"))
+    )
+    t_tool = (
+        tr.where(F_col("tool").isNotNull())
+        .groupBy("conv_id", "ts")
+        .agg(F_max("turn_idx").alias("tool_turn"))
+    )
+
+    tables = {
+        "al": FeatureTable(t_len),                 # inclusive (<=)
+        "tl": FeatureTable(t_tool, strict=True),   # strict (<)
+    }
+    got = (
+        build_training_set(anchors, tables, keys="conv_id", ts_col="ts")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    chain = (
+        build_training_set(
+            anchors, tables, keys="conv_id", ts_col="ts", strategy="chain"
+        )
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "al_alen", "tl_tool_turn"]],
+        chain[["conv_id", "turn_idx", "al_alen", "tl_tool_turn"]],
+        check_dtype=False,
+    )
+
+    # pandas oracle
+    a_pd = got[["conv_id", "turn_idx"]].merge(
+        tr_pd[tr_pd["role"] == "user"][["conv_id", "turn_idx", "ts"]],
+        on=["conv_id", "turn_idx"],
+    ).sort_values("ts", kind="mergesort")
+    l_pd = (
+        tr_pd[tr_pd["role"] == "assistant"]
+        .assign(alen=lambda d: d["text"].str.len())
+        .groupby(["conv_id", "ts"], as_index=False)["alen"].max()
+        .sort_values("ts", kind="mergesort")
+    )
+    o_pd = (
+        tr_pd[tr_pd["tool"].notna()]
+        .groupby(["conv_id", "ts"], as_index=False)["turn_idx"].max()
+        .rename(columns={"turn_idx": "tool_turn"})
+        .sort_values("ts", kind="mergesort")
+    )
+    exp = pd.merge_asof(
+        a_pd, l_pd, on="ts", by="conv_id", direction="backward",
+        allow_exact_matches=True,
+    )
+    exp = pd.merge_asof(
+        exp, o_pd, on="ts", by="conv_id", direction="backward",
+        allow_exact_matches=False,
+    ).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert np.allclose(
+        got["al_alen"].astype(float), exp["alen"].astype(float), equal_nan=True
+    )
+    assert np.allclose(
+        got["tl_tool_turn"].astype(float), exp["tool_turn"].astype(float),
+        equal_nan=True,
+    )
+
+    # exactly ONE Exchange in the single-pass plan however many tables
+    # join (the chain pays one per table) — measured over literal
+    # (exchange-free) inputs so only the operator's own shuffles count
+    spark = tr.sparkSession
+    lit_a = spark.createDataFrame(
+        [("c1", 1, datetime.datetime(2026,1,1))], "conv_id string, turn_idx int, ts timestamp"
+    )
+    lit_t = {
+        "al": FeatureTable(
+            spark.createDataFrame(
+                [("c1", datetime.datetime(2026,1,1), 3)],
+                "conv_id string, ts timestamp, alen int",
+            )
+        ),
+        "tl": FeatureTable(
+            spark.createDataFrame(
+                [("c1", datetime.datetime(2026,1,1), 0)],
+                "conv_id string, ts timestamp, tool_turn int",
+            ),
+            strict=True,
+        ),
+    }
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    single = build_training_set(lit_a, lit_t, keys="conv_id", ts_col="ts")
+    chained = build_training_set(
+        lit_a, lit_t, keys="conv_id", ts_col="ts", strategy="chain"
+    )
+    assert n_exchanges(single) == 1
+    assert n_exchanges(chained) == 2
