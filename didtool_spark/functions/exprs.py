@@ -50,6 +50,29 @@ def map_expr(
     return out
 
 
+def with_json_fields(
+    df: DataFrame,
+    json_col: Column | str,
+    fields: Mapping[str, tuple[str, str]],
+) -> DataFrame:
+    """Extract typed fields from a JSON-string column (tool-call
+    arguments, event payloads): ``fields`` maps output column name ->
+    (JSONPath, spark type). ``get_json_object`` is a JVM expression
+    (whole-stage codegen, no Python); ``try_cast`` keeps malformed
+    payloads NULL instead of failing the task under ANSI mode — at
+    corpus scale a poison row must never kill the job.
+
+    For a FIXED schema read repeatedly, ``from_json`` with an explicit
+    struct is the faster single-parse form; this helper is the
+    schema-on-read path where each field is independent.
+    """
+    c = F.col(json_col) if isinstance(json_col, str) else json_col
+    out = df
+    for name, (path, typ) in fields.items():
+        out = out.withColumn(name, F.get_json_object(c, path).try_cast(typ))
+    return out
+
+
 def with_lookup(
     df: DataFrame,
     key: Column | str,

@@ -154,3 +154,89 @@ def render_conversations(
         "n_turns",
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+def truncate_conversations(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    token_col: str = "n_tokens",
+    budget: int = 4096,
+    keep: str = "head",
+) -> DataFrame:
+    """Context-window trimming: keep each conversation's prefix
+    (``keep="head"``) or suffix (``keep="tail"``) of whole turns whose
+    cumulative ``token_col`` fits ``budget``; a turn that would cross
+    the budget is dropped along with everything after (before) it.
+    Turns are never split — the unit of meaning in a transcript is the
+    turn, so a fit-to-context pass drops whole turns, unlike
+    ``pack_sequences`` which may chunk raw documents.
+
+    Output: the kept turns with ``cum_tokens`` (cumulative tokens in
+    the kept direction, the turn's own tokens included).
+
+    Plan: ONE running-sum window per conversation key — same single
+    hash-exchange contract as ``loop_stats``; the hot-key caveat of
+    ``with_lags`` applies (a 10^9-turn conversation serializes its
+    task), and the same time-bucket carry trick (temporal.py) applies
+    if that regime is real. A turn with NULL tokens counts 0.
+    """
+    if keep not in ("head", "tail"):
+        raise ValueError(f"keep must be 'head' or 'tail', got {keep!r}")
+    order = F.col(order_col).asc() if keep == "head" else F.col(order_col).desc()
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w)
+    out = turns.withColumn("cum_tokens", cum.cast("long"))
+    return out.where(F.col("cum_tokens") <= budget)
+
+
+def role_stats(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Per-conversation role-protocol features: a well-formed
+    user/assistant transcript alternates roles, opens with the user,
+    and closes with the assistant — violations (double turns from one
+    side, truncated endings) are quality signals for filtering and
+    features for downstream models.
+
+    Output per conversation:
+
+    - ``n_turns``
+    - ``n_distinct_roles``
+    - ``n_same_role_adjacent``: adjacent turn pairs with equal role
+      (0 in a strictly alternating dialogue)
+    - ``first_role`` / ``last_role`` (by ``order_col``)
+
+    Plan: lag window + rollup hang off ONE hash exchange on the
+    conversation key (the groupBy reuses the window's clustering);
+    first/last are min_by/max_by over the order column, so no second
+    sort. NULL roles compare as distinct from every role (the adjacent
+    flag treats NULL-vs-NULL as not-equal, matching SQL ``=``).
+    """
+    w_conv = Window.partitionBy("__conv").orderBy("__ord")
+    flagged = turns.select(
+        F.col(conv_col).alias("__conv"),
+        F.col(order_col).alias("__ord"),
+        F.col(role_col).cast("string").alias("__role"),
+    ).withColumn(
+        "__same",
+        F.coalesce(
+            (F.lag("__role").over(w_conv) == F.col("__role")).cast("int"),
+            F.lit(0),
+        ),
+    )
+    out = flagged.groupBy("__conv").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.countDistinct("__role").cast("long").alias("n_distinct_roles"),
+        F.sum("__same").cast("long").alias("n_same_role_adjacent"),
+        F.min_by("__role", "__ord").alias("first_role"),
+        F.max_by("__role", "__ord").alias("last_role"),
+    )
+    return out.withColumnRenamed("__conv", conv_col)

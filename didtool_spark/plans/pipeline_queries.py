@@ -1876,6 +1876,101 @@ GROUP BY user_id
 """
 
 
+# ------------------------------------------- transcript QA / trimming
+
+
+def q_truncate_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window trimming over the events table as the transcript
+    analog (user_id = conversation, event_id = turn order, props length
+    = token proxy): keep each conversation's head of whole turns within
+    a 200-token budget."""
+    from ..operators.transcript import truncate_conversations
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.length("props").alias("n_tok")
+    )
+    out = truncate_conversations(
+        ev, conv_col="user_id", order_col="event_id", token_col="n_tok",
+        budget=200, keep="head",
+    )
+    return out.select("event_id", "user_id", "cum_tokens")
+
+
+SQL_TRUNCATE_CONVS = """
+SELECT event_id, user_id, cum_tokens FROM (
+  SELECT event_id, user_id,
+         CAST(sum(len(props)) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM events) t
+WHERE cum_tokens <= 200
+"""
+
+
+def q_role_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-protocol features over the events table as the transcript
+    analog (event_type = role): alternation violations, first/last
+    role, distinct-role count per conversation."""
+    from ..operators.transcript import role_stats
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return role_stats(
+        ev, conv_col="user_id", order_col="event_id", role_col="event_type"
+    )
+
+
+SQL_ROLE_STATS = """
+WITH f AS (
+  SELECT user_id, event_id, event_type,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                   = event_type THEN 1 ELSE 0 END AS same
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_roles,
+       CAST(sum(same) AS BIGINT) AS n_same_role_adjacent,
+       arg_min(event_type, event_id) AS first_role,
+       arg_max(event_type, event_id) AS last_role
+FROM f GROUP BY user_id
+"""
+
+
+def q_tool_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction from tool-call payloads (events.props is
+    the payload analog): schema-on-read `get_json_object` (pure JVM,
+    try_cast NULL-on-malformed) feeding a per-conversation rollup."""
+    from ..functions.exprs import with_json_fields
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "props")
+    j = with_json_fields(ev, "props", {"k": ("$.k", "long")})
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+        F.round(F.avg("k"), 6).alias("k_avg"),
+        F.sum((F.col("k") >= 50).cast("int")).cast("long").alias("n_k_high"),
+        F.sum(
+            ((F.col("event_type") == "error") & (F.col("k") >= 50)).cast("int")
+        ).cast("long").alias("n_error_high"),
+    )
+
+
+SQL_TOOL_PAYLOADS = """
+WITH j AS (
+  SELECT user_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       round(avg(k), 6) AS k_avg,
+       CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_k_high,
+       CAST(sum(CASE WHEN event_type = 'error' AND k >= 50 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error_high
+FROM j GROUP BY user_id
+"""
+
+
 # ------------------------------------------- quality classifier
 
 # Deterministic sf-independent labeled fixture: 240 docs of 30 tokens,
@@ -2150,6 +2245,9 @@ PIPELINE_QUERIES = {
     "pack_conversations": q_pack_conversations,
     "loop_stats": q_loop_stats,
     "render_conversations": q_render_conversations,
+    "truncate_convs": q_truncate_convs,
+    "role_stats": q_role_stats,
+    "tool_payloads": q_tool_payloads,
 }
 
 PIPELINE_ORACLES = {
@@ -2193,4 +2291,7 @@ PIPELINE_ORACLES = {
     "pack_conversations": SQL_PACK_CONVERSATIONS,
     "loop_stats": SQL_LOOP_STATS,
     "render_conversations": SQL_RENDER_CONVERSATIONS,
+    "truncate_convs": SQL_TRUNCATE_CONVS,
+    "role_stats": SQL_ROLE_STATS,
+    "tool_payloads": SQL_TOOL_PAYLOADS,
 }

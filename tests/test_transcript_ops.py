@@ -83,3 +83,86 @@ def test_render_conversations_single_exchange(spark):
     p = plan_str(render_conversations(df))
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert "Window" not in p  # order restored inside the aggregate
+
+def test_truncate_conversations_head_and_tail(spark):
+    from didtool_spark.operators.transcript import truncate_conversations
+
+    rows = [
+        # conv A tokens: 5, 10, 20, 100 -> head budget 35 keeps 0,1,2
+        ("A", 0, 5), ("A", 1, 10), ("A", 2, 20), ("A", 3, 100),
+        # conv B: first turn alone busts the budget -> nothing kept
+        ("B", 0, 50),
+        # conv C: NULL tokens count 0
+        ("C", 0, None), ("C", 1, 30),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, n_tokens int")
+    head = truncate_conversations(df, budget=35, keep="head").collect()
+    kept = {(r["conv_id"], r["turn_idx"]): r["cum_tokens"] for r in head}
+    assert kept == {("A", 0): 5, ("A", 1): 15, ("A", 2): 35,
+                    ("C", 0): 0, ("C", 1): 30}
+    tail = truncate_conversations(df, budget=35, keep="tail").collect()
+    kept_t = {(r["conv_id"], r["turn_idx"]) for r in tail}
+    # A from the end: 100 busts immediately -> nothing from A
+    assert kept_t == {("C", 0), ("C", 1)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        truncate_conversations(df, keep="middle")
+
+
+def test_role_stats_matches_hand_oracle(spark):
+    from didtool_spark.operators.transcript import role_stats
+
+    rows = [
+        # conv A: user/assistant alternating, clean
+        ("A", 0, "user"), ("A", 1, "assistant"),
+        ("A", 2, "user"), ("A", 3, "assistant"),
+        # conv B: double-assistant violation, ends on user
+        ("B", 0, "user"), ("B", 1, "assistant"),
+        ("B", 2, "assistant"), ("B", 3, "user"),
+        # conv C: NULL role is never "same" as anything, even NULL
+        ("C", 0, None), ("C", 1, None), ("C", 2, "user"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = {r["conv_id"]: r for r in role_stats(df).collect()}
+    a = out["A"]
+    assert (a["n_turns"], a["n_distinct_roles"], a["n_same_role_adjacent"]) == (4, 2, 0)
+    assert (a["first_role"], a["last_role"]) == ("user", "assistant")
+    b = out["B"]
+    assert (b["n_same_role_adjacent"], b["last_role"]) == (1, "user")
+    c = out["C"]
+    assert (c["n_turns"], c["n_distinct_roles"], c["n_same_role_adjacent"]) == (3, 1, 0)
+
+
+def test_role_stats_single_exchange(spark):
+    import re
+
+    from tests.test_plan_shape import plan_str
+
+    from didtool_spark.operators.transcript import role_stats
+
+    df = spark.createDataFrame(
+        [("A", 0, "user")], "conv_id string, turn_idx int, role string"
+    )
+    p = plan_str(role_stats(df))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_with_json_fields_types_and_malformed(spark):
+    from didtool_spark.functions.exprs import with_json_fields
+
+    rows = [
+        ('{"k": 69, "name": "a", "score": 1.5}',),
+        ('{"k": "not-a-number"}',),
+        ("not json at all",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "props string")
+    out = with_json_fields(
+        df, "props",
+        {"k": ("$.k", "long"), "name": ("$.name", "string"),
+         "score": ("$.score", "double")},
+    ).collect()
+    assert (out[0]["k"], out[0]["name"], out[0]["score"]) == (69, "a", 1.5)
+    assert out[1]["k"] is None          # try_cast, not a task failure
+    assert out[2]["k"] is None and out[3]["k"] is None
