@@ -694,6 +694,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compute: str = "arrow",
+    pairwise: str = "grouped",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embedding space, then deduplicate WITHIN each cluster only — two
@@ -723,6 +724,18 @@ def semantic_dedup(
 
     ``compute``: 'arrow' (BLAS batch assignment, default) or 'expr'
     (pure-JVM lambda expressions) — parity-tested like ivf_topk.
+
+    ``pairwise``: 'grouped' (default) runs each cluster's O(|C|^2)
+    similarity matrix as ONE Arrow task (applyInPandas over the
+    cluster key, seq_dot/seq_norm kernels — bit-identical to the JVM
+    lambda form, see the block kernel's note) and emits the final
+    per-row output straight from the kernel: one shuffle total,
+    vectorized math. 'join' keeps the pure-JVM cluster self-join —
+    the parity reference and the fallback for a runtime without
+    Arrow. Both paths need a whole cluster co-located; |C| x |C|
+    doubles must fit one task's memory in the grouped path, so size
+    ``n_centroids ~ n / target_cluster_size`` exactly as the paper
+    does (their k=110k at 1.3e9 embeddings).
     """
     if compute == "arrow":
         cl = nearest_centroid_arrow(centroids)(F.col(vec_col))
@@ -741,6 +754,8 @@ def semantic_dedup(
         .withColumn("n", _norm(F.col("v")))
         .drop("__d")
     )
+    if pairwise == "grouped":
+        return _semantic_dedup_grouped(base, threshold, id_col)
     a = base.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("n").alias("na"), "cluster",
@@ -779,6 +794,69 @@ def semantic_dedup(
                 "is_dup"
             ),
         )
+    )
+
+
+def _semantic_dedup_grouped(
+    base: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Per-cluster Arrow kernel for semantic_dedup: sort the cluster by
+    the keep order (centroid_dist DESC, id ASC — a strict total order,
+    ids are unique), build the full similarity matrix with the seq_dot/
+    seq_norm kernels (float32 products, sequential float64 accumulation
+    — bit-identical to the JVM ``_dot``), and take each row's max over
+    its strict predecessors. max() is order-insensitive, so the output
+    is value-identical to the self-join path pair for pair."""
+    elem_t = base.schema["v"].dataType.elementType.simpleString()
+    prod_dtype = "float32" if elem_t == "float" else "float64"
+    thr = float(threshold)
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["centroid_dist", "id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        m = len(pdf)
+        X = np.array([np.asarray(v, dtype=prod_dtype) for v in pdf["v"]])
+        acc_n = np.zeros(m, dtype=np.float64)
+        S = np.zeros((m, m), dtype=np.float64)
+        for k in range(X.shape[1]):
+            col = X[:, k]
+            acc_n += (col * col).astype(np.float64)
+            S += np.outer(col, col).astype(np.float64)
+        n = np.sqrt(acc_n)
+        # plain division mirrors the JVM expression exactly (a zero-norm
+        # row yields NaN there too; numpy max PROPAGATES that NaN where
+        # Spark's max would rank it above every value — zero-norm
+        # vectors are the one divergence between the two paths)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = S / np.outer(n, n)
+        prior = np.tril(np.ones((m, m), dtype=bool), -1)  # cols j < row i
+        vals = np.where(prior, S, -np.inf).max(axis=1) if m else np.array([])
+        maxp = np.where(np.arange(m) > 0, vals, np.nan)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cluster": pdf["cluster"],
+                "centroid_dist": pdf["centroid_dist"],
+                "max_prior_sim": maxp,
+                # NaN -> null crossing Arrow, so flag while still numpy
+                "is_dup": np.where(np.isnan(maxp), False, maxp >= thr),
+            }
+        )
+
+    out = base.groupBy("cluster").applyInPandas(
+        per_cluster,
+        "id long, cluster int, centroid_dist double, "
+        "max_prior_sim double, is_dup boolean",
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.round("centroid_dist", 6).alias("centroid_dist"),
+        F.round("max_prior_sim", 6).alias("max_prior_sim"),
+        "is_dup",
     )
 
 

@@ -925,8 +925,11 @@ def _semdedup_numpy_oracle(vecs, cents, threshold):
     return out
 
 
-@pytest.mark.parametrize("compute", ["expr", "arrow"])
-def test_semantic_dedup_matches_numpy(spark, compute):
+@pytest.mark.parametrize(
+    "compute,pairwise",
+    [("expr", "join"), ("arrow", "join"), ("expr", "grouped")],
+)
+def test_semantic_dedup_matches_numpy(spark, compute, pairwise):
     from didtool_spark.operators.similarity import semantic_dedup
 
     rng = np.random.RandomState(21)
@@ -943,7 +946,9 @@ def test_semantic_dedup_matches_numpy(spark, compute):
         "vec_id long, embedding array<float>",
     )
     cents = [[float(x) for x in c] for c in centers]
-    got = semantic_dedup(df, cents, threshold=0.9, compute=compute).toPandas()
+    got = semantic_dedup(
+        df, cents, threshold=0.9, compute=compute, pairwise=pairwise
+    ).toPandas()
     exp = _semdedup_numpy_oracle(vecs, cents, 0.9)
     assert len(got) == len(vecs)
     n_dups = 0
@@ -959,6 +964,32 @@ def test_semantic_dedup_matches_numpy(spark, compute):
         n_dups += bool(r.is_dup)
     # every planted twin (the later id of each pair) must be flagged
     assert n_dups >= 4
+
+
+def test_semantic_dedup_grouped_join_bit_parity(spark):
+    """The grouped Arrow kernel must be BIT-identical to the JVM
+    self-join path (seq_dot/seq_norm mirror the lambda kernel; max is
+    order-insensitive) — the gate oracle depends on it."""
+    from didtool_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[float(x) for x in c] for c in rng.randn(3, 16)]
+    a = (
+        semantic_dedup(df, cents, threshold=0.5, compute="expr", pairwise="grouped")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        semantic_dedup(df, cents, threshold=0.5, compute="expr", pairwise="join")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True, check_exact=True)
+    # each cluster's keep-order opener has NULL max_prior_sim (not NaN)
+    assert a["max_prior_sim"].isna().sum() == len(set(a["cluster"]))
 
 
 def test_prototype_prune_ranks_and_fraction(spark):

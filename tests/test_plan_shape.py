@@ -185,9 +185,17 @@ def test_semantic_dedup_plan_shape(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     cents = _ivf_gate_centroids()
 
-    p = plan_str(semantic_dedup(emb, cents, compute="expr"))
+    p = plan_str(semantic_dedup(emb, cents, compute="expr", pairwise="join"))
     assert "PythonUDF" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    # grouped pairwise: ONE cluster-keyed exchange into the Arrow
+    # kernel, still no all-pairs join anywhere
+    p = plan_str(semantic_dedup(emb, cents, compute="expr", pairwise="grouped"))
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex == 1, p
 
     p = plan_str(prototype_prune(emb, cents, compute="expr"))
     assert "PythonUDF" not in p
