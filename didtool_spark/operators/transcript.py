@@ -240,3 +240,42 @@ def role_stats(
         F.max_by("__role", "__ord").alias("last_role"),
     )
     return out.withColumnRenamed("__conv", conv_col)
+
+
+def attach_outcome(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    outcome_cols: tuple[str, ...] = ("role", "text"),
+    prefix: str = "final_",
+) -> DataFrame:
+    """Label attachment for conversation-level supervision: copy the
+    LAST turn's ``outcome_cols`` onto every turn of its conversation
+    (``final_<col>``), plus ``turns_remaining`` (turns strictly after
+    this one). The standard reward/outcome shape for RLHF-style or
+    abandoned-conversation training sets: the outcome is decided at the
+    end of the dialogue and every turn trains against it.
+
+    This is a LABEL operator, not a feature operator — it reads the
+    future BY DESIGN and therefore lives on the label side of the
+    anchor: keep its outputs out of the feature set that
+    plans/audit.py's zero-leakage audit covers (the audit would —
+    correctly — flag them).
+
+    Plan: ONE window exchange on the conversation key; the last-turn
+    values ride an unbounded-FOLLOWING frame (last over the forward
+    frame = values at max ``order_col``), ``turns_remaining`` a count
+    over the same frame — no second sort, no join. Hot-key caveat as
+    with_lags.
+    """
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = turns
+    for c in outcome_cols:
+        out = out.withColumn(prefix + c, F.last(c).over(w))
+    return out.withColumn(
+        "turns_remaining", (F.count(F.lit(1)).over(w) - 1).cast("long")
+    )

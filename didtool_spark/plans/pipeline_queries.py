@@ -1971,6 +1971,37 @@ FROM j GROUP BY user_id
 """
 
 
+def q_outcome_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-outcome label attachment over the events table as
+    the transcript analog: every turn carries its conversation's final
+    (event_type, value) plus turns_remaining — the label side of a
+    conversation-level reward training set (future-reading by design)."""
+    from ..operators.transcript import attach_outcome
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = attach_outcome(
+        ev, conv_col="user_id", order_col="event_id",
+        outcome_cols=("event_type", "value"),
+    )
+    return out.select(
+        "event_id", "user_id", "final_event_type", "final_value",
+        "turns_remaining",
+    )
+
+
+SQL_OUTCOME_LABELS = """
+SELECT event_id, user_id,
+       last_value(event_type) OVER w AS final_event_type,
+       last_value(value) OVER w AS final_value,
+       CAST(count(*) OVER w - 1 AS BIGINT) AS turns_remaining
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+"""
+
+
 # ------------------------------------------- quality classifier
 
 # Deterministic sf-independent labeled fixture: 240 docs of 30 tokens,
@@ -2248,6 +2279,7 @@ PIPELINE_QUERIES = {
     "truncate_convs": q_truncate_convs,
     "role_stats": q_role_stats,
     "tool_payloads": q_tool_payloads,
+    "outcome_labels": q_outcome_labels,
 }
 
 PIPELINE_ORACLES = {
@@ -2294,4 +2326,5 @@ PIPELINE_ORACLES = {
     "truncate_convs": SQL_TRUNCATE_CONVS,
     "role_stats": SQL_ROLE_STATS,
     "tool_payloads": SQL_TOOL_PAYLOADS,
+    "outcome_labels": SQL_OUTCOME_LABELS,
 }

@@ -166,3 +166,39 @@ def test_with_json_fields_types_and_malformed(spark):
     assert (out[0]["k"], out[0]["name"], out[0]["score"]) == (69, "a", 1.5)
     assert out[1]["k"] is None          # try_cast, not a task failure
     assert out[2]["k"] is None and out[3]["k"] is None
+
+def test_attach_outcome_labels_and_remaining(spark):
+    from didtool_spark.operators.transcript import attach_outcome
+
+    rows = [
+        ("A", 0, "user", "hi"), ("A", 1, "assistant", "yes"),
+        ("A", 2, "user", None),          # final text is NULL -> propagated
+        ("B", 0, "user", "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {(r["conv_id"], r["turn_idx"]): r for r in attach_outcome(df).collect()}
+    for i in range(3):
+        r = out[("A", i)]
+        assert r["final_role"] == "user" and r["final_text"] is None
+        assert r["turns_remaining"] == 2 - i
+    b = out[("B", 0)]
+    assert (b["final_role"], b["final_text"], b["turns_remaining"]) == (
+        "user", "solo", 0
+    )
+
+
+def test_attach_outcome_single_exchange(spark):
+    import re
+
+    from tests.test_plan_shape import plan_str
+
+    from didtool_spark.operators.transcript import attach_outcome
+
+    df = spark.createDataFrame(
+        [("A", 0, "user", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    p = plan_str(attach_outcome(df))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
