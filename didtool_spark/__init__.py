@@ -83,8 +83,10 @@ from .operators.bpe import (  # noqa: F401
     bpe_tokenize, fit_bpe,
 )
 from .operators.transcript import (  # noqa: F401
-    loop_stats, render_conversations,
+    attach_outcome, loop_stats, render_conversations, role_stats,
+    truncate_conversations,
 )
+from .functions.exprs import with_json_fields  # noqa: F401
 from .operators.text import (  # noqa: F401
     collocations, fingerprint_exprs, fingerprint_overlap, tfidf_keywords,
     winnow_fingerprints, with_lang_id, with_text_features,
