@@ -163,6 +163,8 @@ def truncate_conversations(
     token_col: str = "n_tokens",
     budget: int = 4096,
     keep: str = "head",
+    strategy: str = "window",
+    bucket_size: int = 100_000,
 ) -> DataFrame:
     """Context-window trimming: keep each conversation's prefix
     (``keep="head"``) or suffix (``keep="tail"``) of whole turns whose
@@ -175,21 +177,65 @@ def truncate_conversations(
     Output: the kept turns with ``cum_tokens`` (cumulative tokens in
     the kept direction, the turn's own tokens included).
 
-    Plan: ONE running-sum window per conversation key — same single
-    hash-exchange contract as ``loop_stats``; the hot-key caveat of
-    ``with_lags`` applies (a 10^9-turn conversation serializes its
-    task), and the same time-bucket carry trick (temporal.py) applies
-    if that regime is real. A turn with NULL tokens counts 0.
+    strategy="window" (default): ONE running-sum window per
+    conversation key — same single hash-exchange contract as
+    ``loop_stats``; a 10^9-turn conversation serializes its task.
+
+    strategy="bucketed": the sessionize-style carry trick for hot
+    keys — requires a NUMERIC ``order_col``. Turns are bucketed on
+    ``floor(order / bucket_size)``; a tiny per-(conv, bucket) total
+    table gives each bucket its carry-in (exclusive prefix over
+    earlier buckets), the running sum is computed per (conv, bucket)
+    task, and — because cum_tokens is monotone — every bucket whose
+    carry-in already exceeds ``budget`` is dropped BEFORE its window
+    runs: a 10^9-turn conversation only ever materializes the few
+    leading buckets that can still fit the budget. The bucket-total
+    aggregation is map-side combined, so no task scans a whole hot
+    conversation.
+
+    A turn with NULL tokens counts 0.
     """
     if keep not in ("head", "tail"):
         raise ValueError(f"keep must be 'head' or 'tail', got {keep!r}")
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    if strategy == "bucketed":
+        # sign-flip makes "tail" the ascending case too
+        o = F.col(order_col) if keep == "head" else -F.col(order_col)
+        b = turns.withColumn("__ord", o).withColumn(
+            "__bucket", F.floor(F.col("__ord") / F.lit(int(bucket_size)))
+        )
+        wb = (
+            Window.partitionBy(conv_col)
+            .orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            b.groupBy(conv_col, "__bucket")
+            .agg(F.sum(tok).alias("__t"))
+            .withColumn("__carry", F.coalesce(F.sum("__t").over(wb), F.lit(0)))
+            .drop("__t")
+        )
+        # monotone cumsum: a bucket whose carry-in busts the budget can
+        # never contribute a kept row — prune it before the window
+        b = b.join(carry, [conv_col, "__bucket"]).where(F.col("__carry") <= budget)
+        wl = (
+            Window.partitionBy(conv_col, "__bucket")
+            .orderBy("__ord")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = b.withColumn(
+            "cum_tokens", (F.col("__carry") + F.sum(tok).over(wl)).cast("long")
+        )
+        return out.where(F.col("cum_tokens") <= budget).drop(
+            "__ord", "__bucket", "__carry"
+        )
     order = F.col(order_col).asc() if keep == "head" else F.col(order_col).desc()
     w = (
         Window.partitionBy(conv_col)
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w)
+    cum = F.sum(tok).over(w)
     out = turns.withColumn("cum_tokens", cum.cast("long"))
     return out.where(F.col("cum_tokens") <= budget)
 

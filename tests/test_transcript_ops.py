@@ -202,3 +202,52 @@ def test_attach_outcome_single_exchange(spark):
     )
     p = plan_str(attach_outcome(df))
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+def test_truncate_bucketed_matches_window(spark):
+    """Carry-in bucketed strategy must be output-identical to the
+    window strategy (bucket_size=2 forces multi-bucket conversations),
+    for both head and tail."""
+    import pandas as pd
+
+    from didtool_spark.operators.transcript import truncate_conversations
+
+    rows = []
+    for conv in ("A", "B", "C"):
+        for i in range(11):
+            rows.append((conv, i, (i * 7 + len(conv)) % 13 + 1))
+    rows.append(("D", 0, None))  # NULL tokens count 0 in both paths
+    rows.append(("D", 1, 4))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, n_tokens int")
+    for keep in ("head", "tail"):
+        a = truncate_conversations(
+            df, budget=30, keep=keep, strategy="bucketed", bucket_size=2
+        ).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        b = truncate_conversations(
+            df, budget=30, keep=keep, strategy="window"
+        ).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
+
+
+def test_truncate_bucketed_prunes_far_buckets(spark):
+    """The physical plan must filter on the carry BEFORE the in-bucket
+    window — the property that bounds work on a 10^9-turn hot
+    conversation."""
+    from didtool_spark.operators.transcript import truncate_conversations
+
+    df = spark.createDataFrame(
+        [("A", i, 10) for i in range(20)],
+        "conv_id string, turn_idx int, n_tokens int",
+    )
+    out = truncate_conversations(
+        df, budget=35, keep="head", strategy="bucketed", bucket_size=2
+    )
+    from tests.test_plan_shape import plan_str
+
+    p = plan_str(out)
+    # the carry-budget prune must survive into the physical plan (it
+    # sits below the in-bucket window in the DataFrame chain, so the
+    # window never sees a bucket that cannot contribute kept rows)
+    assert "__carry" in p and "35" in p, p
+    assert {(r["turn_idx"], r["cum_tokens"]) for r in out.collect()} == {
+        (0, 10), (1, 20), (2, 30)
+    }
