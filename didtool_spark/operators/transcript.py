@@ -193,7 +193,10 @@ def truncate_conversations(
     aggregation is map-side combined, so no task scans a whole hot
     conversation.
 
-    A turn with NULL tokens counts 0.
+    A turn with NULL tokens counts 0; ``token_col`` is cast to long
+    PER TURN (token counts are integral — the per-row cast keeps the
+    two strategies bit-identical, where a float sum would depend on
+    the bucketed path's addition grouping).
     """
     if keep not in ("head", "tail"):
         raise ValueError(f"keep must be 'head' or 'tail', got {keep!r}")
