@@ -24,8 +24,11 @@ residuals, and reduces the gradient back to n_buckets rows — the
 driver only ever holds the weight vector. Parity with the driver path
 is unit-tested (same math, float-sum order differs).
 
-Feature hashing is the portable md5 bucket hash shared with DSIR
-(dsir._bucket_expr), so a SQL engine can replay scoring exactly.
+Feature hashing is shared with DSIR (dsir._bucket_expr): xxhash64 by
+default (JVM codegen, no digest per gram); ``hash_fn="md5_60"`` swaps
+in the portable 60-bit md5 prefix so a SQL engine can replay scoring
+exactly (gate/oracle use). The fitted model records its hash_fn and
+scoring reuses it, so fit/score can never silently disagree.
 
 reference parity: didtool has no corpus quality model; this is the
 training-data-pipeline charter (SURVEY.md §2.10), composing with
@@ -56,6 +59,7 @@ class QualityClassifier(NamedTuple):
     weights: np.ndarray  # (n_buckets,) float64
     bias: float
     n_buckets: int
+    hash_fn: str = "xxhash64"
 
 
 def doc_bucket_counts(
@@ -64,6 +68,7 @@ def doc_bucket_counts(
     id_col: str = "doc_id",
     n_buckets: int = 512,
     label_col: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Sparse hashed-n-gram features: one (id[, label], bucket, cnt)
     row per distinct bucket a document's unigram/bigram occurrences
@@ -72,7 +77,8 @@ def doc_bucket_counts(
     cols = [id_col] + ([label_col] if label_col else [])
     toks = df.select(*cols, _norm_tokens(F.col(col)).alias("__toks"))
     ex = toks.select(
-        *cols, F.explode(_gram_buckets(F.col("__toks"), n_buckets)).alias("b")
+        *cols,
+        F.explode(_gram_buckets(F.col("__toks"), n_buckets, hash_fn)).alias("b"),
     )
     return ex.groupBy(*cols, "b").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -126,15 +132,18 @@ def fit_quality_classifier(
     l2: float = 1e-4,
     max_train_docs: int = 200_000,
     distributed: bool = False,
+    hash_fn: str = "xxhash64",
 ) -> QualityClassifier:
     """Fit the hashed-n-gram logistic regression. Driver path (default):
     distributed feature aggregation, capped collect, deterministic
     numpy GD. ``distributed=True``: identical full-batch GD with
     per-iteration Spark aggregation for labeled sets that exceed any
     reasonable collect (the driver only holds the weight vector)."""
-    feats = doc_bucket_counts(labeled, col, id_col, n_buckets, label_col)
+    feats = doc_bucket_counts(labeled, col, id_col, n_buckets, label_col, hash_fn)
     if distributed:
-        return _fit_distributed(feats, id_col, label_col, n_buckets, n_iter, lr, l2)
+        return _fit_distributed(
+            feats, id_col, label_col, n_buckets, n_iter, lr, l2, hash_fn
+        )
     n_docs = labeled.select(id_col).distinct().count()
     if n_docs > max_train_docs:
         raise ValueError(
@@ -145,7 +154,7 @@ def fit_quality_classifier(
     rows = [(r[id_col], r["b"], r["cnt"]) for r in collected]
     labels = {r[id_col]: int(r[label_col]) for r in collected}
     w, b = _lr_fit_numpy(rows, labels, n_buckets, n_iter, lr, l2)
-    return QualityClassifier(w, b, n_buckets)
+    return QualityClassifier(w, b, n_buckets, hash_fn)
 
 
 def _fit_distributed(
@@ -156,6 +165,7 @@ def _fit_distributed(
     n_iter: int,
     lr: float,
     l2: float,
+    hash_fn: str = "xxhash64",
 ) -> QualityClassifier:
     """Full-batch GD where each step is two partially-aggregated Spark
     passes over the cached sparse feature table: (1) per-doc logit via
@@ -199,7 +209,7 @@ def _fit_distributed(
         w -= lr * (g / n + l2 * w)
         b -= lr * r_sum / n
     feats.unpersist()
-    return QualityClassifier(w, b, n_buckets)
+    return QualityClassifier(w, b, n_buckets, hash_fn)
 
 
 def score_quality(
@@ -217,7 +227,7 @@ def score_quality(
     wtab = sess.createDataFrame(
         [(i, float(v)) for i, v in enumerate(model.weights)], "b long, w double"
     )
-    counts = doc_bucket_counts(df, col, id_col, model.n_buckets)
+    counts = doc_bucket_counts(df, col, id_col, model.n_buckets, hash_fn=model.hash_fn)
     per_doc = (
         counts.join(F.broadcast(wtab), "b", "left")
         .groupBy(id_col)

@@ -4,7 +4,10 @@ via Importance Resampling" (NeurIPS). Selects raw-corpus documents
 whose token statistics look like a small TARGET corpus:
 
   1. hash every unigram + bigram of both corpora into ``n_buckets``
-     buckets (portable md5 bucket hash, so a SQL engine can replay it);
+     buckets (xxhash64 by default — JVM codegen, no digest per gram;
+     ``hash_fn="md5_60"`` swaps in the portable 60-bit md5 prefix so a
+     SQL engine can replay the bucketing exactly, the same
+     engine-default/gate-replay split as text.winnow_fingerprints);
   2. estimate smoothed bucket probabilities p_target / p_raw;
   3. per raw doc, importance log-weight = sum over its gram
      occurrences of log(p_target[b] / p_raw[b]);
@@ -38,13 +41,20 @@ from .decontam import _norm_tokens
 __all__ = ["dsir_log_ratios", "dsir_scores", "importance_resample"]
 
 
-def _bucket_expr(g: Column, n_buckets: int) -> Column:
-    """Portable bucket hash: 60-bit md5 prefix mod n_buckets (DuckDB:
-    ('0x' || substr(md5(g), 1, 15))::BIGINT % n_buckets)."""
-    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % n_buckets
+def _bucket_expr(g: Column, n_buckets: int, hash_fn: str = "xxhash64") -> Column:
+    """Bucket hash. ``xxhash64`` (default): whole-stage-codegen JVM
+    hash, non-negative via pmod — the at-scale path (no md5 digest per
+    gram). ``md5_60``: portable 60-bit md5 prefix mod n_buckets
+    (DuckDB: ('0x' || substr(md5(g), 1, 15))::BIGINT % n_buckets) —
+    gate/oracle replay only."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(g), F.lit(n_buckets)).cast("long")
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % n_buckets
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
-def _gram_buckets(toks: Column, n_buckets: int) -> Column:
+def _gram_buckets(toks: Column, n_buckets: int, hash_fn: str = "xxhash64") -> Column:
     """Bucket ids of every unigram and bigram OCCURRENCE (multiset —
     DSIR features are counts, not presence)."""
     bigrams = F.when(
@@ -58,13 +68,17 @@ def _gram_buckets(toks: Column, n_buckets: int) -> Column:
     # zip_with pads the shorter side -> drop the dangling last element
     bigrams = F.slice(bigrams, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
     grams = F.concat(toks, bigrams)
-    return F.transform(grams, lambda g: _bucket_expr(g, n_buckets))
+    return F.transform(grams, lambda g: _bucket_expr(g, n_buckets, hash_fn))
 
 
-def _bucket_counts(df: DataFrame, col: str, n_buckets: int) -> DataFrame:
+def _bucket_counts(
+    df: DataFrame, col: str, n_buckets: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
     toks = df.select(_norm_tokens(F.col(col)).alias("__toks"))
     return (
-        toks.select(F.explode(_gram_buckets(F.col("__toks"), n_buckets)).alias("b"))
+        toks.select(
+            F.explode(_gram_buckets(F.col("__toks"), n_buckets, hash_fn)).alias("b")
+        )
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -76,14 +90,15 @@ def dsir_log_ratios(
     col: str = "text",
     n_buckets: int = 10_000,
     alpha: float = 1.0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(b, log_ratio) for every bucket observed in ``raw`` —
     log_ratio = ln p_target(b) - ln p_raw(b) with add-``alpha``
     smoothing (p(b) = (c_b + alpha) / (N + alpha * n_buckets)). Raw
     buckets suffice: every gram of a doc being scored is by definition
     in the raw counts. Bounded at n_buckets rows — broadcastable."""
-    tc = _bucket_counts(target, col, n_buckets)
-    rc = _bucket_counts(raw, col, n_buckets)
+    tc = _bucket_counts(target, col, n_buckets, hash_fn)
+    rc = _bucket_counts(raw, col, n_buckets, hash_fn)
     tt = tc.agg(F.sum("c").alias("nt"))
     rt = rc.agg(F.sum("c").alias("nr"))
     a, b_ = float(alpha), float(alpha * n_buckets)
@@ -107,6 +122,7 @@ def dsir_scores(
     col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc importance log-weight: explode the doc's gram buckets,
     broadcast-join the bounded ratio table, sum per doc (map-side
@@ -117,7 +133,7 @@ def dsir_scores(
     )
     exploded = toks.select(
         F.col(id_col),
-        F.explode(_gram_buckets(F.col("__toks"), n_buckets)).alias("b"),
+        F.explode(_gram_buckets(F.col("__toks"), n_buckets, hash_fn)).alias("b"),
     )
     return (
         exploded.join(F.broadcast(ratios), "b")
@@ -136,17 +152,19 @@ def importance_resample(
     alpha: float = 1.0,
     seed: int = 0,
     threshold: str = "approx",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """DSIR selection: returns one row per RAW doc with ``log_weight``,
     ``keep`` (1 for the selected ~``frac`` of docs) — Gumbel-top-k
     resampling without replacement, deterministic via the portable md5
-    uniform. ``threshold="approx"`` is the at-scale quantile
-    (approx_percentile sketch); ``"exact"`` replays bit-comparably in
-    ANSI SQL (gate/validation)."""
+    uniform (per-DOC, so md5 cost is negligible; the per-GRAM bucket
+    hash follows ``hash_fn``). ``threshold="approx"`` is the at-scale
+    quantile (approx_percentile sketch); ``"exact"`` replays
+    bit-comparably in ANSI SQL (gate/validation)."""
     if threshold not in ("approx", "exact"):
         raise ValueError(f"unknown threshold {threshold!r}")
-    ratios = dsir_log_ratios(target, raw, col, n_buckets, alpha)
-    scores = dsir_scores(raw, ratios, col, id_col, n_buckets)
+    ratios = dsir_log_ratios(target, raw, col, n_buckets, alpha, hash_fn)
+    scores = dsir_scores(raw, ratios, col, id_col, n_buckets, hash_fn)
     # deterministic Gumbel: u in (0,1) from the 60-bit md5 prefix
     # (+0.5 keeps u strictly inside the open interval — ln(0) differs
     # across engines)

@@ -1514,7 +1514,7 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.where(F.col("doc_id") % 7 != 0)
     out = importance_resample(
         raw, target, frac=0.3, n_buckets=2048, alpha=1.0, seed=7,
-        threshold="exact",
+        threshold="exact", hash_fn="md5_60",
     )
     return out.select(
         "doc_id", F.round("log_weight", 6).alias("log_weight"), "keep"
@@ -2102,7 +2102,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     model = fit_quality_classifier(
         _qc_fixture_spark(spark), n_buckets=_QC_BUCKETS, n_iter=300, lr=5.0,
-        l2=1e-4,
+        l2=1e-4, hash_fn="md5_60",
     )
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return score_quality(docs, model)

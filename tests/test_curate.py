@@ -142,6 +142,37 @@ def test_importance_resample_prefers_target_like_docs(spark):
     assert set(out[out["keep"] == 1].index) == {100 + i for i in range(10)}
 
 
+def test_importance_resample_hash_fn_parity(spark):
+    """Engine default (xxhash64 buckets) and oracle-portable md5_60
+    select the SAME docs on a clear-signal fixture: the bucket hash is
+    an implementation detail of the feature space, not the statistic."""
+    import itertools
+
+    from didtool_spark.operators.dsir import importance_resample
+
+    t_words = "medical clinical patient dosage symptom diagnosis".split()
+    r_words = "football referee goalkeeper stadium penalty midfield".split()
+
+    def mk(words, doc_id, n=30):
+        gen = itertools.cycle(words)
+        return (doc_id, " ".join(next(gen) for _ in range(n)))
+
+    target = spark.createDataFrame(
+        [mk(t_words, i) for i in range(10)], ["doc_id", "text"]
+    )
+    raw = spark.createDataFrame(
+        [mk(t_words, 100 + i) for i in range(10)]
+        + [mk(r_words, 200 + i) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    kw = dict(frac=0.25, n_buckets=512, seed=3, threshold="exact")
+    xx = importance_resample(raw, target, hash_fn="xxhash64", **kw).toPandas()
+    md = importance_resample(raw, target, hash_fn="md5_60", **kw).toPandas()
+    kept_xx = set(xx[xx["keep"] == 1]["doc_id"])
+    kept_md = set(md[md["keep"] == 1]["doc_id"])
+    assert kept_xx == kept_md == {100 + i for i in range(10)}
+
+
 def test_importance_resample_approx_matches_exact_here(spark):
     """At unit scale the approx_percentile threshold lands on the same
     selected set as the exact percentile (sanity that the scale path

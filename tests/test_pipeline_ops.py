@@ -808,6 +808,30 @@ def test_quality_classifier_separates_and_distributed_fit_agrees(spark):
     np.testing.assert_allclose(dist.bias, drv.bias, rtol=1e-8, atol=1e-10)
 
 
+def test_quality_classifier_hash_fn_parity(spark):
+    """xxhash64 (engine default) and md5_60 (oracle replay) are
+    interchangeable feature spaces on the separable fixture: identical
+    predicted labels, and score_quality hashes with the model's own
+    fitted hash_fn (recorded on the NamedTuple) on both paths."""
+    from didtool_spark.operators.classifier import (
+        fit_quality_classifier,
+        score_quality,
+    )
+    from didtool_spark.plans.pipeline_queries import _qc_fixture_spark
+
+    fixture = _qc_fixture_spark(spark)
+    labels = {}
+    for fn in ("xxhash64", "md5_60"):
+        model = fit_quality_classifier(fixture, n_buckets=512, n_iter=300, hash_fn=fn)
+        assert model.hash_fn == fn
+        labels[fn] = {
+            r["doc_id"]: r["quality_label"]
+            for r in score_quality(fixture, model).collect()
+        }
+    assert labels["xxhash64"] == labels["md5_60"]
+    assert all(lab == d % 2 for d, lab in labels["xxhash64"].items())
+
+
 def test_quality_classifier_collect_cap(spark):
     import pytest as _pytest
 
