@@ -732,8 +732,11 @@ def semantic_dedup(
     per-row output straight from the kernel: one shuffle total,
     vectorized math. 'join' keeps the pure-JVM cluster self-join —
     the parity reference and the fallback for a runtime without
-    Arrow. Both paths need a whole cluster co-located; |C| x |C|
-    doubles must fit one task's memory in the grouped path, so size
+    Arrow. NOTE: the default ('grouped') therefore requires
+    pandas/pyarrow-capable workers — pass pairwise='join' for a
+    pure-JVM plan (plan-shape pinned in test_plan_shape.py). Both
+    paths need a whole cluster co-located; |C| x |C| doubles must fit
+    one task's memory in the grouped path, so size
     ``n_centroids ~ n / target_cluster_size`` exactly as the paper
     does (their k=110k at 1.3e9 embeddings).
     """
@@ -776,9 +779,12 @@ def semantic_dedup(
         .where(prior)
         .select(
             "id_a",
-            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-                "__sim"
-            ),
+            # try_divide: a zero-norm side yields a NULL sim (ignored by
+            # max) on EVERY ansi setting — plain `/` would raise under
+            # the Spark 4 ANSI default and NaN-poison the max without it
+            F.try_divide(
+                _dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+            ).alias("__sim"),
         )
         .groupBy("id_a")
         .agg(F.max("__sim").alias("max_prior_sim"))
@@ -826,29 +832,34 @@ def _semantic_dedup_grouped(
             acc_n += (col * col).astype(np.float64)
             S += np.outer(col, col).astype(np.float64)
         n = np.sqrt(acc_n)
-        # plain division mirrors the JVM expression exactly (a zero-norm
-        # row yields NaN there too; numpy max PROPAGATES that NaN where
-        # Spark's max would rank it above every value — zero-norm
-        # vectors are the one divergence between the two paths)
+        # numpy 0/0 -> NaN where the JVM try_divide yields NULL: both
+        # mean "no defined similarity" and are EXCLUDED from the prior
+        # max, so a zero-norm side never poisons the keep decision
         with np.errstate(divide="ignore", invalid="ignore"):
             S = S / np.outer(n, n)
         prior = np.tril(np.ones((m, m), dtype=bool), -1)  # cols j < row i
-        vals = np.where(prior, S, -np.inf).max(axis=1) if m else np.array([])
-        maxp = np.where(np.arange(m) > 0, vals, np.nan)
+        valid = prior & ~np.isnan(S)
+        vals = np.where(valid, S, -np.inf).max(axis=1) if m else np.array([])
+        has_valid = valid.any(axis=1) if m else np.array([], dtype=bool)
+        # no defined prior sim (opener, or all priors zero-norm) ->
+        # NULL max_prior_sim and is_dup False, same as the join path's
+        # left-join + coalesce
+        maxp = np.where(has_valid, vals, np.nan)
         return pd.DataFrame(
             {
                 "id": pdf["id"],
                 "cluster": pdf["cluster"],
                 "centroid_dist": pdf["centroid_dist"],
                 "max_prior_sim": maxp,
-                # NaN -> null crossing Arrow, so flag while still numpy
-                "is_dup": np.where(np.isnan(maxp), False, maxp >= thr),
+                "is_dup": has_valid & (vals >= thr),
             }
         )
 
+    id_t = base.schema["id"].dataType.simpleString()
+    cl_t = base.schema["cluster"].dataType.simpleString()
     out = base.groupBy("cluster").applyInPandas(
         per_cluster,
-        "id long, cluster int, centroid_dist double, "
+        f"id {id_t}, cluster {cl_t}, centroid_dist double, "
         "max_prior_sim double, is_dup boolean",
     )
     return out.select(

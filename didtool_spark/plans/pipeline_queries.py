@@ -1899,7 +1899,11 @@ def q_truncate_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TRUNCATE_CONVS = """
 SELECT event_id, user_id, cum_tokens FROM (
   SELECT event_id, user_id,
-         CAST(sum(len(props)) OVER (PARTITION BY user_id ORDER BY event_id
+         -- COALESCE mirrors the operator's NULL-token-as-0 rule (a
+         -- leading all-NULL run must not NULL the window sum and drop
+         -- the row on only one side)
+         CAST(sum(COALESCE(len(props), 0)) OVER (
+              PARTITION BY user_id ORDER BY event_id
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM events) t
 WHERE cum_tokens <= 200
@@ -1947,9 +1951,14 @@ def q_tool_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("long").alias("k_min"),
         F.max("k").cast("long").alias("k_max"),
         F.round(F.avg("k"), 6).alias("k_avg"),
-        F.sum((F.col("k") >= 50).cast("int")).cast("long").alias("n_k_high"),
+        # when/otherwise(0): a NULL k (absent/malformed payload) counts
+        # as not-high, so an all-NULL group rolls up to 0, matching the
+        # oracle's CASE ... ELSE 0 exactly
+        F.sum(F.when(F.col("k") >= 50, 1).otherwise(0))
+        .cast("long").alias("n_k_high"),
         F.sum(
-            ((F.col("event_type") == "error") & (F.col("k") >= 50)).cast("int")
+            F.when((F.col("event_type") == "error") & (F.col("k") >= 50), 1)
+            .otherwise(0)
         ).cast("long").alias("n_error_high"),
     )
 
@@ -1957,7 +1966,9 @@ def q_tool_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOOL_PAYLOADS = """
 WITH j AS (
   SELECT user_id, event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         -- TRY_CAST mirrors Spark's try_cast (NULL on malformed, not
+         -- an error)
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events)
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,

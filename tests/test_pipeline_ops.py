@@ -951,7 +951,8 @@ def _semdedup_numpy_oracle(vecs, cents, threshold):
 
 @pytest.mark.parametrize(
     "compute,pairwise",
-    [("expr", "join"), ("arrow", "join"), ("expr", "grouped")],
+    [("expr", "join"), ("arrow", "join"), ("expr", "grouped"),
+     ("arrow", "grouped")],  # last = the shipped default combination
 )
 def test_semantic_dedup_matches_numpy(spark, compute, pairwise):
     from didtool_spark.operators.similarity import semantic_dedup
@@ -1014,6 +1015,73 @@ def test_semantic_dedup_grouped_join_bit_parity(spark):
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True, check_exact=True)
     # each cluster's keep-order opener has NULL max_prior_sim (not NaN)
     assert a["max_prior_sim"].isna().sum() == len(set(a["cluster"]))
+
+
+def test_semantic_dedup_grouped_string_ids(spark):
+    """The grouped kernel derives its applyInPandas schema from the
+    input, so a string id column round-trips (ADVICE r3)."""
+    from didtool_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(12, 4).astype(np.float32)
+    df = spark.createDataFrame(
+        [(f"doc-{i:02d}", v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id string, embedding array<float>",
+    )
+    cents = [[float(x) for x in c] for c in rng.randn(2, 4)]
+    a = (
+        semantic_dedup(df, cents, threshold=0.5, pairwise="grouped")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        semantic_dedup(df, cents, threshold=0.5, pairwise="join")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert a["vec_id"].tolist() == [f"doc-{i:02d}" for i in range(12)]
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
+
+
+def test_semantic_dedup_zero_norm_parity(spark):
+    """Zero-norm vectors have no defined cosine: the JVM path's
+    try_divide yields a NULL sim (plain `/` would RAISE under the
+    Spark 4 ANSI default) and the Arrow kernel's 0/0 NaN is excluded
+    from the prior max — both paths agree: a zero-norm prior never
+    decides is_dup, and a row whose priors are ALL zero-norm gets
+    (max_prior_sim NULL, is_dup False), like an opener (ADVICE r3)."""
+    from didtool_spark.operators.similarity import semantic_dedup
+
+    # single centroid [1,0]; keep order (dist desc, id asc) is
+    # row2 (1.16) -> row3 (1.15, near-dup of row2) -> row0 (1.0,
+    # ZERO-NORM: all its prior sims undefined) -> row1 (0.25, real
+    # priors plus the zero-norm one)
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.5, 0.0]),
+        (2, [0.0, 0.4]),
+        (3, [0.0, 0.39]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0]]
+    outs = {}
+    for pw in ("join", "grouped"):
+        outs[pw] = (
+            semantic_dedup(df, cents, threshold=0.9, pairwise=pw)
+            .toPandas().sort_values("vec_id").reset_index(drop=True)
+        )
+    a, b = outs["grouped"], outs["join"]
+    assert a["is_dup"].tolist() == b["is_dup"].tolist()
+    assert a["max_prior_sim"].isna().tolist() == b["max_prior_sim"].isna().tolist()
+    by_id = a.set_index("vec_id")
+    # opener and the all-undefined-priors row: NULL sim, not dup
+    assert pd.isna(by_id.loc[2, "max_prior_sim"])
+    assert pd.isna(by_id.loc[0, "max_prior_sim"])
+    assert not by_id.loc[0, "is_dup"] and not by_id.loc[2, "is_dup"]
+    # row3 is a true near-dup of its real prior row2 (cosine 1.0)
+    assert by_id.loc[3, "is_dup"]
+    assert abs(by_id.loc[3, "max_prior_sim"] - 1.0) < 1e-6
+    # row1 has real priors but none >= 0.9
+    assert not by_id.loc[1, "is_dup"]
+    assert not pd.isna(by_id.loc[1, "max_prior_sim"])
 
 
 def test_prototype_prune_ranks_and_fraction(spark):

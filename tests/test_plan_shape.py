@@ -197,6 +197,13 @@ def test_semantic_dedup_plan_shape(spark):
     n_ex = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_ex == 1, p
 
+    # the shipped DEFAULT (compute='arrow', pairwise='grouped') rides
+    # the Arrow kernel — pinned here so the runtime requirement
+    # (pandas/pyarrow-capable workers) stays explicit; pairwise='join'
+    # above is the documented pure-JVM fallback (ADVICE r3)
+    p = plan_str(semantic_dedup(emb, cents))
+    assert "FlatMapGroupsInPandas" in p
+
     p = plan_str(prototype_prune(emb, cents, compute="expr"))
     assert "PythonUDF" not in p
     n_ex = len(re.findall(r"\(\d+\) Exchange", p))
