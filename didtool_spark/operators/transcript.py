@@ -6,15 +6,26 @@ per-conversation repetition: how many turns repeat an EARLIER turn of
 the same conversation (exact after normalization), and the longest run
 of consecutive identical turns (the smoking gun of a retry loop).
 
-Plan shape (the scale contract, asserted in test_plan_shape):
-everything hangs off ONE hash exchange on the conversation key — the
-lag window partitions by (conv), the first-occurrence window by
-(conv, turn hash), and the final rollup groups by (conv); Spark's
-EnsureRequirements recognizes that a conv-partitioned stream already
-clusters every (conv, x) key, so the later steps add Sorts, never
-Exchanges. The per-conversation window carries the same hot-key caveat
-as with_lags (temporal.py) — one conversation with 10^9 turns
-serializes its task; the rollup itself is safe (map-side combined).
+Plan shape (the scale contract, asserted in test_plan_shape): in the
+default ``strategy="window"`` everything hangs off ONE hash exchange
+on the conversation key — the lag window partitions by (conv), the
+first-occurrence window by (conv, turn hash), and the final rollup
+groups by (conv); Spark's EnsureRequirements recognizes that a
+conv-partitioned stream already clusters every (conv, x) key, so the
+later steps add Sorts, never Exchanges.
+
+Hot keys: a full-conversation window serializes one task per
+conversation, so a 10^9-turn conversation stalls the stage.
+``loop_stats``, ``role_stats``, ``attach_outcome`` and
+``truncate_conversations`` all take ``strategy="bucketed"`` — the
+sessionize-style carry decomposition over (conv, order-bucket): local
+windows are bounded by ``bucket_size`` rows, cross-bucket state rides
+tiny per-(conv, bucket) summary tables (run boundaries, role
+boundaries, row-count carries) merged with small-table windows or a
+pure-expression fold, and everything else is map-side-combined
+aggregation. Output-equivalence with the window strategy is
+unit-tested per operator (test_transcript_ops.py), including a
+randomized differential fixture.
 """
 
 from __future__ import annotations
@@ -37,6 +48,8 @@ def loop_stats(
     text_col: str = "text",
     loop_frac_threshold: float = 0.5,
     max_run_threshold: int = 3,
+    strategy: str = "window",
+    bucket_size: int = 100_000,
 ) -> DataFrame:
     """Per-conversation repetition rollup:
 
@@ -53,13 +66,36 @@ def loop_stats(
     Normalization: lower, trim, collapse whitespace — the exact-dedup
     rule (dedup.py), so a turn differing only in spacing still counts
     as a repeat.
+
+    strategy="window" (default): one hash exchange on the conversation
+    key; a hot conversation serializes its task.
+
+    strategy="bucketed": hot-key safe, requires a NUMERIC
+    ``order_col``. ``n_repeat_turns`` drops the window entirely —
+    repeats = n_turns - distinct normalized hashes, two map-side
+    combined aggregations over (conv, hash) then (conv). The run
+    structure decomposes over (conv, floor(order/bucket_size)): local
+    runs come from a window bounded by ``bucket_size`` rows, each
+    bucket reduces to a constant-size summary (first/last run hash +
+    length, interior max, row count), and a per-conversation
+    F.aggregate fold over the collected bucket summaries (an array of
+    n_turns/bucket_size elements, order-merged by bucket id) stitches
+    runs across bucket boundaries. No task ever scans a whole hot
+    conversation; the cost is a second pass over the input (the two
+    rollups read independent groupings).
     """
+    if strategy not in ("window", "bucketed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     h = _norm_hash(text_col)
     base = turns.select(
         F.col(conv_col).alias("__conv"),
         F.col(order_col).alias("__ord"),
         h.alias("__h"),
     )
+    if strategy == "bucketed":
+        return _loop_stats_bucketed(
+            base, conv_col, loop_frac_threshold, max_run_threshold, bucket_size
+        )
     w_conv = Window.partitionBy("__conv").orderBy("__ord")
     # immediate repeat + run grouping: cumulative count of run BREAKS
     flagged = base.select(
@@ -104,6 +140,102 @@ def loop_stats(
             | (F.col("max_imm_run") >= max_run_threshold)
         ).alias("is_looping"),
     )
+
+
+def _loop_stats_bucketed(
+    base: DataFrame,
+    conv_col: str,
+    loop_frac_threshold: float,
+    max_run_threshold: int,
+    bucket_size: int,
+) -> DataFrame:
+    """Hot-key-safe loop_stats core over (__conv, __ord, __h) rows —
+    see loop_stats' docstring for the decomposition."""
+    # repeats without any window: n_repeat = n_turns - distinct hashes
+    per_hash = base.groupBy("__conv", "__h").agg(F.count(F.lit(1)).alias("__c"))
+    rep = per_hash.groupBy("__conv").agg(
+        F.sum("__c").cast("long").alias("n_turns"),
+        (F.sum("__c") - F.count(F.lit(1))).cast("long").alias("n_repeat_turns"),
+    )
+
+    # bucket-local runs (window bounded by bucket_size rows)
+    b = base.withColumn("__bucket", F.floor(F.col("__ord") / F.lit(int(bucket_size))))
+    wloc = Window.partitionBy("__conv", "__bucket").orderBy("__ord")
+    imm = F.coalesce(
+        (F.lag("__h").over(wloc) == F.col("__h")).cast("int"), F.lit(0)
+    )
+    fl = b.withColumn("__imm", imm).withColumn(
+        "__lrun",
+        F.sum(1 - F.col("__imm")).over(
+            wloc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_run = fl.groupBy("__conv", "__bucket", "__lrun").agg(
+        F.count(F.lit(1)).alias("__n"), F.min("__h").alias("__rh")
+    )
+    per_bucket = per_run.groupBy("__conv", "__bucket").agg(
+        F.min_by("__rh", "__lrun").alias("fh"),
+        F.min_by("__n", "__lrun").alias("flen"),
+        F.max_by("__rh", "__lrun").alias("lh"),
+        F.max_by("__n", "__lrun").alias("llen"),
+        F.max("__n").alias("mx"),
+        F.count(F.lit(1)).alias("nruns"),
+    )
+
+    # stitch runs across bucket boundaries: fold the (few) per-bucket
+    # summaries of each conversation in bucket order. Accumulator =
+    # (best closed-run length, open-run length, open-run hash).
+    summaries = F.array_sort(
+        F.collect_list(
+            F.struct("__bucket", "fh", "flen", "lh", "llen", "mx", "nruns")
+        )
+    )
+
+    def merge(acc, s):
+        ext = F.when(acc["ph"] == s["fh"], acc["plen"] + s["flen"]).otherwise(
+            s["flen"]
+        )
+        closed = F.when(acc["ph"] == s["fh"], acc["best"]).otherwise(
+            F.greatest(acc["best"], acc["plen"])
+        )
+        return F.when(
+            s["nruns"] == 1,
+            F.struct(
+                closed.alias("best"), ext.alias("plen"), s["fh"].alias("ph")
+            ),
+        ).otherwise(
+            F.struct(
+                F.greatest(closed, ext, s["mx"]).alias("best"),
+                s["llen"].alias("plen"),
+                s["lh"].alias("ph"),
+            )
+        )
+
+    runs = per_bucket.groupBy("__conv").agg(
+        F.aggregate(
+            summaries,
+            F.struct(
+                F.lit(0).cast("long").alias("best"),
+                F.lit(0).cast("long").alias("plen"),
+                F.lit(None).cast("string").alias("ph"),
+            ),
+            merge,
+            lambda acc: F.greatest(acc["best"], acc["plen"]),
+        ).alias("__maxrun")
+    )
+
+    out = rep.join(runs, "__conv").select(
+        F.col("__conv").alias(conv_col),
+        "n_turns",
+        "n_repeat_turns",
+        F.round(F.col("n_repeat_turns") / F.col("n_turns"), 6).alias("loop_frac"),
+        (F.col("__maxrun") - 1).cast("int").alias("max_imm_run"),
+        (
+            (F.col("n_repeat_turns") / F.col("n_turns") >= loop_frac_threshold)
+            | (F.col("__maxrun") - 1 >= max_run_threshold)
+        ).alias("is_looping"),
+    )
+    return out
 
 
 def render_conversations(
@@ -248,6 +380,8 @@ def role_stats(
     conv_col: str = "conv_id",
     order_col: str = "turn_idx",
     role_col: str = "role",
+    strategy: str = "window",
+    bucket_size: int = 100_000,
 ) -> DataFrame:
     """Per-conversation role-protocol features: a well-formed
     user/assistant transcript alternates roles, opens with the user,
@@ -263,18 +397,86 @@ def role_stats(
       (0 in a strictly alternating dialogue)
     - ``first_role`` / ``last_role`` (by ``order_col``)
 
-    Plan: lag window + rollup hang off ONE hash exchange on the
-    conversation key (the groupBy reuses the window's clustering);
-    first/last are min_by/max_by over the order column, so no second
-    sort. NULL roles compare as distinct from every role (the adjacent
-    flag treats NULL-vs-NULL as not-equal, matching SQL ``=``).
+    Plan (strategy="window", default): lag window + rollup hang off ONE
+    hash exchange on the conversation key (the groupBy reuses the
+    window's clustering); first/last are min_by/max_by over the order
+    column, so no second sort. NULL roles compare as distinct from
+    every role (the adjacent flag treats NULL-vs-NULL as not-equal,
+    matching SQL ``=``).
+
+    strategy="bucketed" (hot-key safe, NUMERIC ``order_col``): the lag
+    window is bounded to (conv, floor(order/bucket_size)); the
+    bucket-boundary pairs come from a tiny per-bucket (first_role,
+    last_role) table lag-joined in bucket order, and every rollup is a
+    map-side-combined aggregation — no task scans a whole hot
+    conversation.
     """
-    w_conv = Window.partitionBy("__conv").orderBy("__ord")
-    flagged = turns.select(
+    if strategy not in ("window", "bucketed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    base = turns.select(
         F.col(conv_col).alias("__conv"),
         F.col(order_col).alias("__ord"),
         F.col(role_col).cast("string").alias("__role"),
-    ).withColumn(
+    )
+    if strategy == "bucketed":
+        b = base.withColumn(
+            "__bucket", F.floor(F.col("__ord") / F.lit(int(bucket_size)))
+        )
+        wloc = Window.partitionBy("__conv", "__bucket").orderBy("__ord")
+        same = F.coalesce(
+            (F.lag("__role").over(wloc) == F.col("__role")).cast("int"), F.lit(0)
+        )
+        per_bucket = (
+            b.withColumn("__same", same)
+            .groupBy("__conv", "__bucket")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum("__same").alias("__s"),
+                F.min_by("__role", "__ord").alias("__first"),
+                F.max_by("__role", "__ord").alias("__last"),
+            )
+        )
+        # boundary pairs: previous bucket's last role vs this bucket's
+        # first role — a lag over the small per-bucket table
+        wb = Window.partitionBy("__conv").orderBy("__bucket")
+        bounded = per_bucket.withColumn(
+            "__bs",
+            F.coalesce(
+                (F.lag("__last").over(wb) == F.col("__first")).cast("int"),
+                F.lit(0),
+            ),
+        )
+        counts = bounded.groupBy("__conv").agg(
+            F.sum("__n").cast("long").alias("n_turns"),
+            (F.sum("__s") + F.sum("__bs")).cast("long").alias(
+                "n_same_role_adjacent"
+            ),
+            F.min_by("__first", "__bucket").alias("first_role"),
+            F.max_by("__last", "__bucket").alias("last_role"),
+        )
+        # NULL roles drop out, matching countDistinct's NULL handling
+        distinct = (
+            base.where(F.col("__role").isNotNull())
+            .groupBy("__conv", "__role")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy("__conv")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_distinct_roles"))
+        )
+        # left join: an all-NULL-role conversation still rolls up
+        # (n_distinct_roles 0), like countDistinct
+        out = counts.join(distinct, "__conv", "left").select(
+            F.col("__conv").alias(conv_col),
+            "n_turns",
+            F.coalesce("n_distinct_roles", F.lit(0)).cast("long").alias(
+                "n_distinct_roles"
+            ),
+            "n_same_role_adjacent",
+            "first_role",
+            "last_role",
+        )
+        return out
+    w_conv = Window.partitionBy("__conv").orderBy("__ord")
+    flagged = base.withColumn(
         "__same",
         F.coalesce(
             (F.lag("__role").over(w_conv) == F.col("__role")).cast("int"),
@@ -297,6 +499,8 @@ def attach_outcome(
     order_col: str = "turn_idx",
     outcome_cols: tuple[str, ...] = ("role", "text"),
     prefix: str = "final_",
+    strategy: str = "window",
+    bucket_size: int = 100_000,
 ) -> DataFrame:
     """Label attachment for conversation-level supervision: copy the
     LAST turn's ``outcome_cols`` onto every turn of its conversation
@@ -311,12 +515,64 @@ def attach_outcome(
     plans/audit.py's zero-leakage audit covers (the audit would —
     correctly — flag them).
 
-    Plan: ONE window exchange on the conversation key; the last-turn
-    values ride an unbounded-FOLLOWING frame (last over the forward
-    frame = values at max ``order_col``), ``turns_remaining`` a count
-    over the same frame — no second sort, no join. Hot-key caveat as
-    with_lags.
+    Plan (strategy="window", default): ONE window exchange on the
+    conversation key; the last-turn values ride an unbounded-FOLLOWING
+    frame (last over the forward frame = values at max ``order_col``),
+    ``turns_remaining`` a count over the same frame — no second sort,
+    no join. Hot-key caveat as with_lags.
+
+    strategy="bucketed" (hot-key safe, NUMERIC ``order_col``): the
+    final-turn columns come from a map-side-combined
+    groupBy(conv).agg(max_by(col, order)) joined back (an equi-join AQE
+    can broadcast or skew-split — a window cannot be); the position for
+    ``turns_remaining`` is a per-(conv, bucket) row_number bounded by
+    ``bucket_size`` plus a row-count carry from the tiny per-bucket
+    table, exactly truncate_conversations' carry trick.
     """
+    if strategy not in ("window", "bucketed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "bucketed":
+        finals = turns.groupBy(conv_col).agg(
+            *[F.max_by(c, order_col).alias(prefix + c) for c in outcome_cols],
+            F.count(F.lit(1)).alias("__tot"),
+        )
+        b = turns.withColumn(
+            "__bucket", F.floor(F.col(order_col) / F.lit(int(bucket_size)))
+        )
+        carry = (
+            b.groupBy(conv_col, "__bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .withColumn(
+                "__carry",
+                F.coalesce(
+                    F.sum("__bn").over(
+                        Window.partitionBy(conv_col)
+                        .orderBy("__bucket")
+                        .rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .drop("__bn")
+        )
+        wloc = Window.partitionBy(conv_col, "__bucket").orderBy(order_col)
+        out = (
+            b.join(carry, [conv_col, "__bucket"])
+            .withColumn("__rn", F.row_number().over(wloc))
+            .join(finals, conv_col)
+            .withColumn(
+                "turns_remaining",
+                (F.col("__tot") - F.col("__carry") - F.col("__rn")).cast("long"),
+            )
+            .drop("__bucket", "__carry", "__rn", "__tot")
+        )
+        # restore the window strategy's column order (input cols, then
+        # final_*, then turns_remaining)
+        return out.select(
+            *turns.columns,
+            *[prefix + c for c in outcome_cols],
+            "turns_remaining",
+        )
     w = (
         Window.partitionBy(conv_col)
         .orderBy(order_col)

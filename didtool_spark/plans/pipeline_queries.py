@@ -1817,9 +1817,13 @@ def q_loop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.transcript import loop_stats
 
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    # bucketed = the hot-key-safe scale path (bucket_size sized so the
+    # gate data really spans buckets); the window strategy is
+    # equivalence-tested against it in test_transcript_ops.py
     return loop_stats(
         ev, conv_col="user_id", order_col="event_id", text_col="event_type",
         loop_frac_threshold=0.5, max_run_threshold=3,
+        strategy="bucketed", bucket_size=512,
     )
 
 
@@ -1918,7 +1922,8 @@ def q_role_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
     return role_stats(
-        ev, conv_col="user_id", order_col="event_id", role_col="event_type"
+        ev, conv_col="user_id", order_col="event_id", role_col="event_type",
+        strategy="bucketed", bucket_size=512,
     )
 
 
@@ -1995,6 +2000,7 @@ def q_outcome_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = attach_outcome(
         ev, conv_col="user_id", order_col="event_id",
         outcome_cols=("event_type", "value"),
+        strategy="bucketed", bucket_size=512,
     )
     return out.select(
         "event_id", "user_id", "final_event_type", "final_value",

@@ -251,3 +251,137 @@ def test_truncate_bucketed_prunes_far_buckets(spark):
     assert {(r["turn_idx"], r["cum_tokens"]) for r in out.collect()} == {
         (0, 10), (1, 20), (2, 30)
     }
+
+
+def _rand_transcript(seed: int, n_convs: int = 8, max_turns: int = 25):
+    """Randomized differential fixture: heavy repetition (3-letter
+    alphabet), NULL texts/roles, run lengths that straddle any
+    bucket_size >= 2."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for c in range(n_convs):
+        conv = f"c{c}"
+        n = rng.randint(1, max_turns)
+        t = 0
+        while t < n:
+            text = rng.choice(["aa", "bb", "cc", None])
+            role = rng.choice(["user", "assistant", "tool", None])
+            run = rng.randint(1, 6)  # deliberate immediate-repeat runs
+            for _ in range(min(run, n - t)):
+                rows.append((conv, t, role, text))
+                t += 1
+    return rows
+
+
+def test_loop_stats_bucketed_matches_window(spark):
+    """Bucketed loop_stats is output-identical to the window strategy
+    on a randomized repetition-heavy fixture (bucket_size=3 forces runs
+    to straddle bucket boundaries)."""
+    import pandas as pd
+
+    for seed in (1, 2, 3):
+        rows = [(c, i, t) for c, i, _, t in _rand_transcript(seed)]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+        a = loop_stats(df, strategy="bucketed", bucket_size=3).toPandas()
+        b = loop_stats(df, strategy="window").toPandas()
+        a = a.sort_values("conv_id").reset_index(drop=True)
+        b = b.sort_values("conv_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
+
+
+def test_role_stats_bucketed_matches_window(spark):
+    import pandas as pd
+
+    from didtool_spark.operators.transcript import role_stats
+
+    for seed in (4, 5, 6):
+        df = spark.createDataFrame(
+            _rand_transcript(seed),
+            "conv_id string, turn_idx int, role string, text string",
+        )
+        a = role_stats(df, strategy="bucketed", bucket_size=3).toPandas()
+        b = role_stats(df, strategy="window").toPandas()
+        a = a.sort_values("conv_id").reset_index(drop=True)
+        b = b.sort_values("conv_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
+
+
+def test_role_stats_bucketed_all_null_roles(spark):
+    """An all-NULL-role conversation must still roll up identically on
+    both strategies (n_distinct_roles 0, no dropped row)."""
+    from didtool_spark.operators.transcript import role_stats
+
+    df = spark.createDataFrame(
+        [("A", 0, None), ("A", 1, None), ("B", 0, "user"), ("B", 1, "user")],
+        "conv_id string, turn_idx int, role string",
+    )
+    for strat in ("window", "bucketed"):
+        out = {
+            r["conv_id"]: r
+            for r in role_stats(df, strategy=strat, bucket_size=1).collect()
+        }
+        assert out["A"]["n_distinct_roles"] == 0
+        assert out["A"]["n_same_role_adjacent"] == 0  # NULL = NULL is not a match
+        assert out["A"]["first_role"] is None
+        assert out["B"]["n_same_role_adjacent"] == 1
+        assert out["B"]["n_distinct_roles"] == 1
+
+
+def test_attach_outcome_bucketed_matches_window(spark):
+    import pandas as pd
+
+    from didtool_spark.operators.transcript import attach_outcome
+
+    for seed in (7, 8):
+        df = spark.createDataFrame(
+            _rand_transcript(seed),
+            "conv_id string, turn_idx int, role string, text string",
+        )
+        kw = dict(outcome_cols=("role", "text"))
+        a = attach_outcome(df, strategy="bucketed", bucket_size=3, **kw).toPandas()
+        b = attach_outcome(df, strategy="window", **kw).toPandas()
+        key = ["conv_id", "turn_idx"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert list(a.columns) == list(b.columns)
+        pd.testing.assert_frame_equal(a, b, check_dtype=True)
+
+
+def test_transcript_bucketed_no_full_conv_window(spark):
+    """Scale contract of the bucketed strategies: no window partitions
+    by the bare conversation key over row-scale data — full-conv
+    windows only ever run on the per-bucket summary tables. We assert
+    the row-scale windows all carry the __bucket key."""
+    import re
+
+    from didtool_spark.operators.transcript import (
+        attach_outcome,
+        role_stats,
+    )
+    from tests.test_plan_shape import plan_str
+
+    df = spark.createDataFrame(
+        [("A", i, "user", "x") for i in range(6)],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    n_row_scale = 0
+    for out in (
+        loop_stats(df, strategy="bucketed", bucket_size=2),
+        role_stats(df, strategy="bucketed", bucket_size=2),
+        attach_outcome(df, strategy="bucketed", bucket_size=2),
+    ):
+        p = plan_str(out)
+        # every windowspec ordered by the row-scale order column
+        # (__ord / turn_idx) must carry __bucket in its partition keys;
+        # bare-conv windows may only order by __bucket (the tiny
+        # per-bucket summary tables)
+        for m in re.finditer(
+            r"windowspecdefinition\(([^)]*?)(?:__ord|turn_idx)#\d+ ASC", p
+        ):
+            n_row_scale += 1
+            assert "__bucket" in m.group(1), p
+    assert n_row_scale >= 3  # the regex actually matched per operator
