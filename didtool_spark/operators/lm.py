@@ -35,11 +35,12 @@ the broadcast stays bounded (top-V vocab + surviving bigrams). The
 pruning changes scores (documented divergence knob, default off) the
 same way KenLM pruning does in the reference pipeline.
 
-Caching note: fit() caches the two vocab-sized count tables (see the
-comment there — score() references them across non-reusable
-exchanges); like the dedup family's eager caches they stay pinned
-until the session evicts them — call ``spark.catalog.clearCache()``
-between corpora in a long-lived session loop (bench.py does).
+Caching note: fit() caches three vocab-sized tables — unigram counts,
+bigram counts, and the pre-divided conditional ``bi_ratio`` (see the
+comment there; score() broadcasts exactly two of them). Like the dedup
+family's eager caches they stay pinned until the session evicts them —
+call ``spark.catalog.clearCache()`` between corpora in a long-lived
+session loop (bench.py does).
 """
 
 from __future__ import annotations
@@ -54,16 +55,21 @@ __all__ = ["NgramLM", "lm_perplexity"]
 
 
 def _bigram_structs(toks):
-    """array<struct<w1,w2>> of adjacent token pairs (positions 2..n).
-    The index lambda reads the BOUND ``toks`` attribute (callers alias
-    the token array first), so tokenization runs once per row, not per
-    position — see window_concat_expr (text.py) for the failure mode."""
-    return F.transform(
+    """array<struct<w1,w2>> of adjacent token pairs (positions 2..n);
+    EMPTY for arrays shorter than 2 (sequence(1, 0) would DESCEND and
+    index out of bounds under ANSI). The index lambda reads the BOUND
+    ``toks`` attribute (callers alias the token array first), so
+    tokenization runs once per row, not per position — see
+    window_concat_expr (text.py) for the failure mode."""
+    pairs = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.struct(
             F.element_at(toks, i).alias("w1"),
             F.element_at(toks, i + 1).alias("w2"),
         ),
+    )
+    return F.when(F.size(toks) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
     )
 
 
@@ -73,11 +79,18 @@ class NgramLM:
 
     ``uni``:  (w, c)      unigram counts over the reference corpus
     ``bi``:   (w1, w2, c) bigram counts
+    ``bi_ratio``: (w1, w2, ratio) with ratio = c(w1 w2) / c(w1) —
+        the conditional term PRE-DIVIDED at fit time (one vocab-sized
+        join, cached), so score() needs exactly TWO broadcast lookups:
+        this table on (w1, w2) and ``uni`` on w2. ratio is NULL when
+        w1 was pruned from the vocab (falls into the backoff, same as
+        a missing bigram).
     ``n_total``: total token count N;  ``v``: distinct vocab size V.
     """
 
     uni: DataFrame
     bi: DataFrame
+    bi_ratio: DataFrame
     n_total: int
     v: int
     k: float
@@ -101,9 +114,8 @@ class NgramLM:
         )
         # Cache both fitted tables: they are vocab-sized, but their
         # PLANS each contain a full corpus scan — score() references
-        # ``uni`` three times (three separate broadcast exchanges, the
-        # selects under them differ so ReuseExchange cannot kick in),
-        # and without the cache every reference re-scans the corpus.
+        # ``uni`` twice (one broadcast, reused via ReuseExchange), and
+        # without the cache each reference re-scans the corpus.
         # The collect below doubles as the materializing action for uni.
         uni = (
             toks.select(F.explode("__toks").alias("w"))
@@ -125,8 +137,32 @@ class NgramLM:
         if min_count > 1:
             uni = uni.where(F.col("c") >= min_count)
             bi = bi.where(F.col("c") >= min_count)
+        # pre-divide the conditional term (vocab-sized join over the two
+        # cached tables, itself cached): the division over (pruned)
+        # unigram counts is bit-identical whether it runs here or per
+        # scored position
+        bi_ratio = (
+            bi.join(
+                uni.select(F.col("w").alias("__rw"), F.col("c").alias("__c1")),
+                F.col("w1") == F.col("__rw"),
+                "left",
+            )
+            .select(
+                "w1",
+                "w2",
+                (F.col("c").cast("double") / F.col("__c1").cast("double")).alias(
+                    "ratio"
+                ),
+            )
+            .cache()
+        )
+        # materialize: the ratio build (and the bigram corpus scan it
+        # sits on) runs once HERE, so every score() plan sees only the
+        # two cached vocab-sized tables — two broadcasts, no rebuild
+        bi_ratio.count()
         return cls(
-            uni=uni, bi=bi, n_total=int(tot["n"]), v=int(tot["v"]),
+            uni=uni, bi=bi, bi_ratio=bi_ratio,
+            n_total=int(tot["n"]), v=int(tot["v"]),
             k=float(k), lam=float(lam),
         )
 
@@ -144,56 +180,77 @@ class NgramLM:
         """(id_col, n_tokens, avg_nll, perplexity) per document with at
         least one token. ``broadcast=False`` switches the LM joins to
         shuffle equi-joins for LMs too large to broadcast (then only
-        (doc_id, token) pairs shuffle, never text)."""
+        (doc_id, token) pairs shuffle, never text).
+
+        Single-stream design: every position — the unigram-only first
+        token rides a (w1=NULL, w2=t1) row — flows through ONE stream
+        with exactly TWO left lookups: ``bi_ratio`` on (w1, w2) (the
+        conditional term pre-divided at fit) and ``uni`` on w2. The
+        plan carries two BroadcastExchange nodes total (plan-asserted
+        in test_lm.py), where the former first/interior/backoff split
+        built three; one groupBy(id) folds everything."""
         hint = F.broadcast if broadcast else (lambda d: d)
         uni = hint(self.uni.select("w", F.col("c").cast("double").alias("__cu")))
-        bi = hint(
-            self.bi.select("w1", "w2", F.col("c").cast("double").alias("__cb"))
+        bir = hint(
+            self.bi_ratio.select(
+                F.col("w1").alias("__bw1"),
+                F.col("w2").alias("__bw2"),
+                F.col("ratio").alias("__ratio"),
+            )
         )
 
         toks = df.select(
             F.col(id_col), _norm_tokens(F.col(col)).alias("__toks")
         ).where(F.size("__toks") > 0)
 
-        # first token: unigram-only
-        first = (
-            toks.select(
-                id_col,
-                F.size("__toks").alias("n_tokens"),
-                F.element_at("__toks", 1).alias("w"),
-            )
-            .join(uni, "w", "left")
-            .select(
-                id_col, "n_tokens", F.log(self._p_uni(F.col("__cu"))).alias("__lp0")
-            )
+        # one row per position: (NULL, t1) then (t_{i-1}, t_i)
+        positions = F.concat(
+            F.array(
+                F.struct(
+                    F.lit(None).cast("string").alias("w1"),
+                    F.element_at("__toks", 1).alias("w2"),
+                )
+            ),
+            _bigram_structs(F.col("__toks")),
         )
-
-        # positions 2..n: interpolated bigram term. Join order puts the
-        # w1-count join last so both unigram lookups share one table.
         pos = (
-            toks.where(F.size("__toks") > 1)
-            .select(F.col(id_col), F.explode(_bigram_structs(F.col("__toks"))).alias("p"))
-            .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-            .join(bi, ["w1", "w2"], "left")
-            .join(uni.select(F.col("w").alias("w2"), F.col("__cu").alias("__cu2")), "w2", "left")
-            .join(uni.select(F.col("w").alias("w1"), F.col("__cu").alias("__cu1")), "w1", "left")
-        )
-        lp = F.log(
-            F.lit(self.lam)
-            * F.coalesce(F.col("__cb") / F.col("__cu1"), F.lit(0.0))
-            + F.lit(1.0 - self.lam) * self._p_uni(F.col("__cu2"))
-        )
-        folded = pos.groupBy(id_col).agg(F.sum(lp).alias("__lps"))
-
-        return (
-            first.join(folded, id_col, "left")
+            toks.select(
+                F.col(id_col),
+                F.size("__toks").alias("n_tokens"),
+                F.explode(positions).alias("p"),
+            )
             .select(
                 id_col,
                 "n_tokens",
-                (
-                    -(F.col("__lp0") + F.coalesce(F.col("__lps"), F.lit(0.0)))
-                    / F.col("n_tokens")
-                ).alias("avg_nll"),
+                F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2"),
+            )
+            .join(
+                bir,
+                (F.col("w1") == F.col("__bw1")) & (F.col("w2") == F.col("__bw2")),
+                "left",
+            )
+            .join(uni, F.col("w2") == F.col("w"), "left")
+        )
+        # first token (w1 NULL): unigram-only; else Jelinek-Mercer
+        lp = F.when(
+            F.col("w1").isNull(), F.log(self._p_uni(F.col("__cu")))
+        ).otherwise(
+            F.log(
+                F.lit(self.lam) * F.coalesce(F.col("__ratio"), F.lit(0.0))
+                + F.lit(1.0 - self.lam) * self._p_uni(F.col("__cu"))
+            )
+        )
+        return (
+            pos.groupBy(id_col)
+            .agg(
+                F.first("n_tokens").alias("n_tokens"),
+                F.sum(lp).alias("__lps"),
+            )
+            .select(
+                id_col,
+                "n_tokens",
+                (-F.col("__lps") / F.col("n_tokens")).alias("avg_nll"),
             )
             .withColumn("perplexity", F.exp("avg_nll"))
         )

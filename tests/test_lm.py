@@ -136,3 +136,28 @@ def test_empty_and_single_token_docs(spark):
     uni, bi, n, v = _py_lm(CORPUS)
     nll, _ = _py_score("cat", uni, bi, n, v)
     assert np.isclose(got[0]["avg_nll"], nll, atol=1e-9)
+
+
+def test_score_plan_two_broadcasts(spark):
+    """Scale contract of the single-stream score: exactly TWO
+    BroadcastExchange nodes — bi_ratio on (w1, w2) and uni on w2 — and
+    one final aggregation; the old first/interior/backoff split built
+    three vocab broadcasts. Built from literal LM tables so cached-plan
+    internals can't leak into the count."""
+    import re
+
+    from didtool_spark.operators.lm import NgramLM
+    from tests.test_plan_shape import plan_str
+
+    uni = spark.createDataFrame([("a", 3), ("b", 2)], "w string, c long")
+    bi = spark.createDataFrame([("a", "b", 2)], "w1 string, w2 string, c long")
+    bir = spark.createDataFrame(
+        [("a", "b", 2 / 3)], "w1 string, w2 string, ratio double"
+    )
+    lm = NgramLM(uni=uni, bi=bi, bi_ratio=bir, n_total=5, v=2, k=K, lam=LAM)
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b")], "doc_id long, text string"
+    )
+    p = plan_str(lm.score(docs))
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", p)) == 2, p
+    assert "PythonUDF" not in p
