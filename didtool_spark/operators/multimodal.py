@@ -8,10 +8,14 @@ Decode support is tiered by what pure stdlib can honestly parse:
 - PPM (binary P6) and BMP (24-bit uncompressed) — REAL pixel parse
   (header + raw bytes); the pooled feature is a 4x4 block-mean
   grayscale map.
-- JPEG / video / everything else — STUBBED behind ``_decode_stub``
-  (deterministic fake fold of the payload bytes) because the codec
-  libraries are not in this container. Swapping in a real decoder is a
-  one-function change inside the same pandas batch loop.
+- JPEG (baseline JFIF, gray or YCbCr, any sampling factors) — REAL
+  decode via the from-scratch functions/jpeg.py codec (Huffman + IDCT,
+  no external libs); progressive/arithmetic raise there and fall back
+  to the stub here.
+- video / everything else — STUBBED behind ``_decode_stub``
+  (deterministic fake fold of the payload bytes) because no video
+  codec can be honestly parsed with stdlib. Swapping in a real decoder
+  is a one-function change inside the same pandas batch loop.
 
 Features are computed with integer sums and a fixed division order, so
 the driver-gate oracle can replay them exactly in SQL from the
@@ -156,13 +160,21 @@ def _image_feature(px: np.ndarray) -> np.ndarray:
 
 def decode_feature(payload: bytes, kind: str, n_frames: int) -> tuple[np.ndarray, int]:
     """(pooled FEATURE_DIM vector, n_frames_sampled). Real decode for
-    WAV/PPM/BMP by magic-byte sniff; deterministic stub otherwise."""
+    WAV/PPM/BMP/baseline-JPEG by magic-byte sniff; deterministic stub
+    otherwise (video, progressive JPEG)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _wav_feature(_decode_wav(payload)), FEATURE_DIM
     if payload[:2] == b"P6":
         return _image_feature(_decode_ppm(payload)), 1
     if payload[:2] == b"BM":
         return _image_feature(_decode_bmp(payload)), 1
+    if payload[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_baseline_jpeg
+
+        try:
+            return _image_feature(decode_baseline_jpeg(payload)), 1
+        except ValueError:
+            pass  # non-baseline JPEG -> documented stub below
     stub_frames = int(min(n_frames, max(1, len(payload) // FEATURE_DIM)))
     return _decode_stub(payload, kind, n_frames), stub_frames
 
@@ -195,15 +207,21 @@ def extract_media_features(df: DataFrame, n_frames: int = 4) -> DataFrame:
 
 def synthetic_media_real(spark, n: int = 500) -> DataFrame:
     """Deterministic media table with REAL codec payloads: even ids are
-    PCM16 WAV (stdlib wave writer), odd ids binary-P6 PPM. All content
-    derives from closed-form integer formulas so the driver-gate oracle
-    can recompute the decoded features in SQL without parsing bytes:
+    PCM16 WAV (stdlib wave writer), ids % 4 == 1 binary-P6 PPM, and
+    ids % 4 == 3 baseline JPEG (functions/jpeg.py constant-block
+    mosaics — decode is EXACT, see that module). All content derives
+    from closed-form integer formulas so the driver-gate oracle can
+    recompute the decoded features in SQL without parsing bytes:
 
     audio (even id): ns = 160 + id % 200 samples at 8 kHz,
         sample_i = ((id*31 + i*17) % 2001) - 1000
-    image (odd id):  w = 4 + id % 13, h = 4 + id % 7,
+    ppm (id%4==1):   w = 4 + id % 13, h = 4 + id % 7,
         channel entry at flat idx (row-major RGB) = (id*7 + idx) % 256
+    jpeg (id%4==3):  Wb = 2 + id % 3, Hb = 1 + id % 2 blocks of 8x8;
+        block at flat index b is the constant (id*11 + b*29) % 256;
+        payload padded to exactly 175 + 4*Wb*Hb bytes
     """
+    from ..functions.jpeg import GRAY_MOSAIC_OVERHEAD, encode_gray_blocks_jpeg
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -224,11 +242,20 @@ def synthetic_media_real(spark, n: int = 500) -> DataFrame:
                     rows.append(
                         (mid, "audio", buf.getvalue(), 0, 0, ns * 1000 // 8000)
                     )
-                else:
+                elif mid % 4 == 1:
                     wd, ht = 4 + mid % 13, 4 + mid % 7
                     px = ((mid * 7 + np.arange(wd * ht * 3)) % 256).astype(np.uint8)
                     payload = f"P6\n{wd} {ht}\n255\n".encode() + px.tobytes()
                     rows.append((mid, "image", payload, wd, ht, 0))
+                else:
+                    wb, hb = 2 + mid % 3, 1 + mid % 2
+                    blocks = (
+                        (mid * 11 + np.arange(hb * wb) * 29) % 256
+                    ).astype(np.uint8).reshape(hb, wb)
+                    payload = encode_gray_blocks_jpeg(
+                        blocks, pad_to=GRAY_MOSAIC_OVERHEAD + 4 * wb * hb + 8
+                    )
+                    rows.append((mid, "image", payload, wb * 8, hb * 8, 0))
             yield pd.DataFrame(
                 rows,
                 columns=[
