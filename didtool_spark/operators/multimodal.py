@@ -12,6 +12,9 @@ Decode support is tiered by what pure stdlib can honestly parse:
   decode via the from-scratch functions/jpeg.py codec (Huffman + IDCT,
   no external libs); progressive/arithmetic raise there and fall back
   to the stub here.
+- PNG (8-bit, non-interlaced, color types 0/2/3/4/6, all filters) —
+  REAL decode via functions/png.py (stdlib zlib inflate + unfilter);
+  16-bit/Adam7 fall back to the stub.
 - video / everything else — STUBBED behind ``_decode_stub``
   (deterministic fake fold of the payload bytes) because no video
   codec can be honestly parsed with stdlib. Swapping in a real decoder
@@ -175,6 +178,13 @@ def decode_feature(payload: bytes, kind: str, n_frames: int) -> tuple[np.ndarray
             return _image_feature(decode_baseline_jpeg(payload)), 1
         except ValueError:
             pass  # non-baseline JPEG -> documented stub below
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png import decode_png
+
+        try:
+            return _image_feature(decode_png(payload)), 1
+        except ValueError:
+            pass  # 16-bit / interlaced -> documented stub below
     stub_frames = int(min(n_frames, max(1, len(payload) // FEATURE_DIM)))
     return _decode_stub(payload, kind, n_frames), stub_frames
 
@@ -206,29 +216,33 @@ def extract_media_features(df: DataFrame, n_frames: int = 4) -> DataFrame:
 
 
 def synthetic_media_real(spark, n: int = 500) -> DataFrame:
-    """Deterministic media table with REAL codec payloads: even ids are
-    PCM16 WAV (stdlib wave writer), ids % 4 == 1 binary-P6 PPM, and
-    ids % 4 == 3 baseline JPEG (functions/jpeg.py constant-block
-    mosaics — decode is EXACT, see that module). All content derives
-    from closed-form integer formulas so the driver-gate oracle can
-    recompute the decoded features in SQL without parsing bytes:
+    """Deterministic media table with REAL codec payloads across all
+    four real decoders. All content derives from closed-form integer
+    formulas so the driver-gate oracle can recompute the decoded
+    features in SQL without parsing bytes:
 
-    audio (even id): ns = 160 + id % 200 samples at 8 kHz,
+    audio (id%4==0): PCM16 WAV, ns = 160 + id % 200 samples at 8 kHz,
         sample_i = ((id*31 + i*17) % 2001) - 1000
+    png (id%4==2):   RGB, w = 5 + id % 11, h = 5 + id % 5,
+        channel entry at flat idx = (id*13 + idx*5) % 256
+        (lossless codec -> decode is the formula verbatim;
+        n_bytes = 68 + h + 3*w*h via level-0 stored deflate)
     ppm (id%4==1):   w = 4 + id % 13, h = 4 + id % 7,
         channel entry at flat idx (row-major RGB) = (id*7 + idx) % 256
     jpeg (id%4==3):  Wb = 2 + id % 3, Hb = 1 + id % 2 blocks of 8x8;
-        block at flat index b is the constant (id*11 + b*29) % 256;
+        block at flat index b is the constant (id*11 + b*29) % 256
+        (functions/jpeg.py constant-block mosaic — decode is EXACT);
         payload padded to exactly 175 + 4*Wb*Hb bytes
     """
     from ..functions.jpeg import GRAY_MOSAIC_OVERHEAD, encode_gray_blocks_jpeg
+    from ..functions.png import encode_rgb_png
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid in pdf["id"]:
                 mid = int(mid)
-                if mid % 2 == 0:
+                if mid % 4 == 0:
                     ns = 160 + mid % 200
                     samples = (
                         ((mid * 31 + np.arange(ns) * 17) % 2001) - 1000
@@ -247,6 +261,12 @@ def synthetic_media_real(spark, n: int = 500) -> DataFrame:
                     px = ((mid * 7 + np.arange(wd * ht * 3)) % 256).astype(np.uint8)
                     payload = f"P6\n{wd} {ht}\n255\n".encode() + px.tobytes()
                     rows.append((mid, "image", payload, wd, ht, 0))
+                elif mid % 4 == 2:
+                    wd, ht = 5 + mid % 11, 5 + mid % 5
+                    px = (
+                        (mid * 13 + np.arange(wd * ht * 3) * 5) % 256
+                    ).astype(np.uint8).reshape(ht, wd, 3)
+                    rows.append((mid, "image", encode_rgb_png(px), wd, ht, 0))
                 else:
                     wb, hb = 2 + mid % 3, 1 + mid % 2
                     blocks = (

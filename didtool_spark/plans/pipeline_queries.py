@@ -564,15 +564,16 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.95
 # ------------------------------------------------------------- multimodal
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL decode end-to-end, ORACLE-CHECKED: WAV payloads are parsed
-    with the ``wave`` module, PPM pixels from raw bytes, and baseline
-    JPEG through the from-scratch functions/jpeg.py codec (Huffman +
-    IDCT; the constant-block mosaics decode EXACTLY), all inside the
-    Arrow mapInPandas pass; the generator's closed-form content
-    formulas let SQL_MEDIA_FEATURES recompute every pooled feature
-    value without touching bytes. Features exploded to scalar rows so
-    the driver's value hash covers them (video decode stays stubbed —
-    no stdlib video codec exists — covered by the plumbing units)."""
+    """REAL decode end-to-end, ORACLE-CHECKED, four codecs: WAV (stdlib
+    wave), PPM (raw pixel parse), baseline JPEG (functions/jpeg.py —
+    Huffman + IDCT; constant-block mosaics decode EXACTLY) and PNG
+    (functions/png.py — zlib inflate + unfilter; lossless, decode IS
+    the generator formula), all inside the Arrow mapInPandas pass; the
+    generator's closed-form content formulas let SQL_MEDIA_FEATURES
+    recompute every pooled feature value AND every payload byte size
+    without touching bytes. Features exploded to scalar rows so the
+    driver's value hash covers them (video decode stays stubbed — no
+    stdlib video codec exists — covered by the plumbing units)."""
     from ..operators.multimodal import synthetic_media_real
 
     media = synthetic_media_real(spark, n=500)
@@ -595,7 +596,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_FEATURES = """
 WITH ids AS (SELECT unnest(range(500)) AS media_id),
-audio AS (SELECT media_id, 160 + media_id % 200 AS ns FROM ids WHERE media_id % 2 = 0),
+audio AS (SELECT media_id, 160 + media_id % 200 AS ns FROM ids WHERE media_id % 4 = 0),
 a_samples AS (
   SELECT media_id, ns, unnest(range(ns)) AS i FROM audio
 ),
@@ -636,6 +637,30 @@ i_rows AS (
          round(CAST(CAST(f.s * 1.0 / (f.cnt * 255) AS FLOAT) AS DOUBLE), 6) AS feat
   FROM i_feat f JOIN image im USING (media_id)
 ),
+png AS (
+  -- lossless codec (functions/png.py): decode is the generator
+  -- formula verbatim; level-0 stored deflate makes n_bytes closed-form
+  SELECT media_id, 5 + media_id % 11 AS w, 5 + media_id % 5 AS h
+  FROM ids WHERE media_id % 4 = 2
+),
+p_entries AS (
+  SELECT media_id, w, h, unnest(range(w * h * 3)) AS idx FROM png
+),
+p_feat AS (
+  SELECT media_id,
+         CAST((((idx // (w * 3)) * 4) // h) * 4
+              + (((idx % (w * 3)) // 3) * 4) // w AS INT) AS pos,
+         CAST(sum((media_id * 13 + idx * 5) % 256) AS BIGINT) AS s,
+         count(*) AS cnt
+  FROM p_entries GROUP BY 1, 2
+),
+p_rows AS (
+  SELECT f.media_id, 'image' AS kind,
+         CAST(68 + pn.h + 3 * pn.w * pn.h AS INT) AS n_bytes,
+         1 AS n_frames_sampled, f.pos,
+         round(CAST(CAST(f.s * 1.0 / (f.cnt * 255) AS FLOAT) AS DOUBLE), 6) AS feat
+  FROM p_feat f JOIN png pn USING (media_id)
+),
 jpeg AS (
   -- constant-block mosaic (functions/jpeg.py): decode is EXACT, so the
   -- per-pixel grayscale is the closed-form block formula
@@ -669,7 +694,7 @@ SELECT media_id, kind, n_bytes,
        CAST(n_frames_sampled AS INT) AS n_frames_sampled,
        pos, feat
 FROM (SELECT * FROM a_rows UNION ALL SELECT * FROM i_rows
-      UNION ALL SELECT * FROM j_rows)
+      UNION ALL SELECT * FROM p_rows UNION ALL SELECT * FROM j_rows)
 """
 
 

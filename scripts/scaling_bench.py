@@ -58,7 +58,9 @@ spark = (
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-    .config("spark.sql.shuffle.partitions", str(2 * total_cores))
+    .config("spark.sql.shuffle.partitions",
+            str(int(__import__("os").environ.get("SPARK_GRAFT_SHUF_MULT", "2"))
+                * total_cores))
     .config("spark.sql.files.maxPartitionBytes",
             str(int(__import__("os").environ.get("SPARK_GRAFT_MPB_MB", "16")) * 1024 * 1024))
     # shuffle spills land on tmpfs (RAM): shuffle BYTES cost memory
