@@ -105,7 +105,8 @@ from .operators.decontam import (  # noqa: F401
 # n-gram LM perplexity quality scoring (CCNet-style filter)
 from .operators.lm import NgramLM, lm_perplexity  # noqa: F401
 
-# multimodal decode (stdlib WAV/PPM/BMP; JPEG/video stubbed)
+# multimodal decode (real WAV/PPM/BMP + from-scratch JPEG/PNG codecs
+# and Y4M / MJPEG-AVI video containers)
 from .operators.multimodal import extract_media_features  # noqa: F401
 
 # sources: explicit-schema readers with corrupt-record quarantine,

@@ -15,10 +15,15 @@ Decode support is tiered by what pure stdlib can honestly parse:
 - PNG (8-bit, non-interlaced, color types 0/2/3/4/6, all filters) —
   REAL decode via functions/png.py (stdlib zlib inflate + unfilter);
   16-bit/Adam7 fall back to the stub.
-- video / everything else — STUBBED behind ``_decode_stub``
-  (deterministic fake fold of the payload bytes) because no video
-  codec can be honestly parsed with stdlib. Swapping in a real decoder
-  is a one-function change inside the same pandas batch loop.
+- Y4M video (YUV4MPEG2: Cmono / C420* / C444) — REAL decode via
+  functions/video.py (uncompressed planar parse); frame-sampled and
+  pooled to the same FEATURE_DIM grid.
+- MJPEG-AVI video — REAL decode via functions/video.py (RIFF walk +
+  per-frame baseline-JPEG through functions/jpeg.py).
+- everything else (exotic codecs, progressive JPEG, non-MJPEG AVI) —
+  STUBBED behind ``_decode_stub`` (deterministic fake fold of the
+  payload bytes). Swapping in another real decoder is a one-function
+  change inside the same pandas batch loop.
 
 Features are computed with integer sums and a fixed division order, so
 the driver-gate oracle can replay them exactly in SQL from the
@@ -147,26 +152,71 @@ def _wav_feature(samples: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def _image_sums(px: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Integer (sums, counts) of the 4x4 block map for one frame —
+    accepts (h, w, 3) RGB or (h, w) grayscale. Pixel at (y, x) lands
+    in block (y*4)//h, (x*4)//w."""
+    h, w = px.shape[:2]
+    yb = (np.arange(h) * 4) // h
+    xb = (np.arange(w) * 4) // w
+    j = yb[:, None] * 4 + xb[None, :]
+    if px.ndim == 3:
+        j = j.repeat(px.shape[2])
+    sums = np.bincount(
+        j.ravel(), weights=px.ravel().astype(np.int64), minlength=FEATURE_DIM
+    )
+    cnts = np.bincount(j.ravel(), minlength=FEATURE_DIM)
+    return sums, cnts
+
+
 def _image_feature(px: np.ndarray) -> np.ndarray:
     """4x4 block-mean grayscale map in [0, 1]: channel entry at flat
     index idx (y = idx//(w*3), x = (idx%(w*3))//3) lands in block
     (y*4)//h, (x*4)//w — integer sums, SQL-replayable."""
-    h, w, _ = px.shape
-    yb = (np.arange(h) * 4) // h
-    xb = (np.arange(w) * 4) // w
-    j = (yb[:, None] * 4 + xb[None, :]).repeat(3).ravel()
-    sums = np.bincount(j, weights=px.ravel().astype(np.int64), minlength=FEATURE_DIM)
-    cnts = np.bincount(j, minlength=FEATURE_DIM)
+    sums, cnts = _image_sums(px)
     out = np.where(cnts > 0, sums * 1.0 / (np.maximum(cnts, 1) * 255), 0.0)
     return out.astype(np.float32)
 
 
+def _video_feature(frames, n_frames: int) -> tuple[np.ndarray, int]:
+    """Pool FEATURE_DIM over a frame sample: step = max(1,
+    total//n_frames), frames[::step][:n_frames] (the same stride rule
+    as the stub), INTEGER sums accumulated across the sampled frames
+    with ONE final division — so the driver-gate oracle can replay the
+    pooled value exactly from the generator formulas in SQL."""
+    step = max(1, len(frames) // max(1, n_frames))
+    sampled = frames[::step][:n_frames]
+    sums = np.zeros(FEATURE_DIM, dtype=np.int64)
+    cnts = np.zeros(FEATURE_DIM, dtype=np.int64)
+    for fr in sampled:
+        s, c = _image_sums(fr)
+        sums += s.astype(np.int64)
+        cnts += c
+    out = np.where(cnts > 0, sums * 1.0 / (np.maximum(cnts, 1) * 255), 0.0)
+    return out.astype(np.float32), len(sampled)
+
+
 def decode_feature(payload: bytes, kind: str, n_frames: int) -> tuple[np.ndarray, int]:
     """(pooled FEATURE_DIM vector, n_frames_sampled). Real decode for
-    WAV/PPM/BMP/baseline-JPEG by magic-byte sniff; deterministic stub
-    otherwise (video, progressive JPEG)."""
+    WAV / PPM / BMP / baseline-JPEG / PNG / Y4M / MJPEG-AVI by
+    magic-byte sniff; deterministic stub otherwise (exotic codecs,
+    progressive JPEG)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _wav_feature(_decode_wav(payload)), FEATURE_DIM
+    if payload[:9] == b"YUV4MPEG2":
+        from ..functions.video import decode_y4m
+
+        try:
+            return _video_feature(decode_y4m(payload), n_frames)
+        except ValueError:
+            pass  # unsupported colorspace -> documented stub below
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from ..functions.video import decode_mjpeg_avi
+
+        try:
+            return _video_feature(decode_mjpeg_avi(payload), n_frames)
+        except ValueError:
+            pass  # non-MJPEG AVI -> documented stub below
     if payload[:2] == b"P6":
         return _image_feature(_decode_ppm(payload)), 1
     if payload[:2] == b"BM":
@@ -217,32 +267,42 @@ def extract_media_features(df: DataFrame, n_frames: int = 4) -> DataFrame:
 
 def synthetic_media_real(spark, n: int = 500) -> DataFrame:
     """Deterministic media table with REAL codec payloads across all
-    four real decoders. All content derives from closed-form integer
+    six real decoders. All content derives from closed-form integer
     formulas so the driver-gate oracle can recompute the decoded
     features in SQL without parsing bytes:
 
-    audio (id%4==0): PCM16 WAV, ns = 160 + id % 200 samples at 8 kHz,
+    audio (id%6==0): PCM16 WAV, ns = 160 + id % 200 samples at 8 kHz,
         sample_i = ((id*31 + i*17) % 2001) - 1000
-    png (id%4==2):   RGB, w = 5 + id % 11, h = 5 + id % 5,
+    ppm (id%6==1):   w = 4 + id % 13, h = 4 + id % 7,
+        channel entry at flat idx (row-major RGB) = (id*7 + idx) % 256
+    png (id%6==2):   RGB, w = 5 + id % 11, h = 5 + id % 5,
         channel entry at flat idx = (id*13 + idx*5) % 256
         (lossless codec -> decode is the formula verbatim;
         n_bytes = 68 + h + 3*w*h via level-0 stored deflate)
-    ppm (id%4==1):   w = 4 + id % 13, h = 4 + id % 7,
-        channel entry at flat idx (row-major RGB) = (id*7 + idx) % 256
-    jpeg (id%4==3):  Wb = 2 + id % 3, Hb = 1 + id % 2 blocks of 8x8;
+    jpeg (id%6==3):  Wb = 2 + id % 3, Hb = 1 + id % 2 blocks of 8x8;
         block at flat index b is the constant (id*11 + b*29) % 256
         (functions/jpeg.py constant-block mosaic — decode is EXACT);
         payload padded to exactly 175 + 4*Wb*Hb bytes
+    y4m (id%6==4):   Cmono 16x16 @25fps, nf = 2 + id % 7 frames,
+        frame f constant luma (id*19 + f*37) % 256 (uncompressed ->
+        decode exact; n_bytes = 38 + nf*262)
+    avi (id%6==5):   MJPEG-AVI 32x32 @25fps, nf = 2 + id % 5 frames,
+        frame f is a 4x4 constant-block mosaic with block b value
+        (id*11 + f*29 + b*13) % 256, each frame padded to 240 bytes
+        (n_bytes = 224 + nf*248; the 4x4 feature grid aligns 1:1 with
+        the 8x8 mosaic blocks, so pooled feature j over sampled frames
+        is avg of ((id*11 + f*29 + j*13) % 256) / 255)
     """
     from ..functions.jpeg import GRAY_MOSAIC_OVERHEAD, encode_gray_blocks_jpeg
     from ..functions.png import encode_rgb_png
+    from ..functions.video import encode_mjpeg_avi, encode_y4m
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid in pdf["id"]:
                 mid = int(mid)
-                if mid % 4 == 0:
+                if mid % 6 == 0:
                     ns = 160 + mid % 200
                     samples = (
                         ((mid * 31 + np.arange(ns) * 17) % 2001) - 1000
@@ -256,18 +316,18 @@ def synthetic_media_real(spark, n: int = 500) -> DataFrame:
                     rows.append(
                         (mid, "audio", buf.getvalue(), 0, 0, ns * 1000 // 8000)
                     )
-                elif mid % 4 == 1:
+                elif mid % 6 == 1:
                     wd, ht = 4 + mid % 13, 4 + mid % 7
                     px = ((mid * 7 + np.arange(wd * ht * 3)) % 256).astype(np.uint8)
                     payload = f"P6\n{wd} {ht}\n255\n".encode() + px.tobytes()
                     rows.append((mid, "image", payload, wd, ht, 0))
-                elif mid % 4 == 2:
+                elif mid % 6 == 2:
                     wd, ht = 5 + mid % 11, 5 + mid % 5
                     px = (
                         (mid * 13 + np.arange(wd * ht * 3) * 5) % 256
                     ).astype(np.uint8).reshape(ht, wd, 3)
                     rows.append((mid, "image", encode_rgb_png(px), wd, ht, 0))
-                else:
+                elif mid % 6 == 3:
                     wb, hb = 2 + mid % 3, 1 + mid % 2
                     blocks = (
                         (mid * 11 + np.arange(hb * wb) * 29) % 256
@@ -276,6 +336,27 @@ def synthetic_media_real(spark, n: int = 500) -> DataFrame:
                         blocks, pad_to=GRAY_MOSAIC_OVERHEAD + 4 * wb * hb + 8
                     )
                     rows.append((mid, "image", payload, wb * 8, hb * 8, 0))
+                elif mid % 6 == 4:
+                    nf = 2 + mid % 7
+                    frames = np.broadcast_to(
+                        ((mid * 19 + np.arange(nf) * 37) % 256)
+                        .astype(np.uint8)[:, None, None],
+                        (nf, 16, 16),
+                    ).copy()
+                    rows.append(
+                        (mid, "video", encode_y4m(frames), 16, 16, nf * 40)
+                    )
+                else:
+                    nf = 2 + mid % 5
+                    jfs = []
+                    for f in range(nf):
+                        blocks = (
+                            (mid * 11 + f * 29 + np.arange(16) * 13) % 256
+                        ).astype(np.uint8).reshape(4, 4)
+                        jfs.append(encode_gray_blocks_jpeg(blocks, pad_to=240))
+                    rows.append(
+                        (mid, "video", encode_mjpeg_avi(jfs, 32, 32), 32, 32, nf * 40)
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[

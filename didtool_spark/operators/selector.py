@@ -19,7 +19,21 @@ class Selector:
     .drop_correlated() — selector.py:60-192."""
 
     def __init__(self, df: DataFrame, label: str | None = None,
-                 categorical_cols: list[str] | None = None):
+                 categorical_cols: list[str] | None = None,
+                 cache: bool = False):
+        """``cache=True`` persists the (already column-pruned) input
+        frame once so the chain's stages — missing scan, melted IV
+        aggregation, correlation pass — read the columnar cache instead
+        of re-scanning the source N times. At 100 TB the cached frame
+        is the NARROW feature projection (select your feature columns
+        before constructing the Selector), stored MEMORY_AND_DISK so it
+        spills rather than evicts; call :meth:`unpersist` (or rely on
+        context exit) when the chain is done."""
+        if cache:
+            from pyspark import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._cached = df if cache else None
         self.df = df
         self.label = label
         self.categorical_cols = categorical_cols or []
@@ -199,6 +213,19 @@ class Selector:
             F.col(self.label).cast("double").alias(self.label)
         ]
         return bounded_sample_pandas(self.df.select(*cols), sample_limit)
+
+    def unpersist(self) -> "Selector":
+        """Release the cache taken by ``cache=True`` (no-op otherwise)."""
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
+        return self
+
+    def __enter__(self) -> "Selector":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
 
     def _drop(self, cols: list[str]) -> None:
         if cols:

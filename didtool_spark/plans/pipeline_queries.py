@@ -564,16 +564,19 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM scored WHERE cosine >= 0.95
 # ------------------------------------------------------------- multimodal
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL decode end-to-end, ORACLE-CHECKED, four codecs: WAV (stdlib
+    """REAL decode end-to-end, ORACLE-CHECKED, six codecs: WAV (stdlib
     wave), PPM (raw pixel parse), baseline JPEG (functions/jpeg.py —
-    Huffman + IDCT; constant-block mosaics decode EXACTLY) and PNG
+    Huffman + IDCT; constant-block mosaics decode EXACTLY), PNG
     (functions/png.py — zlib inflate + unfilter; lossless, decode IS
-    the generator formula), all inside the Arrow mapInPandas pass; the
-    generator's closed-form content formulas let SQL_MEDIA_FEATURES
-    recompute every pooled feature value AND every payload byte size
-    without touching bytes. Features exploded to scalar rows so the
-    driver's value hash covers them (video decode stays stubbed — no
-    stdlib video codec exists — covered by the plumbing units)."""
+    the generator formula), Y4M video (functions/video.py —
+    uncompressed planar, decode exact) and MJPEG-AVI video
+    (functions/video.py RIFF walk + per-frame baseline-JPEG decode),
+    all inside the Arrow mapInPandas pass; the generator's closed-form
+    content formulas let SQL_MEDIA_FEATURES recompute every pooled
+    feature value AND every payload byte size without touching bytes.
+    Features exploded to scalar rows so the driver's value hash covers
+    them. Video frame sampling (step = max(1, nf // 4)) and the pooled
+    integer-sum division order are replayed in the SQL."""
     from ..operators.multimodal import synthetic_media_real
 
     media = synthetic_media_real(spark, n=500)
@@ -596,7 +599,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_FEATURES = """
 WITH ids AS (SELECT unnest(range(500)) AS media_id),
-audio AS (SELECT media_id, 160 + media_id % 200 AS ns FROM ids WHERE media_id % 4 = 0),
+audio AS (SELECT media_id, 160 + media_id % 200 AS ns FROM ids WHERE media_id % 6 = 0),
 a_samples AS (
   SELECT media_id, ns, unnest(range(ns)) AS i FROM audio
 ),
@@ -616,7 +619,7 @@ a_rows AS (
 ),
 image AS (
   SELECT media_id, 4 + media_id % 13 AS w, 4 + media_id % 7 AS h
-  FROM ids WHERE media_id % 4 = 1
+  FROM ids WHERE media_id % 6 = 1
 ),
 i_entries AS (
   SELECT media_id, w, h, unnest(range(w * h * 3)) AS idx FROM image
@@ -641,7 +644,7 @@ png AS (
   -- lossless codec (functions/png.py): decode is the generator
   -- formula verbatim; level-0 stored deflate makes n_bytes closed-form
   SELECT media_id, 5 + media_id % 11 AS w, 5 + media_id % 5 AS h
-  FROM ids WHERE media_id % 4 = 2
+  FROM ids WHERE media_id % 6 = 2
 ),
 p_entries AS (
   SELECT media_id, w, h, unnest(range(w * h * 3)) AS idx FROM png
@@ -665,7 +668,7 @@ jpeg AS (
   -- constant-block mosaic (functions/jpeg.py): decode is EXACT, so the
   -- per-pixel grayscale is the closed-form block formula
   SELECT media_id, 2 + media_id % 3 AS wb, 1 + media_id % 2 AS hb
-  FROM ids WHERE media_id % 4 = 3
+  FROM ids WHERE media_id % 6 = 3
 ),
 j_entries AS (
   SELECT media_id, wb * 8 AS w, hb * 8 AS h, wb,
@@ -689,12 +692,75 @@ j_rows AS (
          1 AS n_frames_sampled, f.pos,
          round(CAST(CAST(f.s * 1.0 / (f.cnt * 255) AS FLOAT) AS DOUBLE), 6) AS feat
   FROM j_feat f JOIN jpeg jp USING (media_id)
+),
+y4m AS (
+  -- Cmono Y4M (functions/video.py): uncompressed, decode exact; frame
+  -- f is constant luma (id*19 + f*37) % 256; frame sampling is
+  -- step = max(1, nf // 4), frames[::step][:4]
+  SELECT media_id, 2 + media_id % 7 AS nf,
+         greatest((2 + media_id % 7) // 4, 1) AS step
+  FROM ids WHERE media_id % 6 = 4
+),
+y_frames AS (
+  SELECT media_id, nf, step, unnest(range(nf)) AS f FROM y4m
+),
+y_feat AS (
+  -- pooled integer sums over the sampled frames (16 px per 4x4 cell
+  -- per 16x16 mono frame), ONE final division — multimodal._video_feature
+  SELECT media_id,
+         CAST(sum((media_id * 19 + f * 37) % 256) * 16 AS BIGINT) AS s,
+         count(*) * 16 AS cnt,
+         count(*) AS nsamp
+  FROM y_frames WHERE f % step = 0 AND f // step < 4
+  GROUP BY media_id
+),
+y_rows AS (
+  SELECT y.media_id, 'video' AS kind,
+         CAST(38 + yy.nf * 262 AS INT) AS n_bytes,
+         CAST(y.nsamp AS INT) AS n_frames_sampled, p.pos,
+         round(CAST(CAST(y.s * 1.0 / (y.cnt * 255) AS FLOAT) AS DOUBLE), 6) AS feat
+  FROM y_feat y JOIN y4m yy USING (media_id)
+  CROSS JOIN (SELECT unnest(range(16)) AS pos) p
+),
+avi AS (
+  -- MJPEG-AVI (functions/video.py + functions/jpeg.py): frame f is a
+  -- 4x4 constant-block mosaic (32x32 px) with block b value
+  -- (id*11 + f*29 + b*13) % 256 — the 4x4 feature grid aligns 1:1
+  -- with mosaic blocks; each frame chunk is 8 + 240 bytes
+  SELECT media_id, 2 + media_id % 5 AS nf,
+         greatest((2 + media_id % 5) // 4, 1) AS step
+  FROM ids WHERE media_id % 6 = 5
+),
+m_frames AS (
+  SELECT media_id, nf, step, unnest(range(nf)) AS f FROM avi
+),
+m_sel AS (
+  SELECT media_id, nf, f FROM m_frames WHERE f % step = 0 AND f // step < 4
+),
+m_cells AS (
+  SELECT media_id, f, unnest(range(16)) AS pos FROM m_sel
+),
+m_feat AS (
+  -- 8*8 px * 3 channels = 192 entries per cell per frame
+  SELECT media_id, pos,
+         CAST(sum((media_id * 11 + f * 29 + pos * 13) % 256) * 192 AS BIGINT) AS s,
+         count(*) * 192 AS cnt,
+         count(*) AS nsamp
+  FROM m_cells GROUP BY media_id, pos
+),
+m_rows AS (
+  SELECT m.media_id, 'video' AS kind,
+         CAST(224 + a.nf * 248 AS INT) AS n_bytes,
+         CAST(m.nsamp AS INT) AS n_frames_sampled, m.pos,
+         round(CAST(CAST(m.s * 1.0 / (m.cnt * 255) AS FLOAT) AS DOUBLE), 6) AS feat
+  FROM m_feat m JOIN avi a USING (media_id)
 )
 SELECT media_id, kind, n_bytes,
        CAST(n_frames_sampled AS INT) AS n_frames_sampled,
        pos, feat
 FROM (SELECT * FROM a_rows UNION ALL SELECT * FROM i_rows
-      UNION ALL SELECT * FROM p_rows UNION ALL SELECT * FROM j_rows)
+      UNION ALL SELECT * FROM p_rows UNION ALL SELECT * FROM j_rows
+      UNION ALL SELECT * FROM y_rows UNION ALL SELECT * FROM m_rows)
 """
 
 
