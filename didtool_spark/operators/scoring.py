@@ -32,13 +32,22 @@ def score_expr(
     """
     # explicit broadcast when the predictor is plain-picklable (big
     # boosters ship once per executor); closures fall back to
-    # cloudpickled UDF capture
+    # cloudpickled UDF capture. Probe with pickle.dumps first —
+    # sparkContext.broadcast logs a traceback before raising, which
+    # would spam stderr for every closure-based predictor.
+    import pickle
+
     try:
+        pickle.dumps(predict)
+        plain_picklable = True
+    except Exception:
+        plain_picklable = False
+    if plain_picklable:
         bc = df.sparkSession.sparkContext.broadcast(predict)
 
         def fn(batch):
             return bc.value(batch)
-    except Exception:
+    else:
         fn = predict
 
     @F.pandas_udf(DoubleType())
