@@ -30,8 +30,8 @@ from .operators.split import (  # noqa: F401
 
 # metrics / stats (reference metric.py, stats.py)
 from .operators.metrics import (  # noqa: F401
-    auc, distribution, distributions, iv, iv_all, ks, ks_curve,
-    layer_stability_tables, pr_curve, psi, psi_all, roc_curve,
+    auc, auc_ks_values, distribution, distributions, iv, iv_all, ks,
+    ks_curve, layer_stability_tables, pr_curve, psi, psi_all, roc_curve,
 )
 
 # transformers / encoders (reference transformer.py, encoder.py)

@@ -564,15 +564,18 @@ def _score_table(
     )
 
 
-def _with_cum_before(t: DataFrame) -> tuple[DataFrame, float, float]:
-    """Ascending exclusive prefix sums of (n, n1) over a binned score
-    table WITHOUT a global single-partition sort: a window partitioned
-    by bin chunk (parallel) plus broadcast per-chunk offsets (the only
-    driver state is <= n_score_bins/CUM_CHUNK rows). Returns
+def _cum_before_over_chunks(
+    t: DataFrame, order_col: str
+) -> tuple[DataFrame, float, float]:
+    """Ascending exclusive prefix sums of (n, n1) over ``t`` — ordered
+    by ``order_col`` — WITHOUT a global single-partition sort. Requires
+    a ``chunk`` column whose ordering is consistent with ``order_col``
+    (chunk(a) <= chunk(b) whenever a precedes b): the window runs
+    partitioned by chunk (parallel) and broadcast per-chunk offsets
+    stitch the chunks (driver state = one row per chunk). Returns
     (table + cum_n_before/cum_n1_before, total_n, total_n1)."""
     from ..functions.exprs import map_expr
 
-    t = t.withColumn("chunk", (F.col("b") / CUM_CHUNK).cast("int"))
     chunk_rows = (
         t.groupBy("chunk")
         .agg(F.sum("n").alias("cn"), F.sum("n1").alias("cn1"))
@@ -588,11 +591,11 @@ def _with_cum_before(t: DataFrame) -> tuple[DataFrame, float, float]:
         acc_n1 += r["cn1"]
     w = (
         Window.partitionBy("chunk")
-        .orderBy("b")
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = t.select(
-        "b", "s", "n", "n1",
+        *t.columns,
         (
             F.coalesce(F.sum("n").over(w), F.lit(0.0))
             + map_expr(F.col("chunk"), off_n, default=0.0)
@@ -605,41 +608,94 @@ def _with_cum_before(t: DataFrame) -> tuple[DataFrame, float, float]:
     return out, acc_n, acc_n1
 
 
+def _with_cum_before(t: DataFrame) -> tuple[DataFrame, float, float]:
+    """Binned-table prefix sums: chunk = bin-id block, so driver state
+    is <= n_score_bins/CUM_CHUNK rows."""
+    t = t.withColumn("chunk", (F.col("b") / CUM_CHUNK).cast("int"))
+    return _cum_before_over_chunks(t, "b")
+
+
+# distinct-score chunks for the EXACT cumulative path; offsets table is
+# <= EXACT_CUM_CHUNKS + 1 driver rows
+EXACT_CUM_CHUNKS = 64
+
+
+def _with_cum_before_exact(t: DataFrame) -> tuple[DataFrame, float, float]:
+    """Prefix sums over the EXACT distinct-score table without a global
+    single-partition sort: range-chunk scores on approx-quantile
+    boundaries, then the same chunk-partitioned window + broadcast
+    offsets as the binned path. Chunk order + in-chunk score order
+    equals the global order the former ``Window.orderBy('s')``
+    produced: NULL -> chunk -1 (Spark sorts nulls first ascending),
+    finite s -> number of boundaries strictly below s, and NaN compares
+    greater than every boundary (Spark NaN ordering) so it lands in the
+    top chunk and sorts last within it. Replaces the former
+    all-distinct-scores-in-one-task plan (the scale hazard when scores
+    are continuous); costs one approxQuantile job + the chunk-totals
+    collect, both over the already-aggregated distinct-score table."""
+    finite = t.where(F.col("s").isNotNull() & ~F.isnan("s"))
+    bounds = finite.approxQuantile(
+        "s", [i / EXACT_CUM_CHUNKS for i in range(1, EXACT_CUM_CHUNKS)], 0.001
+    )
+    chunk = F.lit(0)
+    for b_ in sorted(set(bounds)):
+        chunk = chunk + (F.col("s") > F.lit(float(b_))).cast("int")
+    chunk = F.when(F.col("s").isNull(), F.lit(-1)).otherwise(chunk)
+    return _cum_before_over_chunks(t.withColumn("chunk", chunk), "s")
+
+
+def auc_ks_values(
+    df: DataFrame, label: str, score: str, n_score_bins: int | None = None
+) -> tuple[float, float]:
+    """(AUC, KS) from ONE cumulative pass: one score table, one
+    chunked prefix-sum stitch, one final aggregate computing both the
+    rank sum and max|cum_bad - cum_good|. Callers needing both metrics
+    (the scorecard/report paths) should use this instead of auc()+ks(),
+    which would each pay the approxQuantile + chunk-offset jobs."""
+    table = _score_table(df, label, score, n_score_bins)
+    if not n_score_bins:
+        # the exact path runs three jobs over the distinct-score table
+        # (quantile bounds, chunk totals, final aggregate) — persist it
+        # so the underlying score aggregation runs once
+        table = table.persist()
+    try:
+        t, n, n1 = (
+            _with_cum_before(table) if n_score_bins
+            else _with_cum_before_exact(table)
+        )
+        n0 = n - n1
+        if not n1 or not n0:
+            return float("nan"), float("nan")
+        cum_bad = (F.lit(n1) - F.col("cum_n1_before")) / F.lit(float(n1))
+        cum_good = (
+            F.lit(n0) - (F.col("cum_n_before") - F.col("cum_n1_before"))
+        ) / F.lit(float(n0))
+        row = t.select(
+            F.sum(
+                F.col("n1") * (F.col("cum_n_before") + (F.col("n") + 1) / 2.0)
+            ).alias("r1"),
+            F.max(F.abs(cum_bad - cum_good)).alias("ks"),
+        ).first()
+        return (
+            (row["r1"] - n1 * (n1 + 1) / 2.0) / (n0 * n1),
+            row["ks"],
+        )
+    finally:
+        if not n_score_bins:
+            table.unpersist()
+
+
 def auc(
     df: DataFrame, label: str, score: str, n_score_bins: int | None = None
 ) -> float:
     """Rank-statistic AUC with average ranks for ties (equals
-    sklearn.roc_auc_score used at model.py:233-242). Pass
-    ``n_score_bins`` (e.g. 10_000) at cluster scale: the cumulative
-    pass then runs over a bounded grid with a chunk-partitioned window
-    instead of one task over every distinct score."""
-    if n_score_bins:
-        t, n, n1 = _with_cum_before(_score_table(df, label, score, n_score_bins))
-        n0 = n - n1
-        if not n1 or not n0:
-            return float("nan")
-        r1 = t.select(
-            F.sum(
-                F.col("n1") * (F.col("cum_n_before") + (F.col("n") + 1) / 2.0)
-            ).alias("r1")
-        ).first()["r1"]
-        return (r1 - n1 * (n1 + 1) / 2.0) / (n0 * n1)
-    t = _score_table(df, label, score)
-    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
-    t = t.select(
-        "s", "n", "n1",
-        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before"),
-    )
-    row = t.select(
-        F.sum(F.col("n1") * (F.col("cum_before") + (F.col("n") + 1) / 2.0)).alias("r1"),
-        F.sum("n1").alias("n1_total"),
-        F.sum("n").alias("n_total"),
-    ).first()
-    n1, n = row["n1_total"], row["n_total"]
-    n0 = n - n1
-    if not n1 or not n0:
-        return float("nan")
-    return (row["r1"] - n1 * (n1 + 1) / 2.0) / (n0 * n1)
+    sklearn.roc_auc_score used at model.py:233-242). Both paths run the
+    cumulative pass with a chunk-partitioned window — the exact path
+    chunks distinct scores on approx-quantile ranges, the
+    ``n_score_bins`` path (e.g. 10_000) additionally bounds the table
+    at a fixed grid so the distinct-score aggregation itself stays
+    small at any row count."""
+    return auc_ks_values(df, label, score, n_score_bins)[0]
 
 
 def _desc_inclusive(df: DataFrame, label: str, score: str, n_score_bins: int):
@@ -675,21 +731,21 @@ def roc_curve(
             .orderBy(F.desc("threshold"))
             .toPandas()
         )
-    t = _score_table(df, label, score)
-    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
-    totals = t.select(F.sum("n").alias("n"), F.sum("n1").alias("n1")).first()
-    n1 = totals["n1"]
-    n0 = totals["n"] - n1
-    pts = (
+    # exact path: descending-inclusive cum = total - ascending-exclusive
+    # prefix sums from the score-range-chunked window (no global sort)
+    t, n, n1 = _with_cum_before_exact(_score_table(df, label, score))
+    n0 = n - n1
+    cum1 = F.lit(n1) - F.col("cum_n1_before")
+    cumn = F.lit(n) - F.col("cum_n_before")
+    return (
         t.select(
             F.col("s").alias("threshold"),
-            (F.sum("n1").over(w) / F.lit(float(max(n1, 1)))).alias("tpr"),
-            (F.sum(F.col("n") - F.col("n1")).over(w) / F.lit(float(max(n0, 1)))).alias("fpr"),
+            (cum1 / F.lit(float(max(n1, 1)))).alias("tpr"),
+            ((cumn - cum1) / F.lit(float(max(n0, 1)))).alias("fpr"),
         )
         .orderBy(F.desc("threshold"))
         .toPandas()
     )
-    return pts
 
 
 def pr_curve(
@@ -708,14 +764,15 @@ def pr_curve(
             .orderBy(F.desc("threshold"))
             .toPandas()
         )
-    t = _score_table(df, label, score)
-    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
-    n1 = t.select(F.sum("n1")).first()[0] or 1
+    t, n, n1 = _with_cum_before_exact(_score_table(df, label, score))
+    n1 = n1 or 1
+    cum1 = F.lit(n1) - F.col("cum_n1_before")
+    cumn = F.lit(n) - F.col("cum_n_before")
     return (
         t.select(
             F.col("s").alias("threshold"),
-            (F.sum("n1").over(w) / F.sum("n").over(w)).alias("precision"),
-            (F.sum("n1").over(w) / F.lit(float(n1))).alias("recall"),
+            (cum1 / cumn).alias("precision"),
+            (cum1 / F.lit(float(n1))).alias("recall"),
         )
         .orderBy(F.desc("threshold"))
         .toPandas()
@@ -755,21 +812,24 @@ def ks_curve(
             .orderBy("bucket")
             .toPandas()
         )
-    t = _score_table(df, label, score)
-    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
-    totals = t.select(F.sum("n").alias("n"), F.sum("n1").alias("n1")).first()
-    n1 = totals["n1"] or 1
-    n0 = (totals["n"] - totals["n1"]) or 1
+    # exact path: desc-inclusive cums from the score-range-chunked
+    # window; decimation buckets by POPULATION share (ceil(cum-row-share
+    # * n_points) — an arithmetic expression) instead of the former
+    # ntile over a global desc sort, which serialized all distinct
+    # scores into one task
+    t, n, n1t = _with_cum_before_exact(_score_table(df, label, score))
+    n1 = n1t or 1
+    n0 = (n - n1t) or 1
+    cum1 = F.lit(n1t) - F.col("cum_n1_before")
+    cumn = F.lit(n) - F.col("cum_n_before")
     cum = t.select(
         F.col("s").alias("threshold"),
-        (F.sum("n1").over(w) / F.lit(float(n1))).alias("cum_bad"),
-        (F.sum(F.col("n") - F.col("n1")).over(w) / F.lit(float(n0))).alias("cum_good"),
+        (cum1 / F.lit(float(n1))).alias("cum_bad"),
+        ((cumn - cum1) / F.lit(float(n0))).alias("cum_good"),
+        F.ceil(cumn * n_points / F.lit(float(n))).cast("int").alias("bucket"),
     ).withColumn("ks", F.col("cum_bad") - F.col("cum_good"))
-    dec = cum.withColumn(
-        "bucket", F.ntile(n_points).over(Window.orderBy(F.desc("threshold")))
-    )
     return (
-        dec.groupBy("bucket")
+        cum.groupBy("bucket")
         .agg(
             F.min("threshold").alias("threshold"),
             F.max("cum_bad").alias("cum_bad"),
@@ -844,33 +904,9 @@ def ks(
     df: DataFrame, label: str, score: str, n_score_bins: int | None = None
 ) -> float:
     """KS = max |cum_bad_share - cum_good_share| over score thresholds
-    (plot_ks_in_cum semantics, metric.py:536-554). ``n_score_bins``
-    selects the bounded-grid scale path (descending-inclusive cumulative
-    = total - ascending-exclusive, so the same chunk-partitioned prefix
-    sums serve both orders)."""
-    if n_score_bins:
-        t, n, n1 = _with_cum_before(_score_table(df, label, score, n_score_bins))
-        n0 = n - n1
-        if not n1 or not n0:
-            return float("nan")
-        cum_bad = (F.lit(n1) - F.col("cum_n1_before")) / F.lit(float(n1))
-        cum_good = (
-            F.lit(n0) - (F.col("cum_n_before") - F.col("cum_n1_before"))
-        ) / F.lit(float(n0))
-        return t.select(
-            F.max(F.abs(cum_bad - cum_good)).alias("ks")
-        ).first()["ks"]
-    t = _score_table(df, label, score)
-    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
-    totals = t.select(F.sum("n").alias("n"), F.sum("n1").alias("n1")).first()
-    n1 = totals["n1"]
-    n0 = totals["n"] - n1
-    if not n1 or not n0:
-        return float("nan")
-    t = t.select(
-        (F.sum("n1").over(w) / F.lit(float(n1))).alias("cum_bad"),
-        (F.sum(F.col("n") - F.col("n1")).over(w) / F.lit(float(n0))).alias("cum_good"),
-    )
-    return t.select(
-        F.max(F.abs(F.col("cum_bad") - F.col("cum_good"))).alias("ks")
-    ).first()["ks"]
+    (plot_ks_in_cum semantics, metric.py:536-554). Descending-inclusive
+    cumulative = total - ascending-exclusive, so the chunk-partitioned
+    prefix sums serve both orders; the exact path chunks distinct
+    scores on approx-quantile ranges, ``n_score_bins`` additionally
+    bounds the score table at a fixed grid."""
+    return auc_ks_values(df, label, score, n_score_bins)[1]

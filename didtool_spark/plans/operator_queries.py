@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.binning import Binner
 from ..operators.category import CategoryTransformer, ListTransformer, OneHotTransformer
-from ..operators.metrics import auc, iv, iv_all, ks, psi, psi_all
+from ..operators.metrics import auc_ks_values, iv, iv_all, psi, psi_all
 from ..operators.scorecard import ScoreCardTransformer
 from ..operators.split import split_data
 from ..operators.woe import LabelEncoder, WOEEncoder
@@ -589,8 +589,7 @@ def q_auc_ks_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the binned formula — same grid arithmetic, same tie-averaged rank
     statistic over bins."""
     ev = _events(spark, sf_dir).withColumn("score", F.col("value") / 500.0)
-    a = auc(ev, "y", "score", n_score_bins=1000)
-    k = ks(ev, "y", "score", n_score_bins=1000)
+    a, k = auc_ks_values(ev, "y", "score", n_score_bins=1000)
     return spark.createDataFrame(
         [(round(a, 6), round(k, 6))], "auc_value double, ks_value double"
     )
@@ -630,8 +629,7 @@ SELECT
 
 def q_auc_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn("score", F.col("value") / 500.0)
-    a = auc(ev, "y", "score")
-    k = ks(ev, "y", "score")
+    a, k = auc_ks_values(ev, "y", "score")
     return spark.createDataFrame(
         [(round(a, 6), round(k, 6))], "auc_value double, ks_value double"
     )

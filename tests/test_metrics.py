@@ -106,10 +106,55 @@ def test_auc_ks_vs_oracle(spark):
     assert abs(ks(df, "y", "s") - ks_exp) < 1e-12
 
 
+def test_exact_auc_plan_has_no_single_partition(spark):
+    """The exact path now chunks distinct scores on approx-quantile
+    ranges: its cumulative window must be partitioned (no
+    SinglePartition exchange), and the chunked prefix sums must equal a
+    pandas global cumsum exactly — including NULL and NaN scores, which
+    keep the old global-sort ordering (nulls first, NaN last)."""
+    from contextlib import redirect_stdout
+    from io import StringIO
+
+    from didtool_spark.operators.metrics import (
+        _score_table, _with_cum_before_exact)
+
+    rng = np.random.RandomState(7)
+    y = (rng.rand(800) < 0.3).astype(int)
+    s = rng.rand(800).round(2).astype(object)  # heavy ties
+    s[::97] = None
+    s[5::151] = float("nan")
+    df = spark.createDataFrame(
+        [(int(a), None if b is None else float(b)) for a, b in zip(y, s)],
+        "y int, s double",
+    )
+    cum, n, n1 = _with_cum_before_exact(_score_table(df, "y", "s"))
+    buf = StringIO()
+    with redirect_stdout(buf):
+        cum.explain("formatted")
+    assert "SinglePartition" not in buf.getvalue(), buf.getvalue()[:3000]
+
+    got = cum.toPandas()
+    assert n == got["n"].sum() and n1 == got["n1"].sum()
+    # NULL scores group to ONE row in chunk -1 and sort before
+    # everything (cum_n_before == 0); NaN groups to one row after every
+    # finite score (both map to pandas NaN, so tell them apart by chunk)
+    null_row = got[got["chunk"] == -1]
+    nan_row = got[got["s"].isna() & (got["chunk"] != -1)]
+    assert len(null_row) == 1 and len(nan_row) == 1
+    assert null_row["cum_n_before"].iloc[0] == 0.0
+    assert nan_row["cum_n_before"].iloc[0] == n - nan_row["n"].iloc[0]
+    # finite rows: cum values equal a global pandas cumsum in score order
+    fin = got[got["s"].notna()].sort_values("s").reset_index(drop=True)
+    n_null = null_row["n"].iloc[0]
+    exp_n = fin["n"].cumsum().shift(1, fill_value=0.0) + n_null
+    exp_n1 = fin["n1"].cumsum().shift(1, fill_value=0.0) + null_row["n1"].iloc[0]
+    assert list(fin["cum_n_before"]) == list(exp_n)
+    assert list(fin["cum_n1_before"]) == list(exp_n1)
+
+
 def test_binned_auc_ks_scale_path(spark):
     """The n_score_bins path: agrees with exact to ~1/n_score_bins and
-    its cumulative plan has no single-partition stage (the exact path's
-    global-orderBy window does)."""
+    its cumulative plan has no single-partition stage."""
     rng = np.random.RandomState(11)
     y = (rng.rand(4000) < 0.3).astype(int)
     s = np.clip(y * 0.2 + rng.rand(4000), 0, 2)  # continuous: all distinct
