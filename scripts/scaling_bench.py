@@ -252,6 +252,18 @@ def run_series(low: int, high: int, n_convs: int, reps: int) -> dict:
         n_turns = r_low["n_turns"]
         pairs.append(
             {
+                # journal the shuffle-layout config the pair ran under —
+                # pairs at different shuffle-partition multipliers are
+                # different physical plans and must be separable later
+                # (pairs journaled before this field existed ran the
+                # then-default mult=2 / lz4 / 16MB, except the three
+                # 2026-08-19 2->8 pairs, which ran the mult-1 winner of
+                # the round-4 sweep)
+                "config": {
+                    "shuf_mult": int(os.environ.get("SPARK_GRAFT_SHUF_MULT", "2")),
+                    "codec": os.environ.get("SPARK_GRAFT_CODEC", "lz4"),
+                    "mpb_mb": int(os.environ.get("SPARK_GRAFT_MPB_MB", "16")),
+                },
                 "low_turns_per_sec": round(r_low["turns_per_sec"], 1),
                 "high_turns_per_sec": round(r_high["turns_per_sec"], 1),
                 "low_sec": round(r_low["sec"], 2),
@@ -377,6 +389,36 @@ def write_report(series: list[dict]) -> None:
         summary_rows.append(
             f"| {lo} -> {hi} | {len(effs)} | {max(effs)} | {_med(effs)} | {qcell} |"
         )
+        # per-config breakdown over pairs that journaled their shuffle
+        # config (field added round 4) — pairs at different shuffle
+        # multipliers run different physical plans, so the tuned
+        # configuration gets its own quiet median instead of being
+        # averaged into the historical default
+        by_cfg: dict[str, list[dict]] = {}
+        for p in ps:
+            cfg = p.get("config")
+            if cfg:
+                key = (
+                    f"shuf_mult={cfg['shuf_mult']}, {cfg['codec']}, "
+                    f"{cfg['mpb_mb']}MB"
+                )
+                by_cfg.setdefault(key, []).append(p)
+        for key, cps in sorted(by_cfg.items()):
+            ceffs = [p["efficiency"] for p in cps]
+            cquiet = [
+                p["efficiency"]
+                for p in cps
+                if max(p.get("low_steal_pct") or 0.0,
+                       p.get("high_steal_pct") or 0.0) <= RUN_STEAL_MAX_PCT
+            ]
+            ccell = (
+                f"{len(cquiet)} / {max(cquiet)} / {_med(cquiet)}"
+                if cquiet else "0 / — / —"
+            )
+            summary_rows.append(
+                f"| &nbsp;&nbsp;({key}) | {len(ceffs)} | {max(ceffs)} "
+                f"| {_med(ceffs)} | {ccell} |"
+            )
     summary = (
         "| series | pairs | best | median | run-quiet pairs (steal<=1%): n / best / median |\n"
         "|---|---|---|---|---|\n" + "\n".join(summary_rows)
