@@ -97,6 +97,11 @@ from .operators.curate import (  # noqa: F401
     chunk_documents, pack_sequences, scrub_pii, stratified_sample,
 )
 
+# URL canonicalization + URL-level dedup
+from .operators.url import (  # noqa: F401
+    canonical_url_expr, canonicalize_urls, url_dedup,
+)
+
 # benchmark decontamination, Gopher quality rules, domain mixing
 from .operators.decontam import (  # noqa: F401
     c4_rules, decontaminate, domain_mix, gopher_quality,

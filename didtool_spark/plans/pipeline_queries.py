@@ -2406,6 +2406,100 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (operators/url.py): four
+    deterministic variants of the same logical page URL are synthesized
+    per document (scheme case, `www.` + default port + tracking param +
+    fragment + trailing slash, userinfo + :443 + fbclid, schemeless +
+    bare `ref`) — canonicalization must collapse all four onto one
+    canonical string per (source, doc_id%50) page, and the dedup keeps
+    the min doc_id. The oracle replays the same variant construction
+    and the full canonicalization rule set (regex steps + param
+    filter/sort) in DuckDB SQL."""
+    from ..operators.url import url_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    p = F.pmod(F.col("doc_id"), 50).cast("string")
+    v = F.pmod(F.col("doc_id"), 4)
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/a/"),
+            p, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(
+            F.lit("HTTP://WWW."), F.upper(F.col("source")),
+            F.lit(".EXAMPLE.COM:80/a/"), p,
+            F.lit("/?a=1&b=2&utm_source=feed#top")))
+        .when(v == 2, F.concat(
+            F.lit("https://crawler@"), F.col("source"),
+            F.lit(".example.com:443/a/"), p, F.lit("?fbclid=xyz&b=2&a=1")))
+        .otherwise(F.concat(
+            F.col("source"), F.lit(".example.com/a/"), p,
+            F.lit("?a=1&b=2&ref")))
+    )
+    out = url_dedup(docs.select("doc_id", url.alias("url")), "url", "doc_id")
+    return out.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_dup").cast("bigint").alias("n_dups"),
+        F.min("canonical_id").alias("keep_id"),
+    )
+
+
+SQL_URL_DEDUP = """
+WITH urls AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://' || source || '.example.com/a/'
+                       || CAST(doc_id % 50 AS VARCHAR) || '?b=2&a=1'
+           WHEN 1 THEN 'HTTP://WWW.' || upper(source) || '.EXAMPLE.COM:80/a/'
+                       || CAST(doc_id % 50 AS VARCHAR)
+                       || '/?a=1&b=2&utm_source=feed#top'
+           WHEN 2 THEN 'https://crawler@' || source || '.example.com:443/a/'
+                       || CAST(doc_id % 50 AS VARCHAR) || '?fbclid=xyz&b=2&a=1'
+           ELSE source || '.example.com/a/'
+                       || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2&ref'
+         END AS url
+  FROM documents
+), steps AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(trim(url), '#.*$', ''),
+           '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+  FROM urls
+), parts AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             lower(regexp_replace(regexp_extract(rest, '^([^/?]+)', 1),
+                                  '^[^@]*@', '')),
+             '^www\\.', ''),
+           ':(80|443)$', '') AS host,
+         regexp_replace(regexp_extract(rest, '^[^/?]+([^?]*)', 1),
+                        '/+$', '') AS path,
+         array_to_string(
+           list_sort(list_filter(
+             string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+             x -> x <> '' AND NOT regexp_matches(
+               x, '^(utm_[^=]*|ref|fbclid|gclid)(=.*)?$'))),
+           '&') AS kept
+  FROM steps
+), canon AS (
+  SELECT doc_id,
+         host || path
+           || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+  FROM parts
+), first AS (
+  SELECT canon_url, min(doc_id) AS canonical_id FROM canon GROUP BY canon_url
+)
+SELECT c.canon_url,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN c.doc_id <> f.canonical_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dups,
+       min(f.canonical_id) AS keep_id
+FROM canon c JOIN first f USING (canon_url)
+GROUP BY c.canon_url
+"""
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -2449,6 +2543,7 @@ PIPELINE_QUERIES = {
     "role_stats": q_role_stats,
     "tool_payloads": q_tool_payloads,
     "outcome_labels": q_outcome_labels,
+    "url_dedup": q_url_dedup,
 }
 
 PIPELINE_ORACLES = {
@@ -2496,4 +2591,5 @@ PIPELINE_ORACLES = {
     "role_stats": SQL_ROLE_STATS,
     "tool_payloads": SQL_TOOL_PAYLOADS,
     "outcome_labels": SQL_OUTCOME_LABELS,
+    "url_dedup": SQL_URL_DEDUP,
 }
