@@ -628,15 +628,36 @@ def asof_join(
     strategy: str = "window",
     n_buckets: int = 32,
     bucket_seconds: int | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Point-in-time as-of join: each anchor row gets, per value column,
     the value from the latest feature row with ``ts_f <= ts_anchor``
     (``< `` when ``strict``) for the same key.
 
+    ``direction`` extends the match rule (``pandas.merge_asof`` parity,
+    verified by the strategy-equivalence units):
+
+    - ``"backward"`` (default): latest feature at-or-before the anchor —
+      the point-in-time-correct, zero-leakage rule.
+    - ``"forward"``: EARLIEST feature at-or-after the anchor (strictly
+      after when ``strict``). Deliberately reads the future — for label
+      construction / next-event joins, never for features.
+    - ``"nearest"``: closer of the two by absolute time distance;
+      equidistant ties take the backward match (pandas' rule). With
+      ``strict``, equal-timestamp features are excluded on BOTH sides.
+
+    ``tolerance`` (seconds, inclusive): a match farther than this from
+    the anchor is nulled out per value column (each column matches the
+    latest row where IT was non-null, so distances are per-column).
+
     strategy="window" (default): union-tag + one ordered window pass —
     a sort-merge as-of realized as shuffle-on-keys + in-partition sort;
     Catalyst/Tungsten handle spilling. Right for keys whose per-key row
-    count fits a task.
+    count fits a task. ``direction="backward"`` with no tolerance is a
+    plain per-column ``last(ignorenulls)``; the general form fills
+    (ts, value) structs so the match distance is known — forward adds a
+    second in-partition sort (same exchange, tag order reversed).
 
     strategy="bucketed": salted-key skew splitting for hot keys. Time is
     range-split into buckets (fixed ``bucket_seconds`` width, else the
@@ -644,8 +665,18 @@ def asof_join(
     bucket) so no task sees a whole hot key; a tiny per-(key, bucket)
     carry table (last feature value at each bucket end, forward-filled
     across buckets) stitches the boundaries via an equi-join that AQE
-    can broadcast. Exact same semantics, bounded task size.
+    can broadcast. Exact same semantics, bounded task size. Backward
+    only: get forward by negating the timestamp on both inputs (the
+    order-reversal identity); nearest needs both passes — use "window".
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
+    if strategy == "bucketed" and (direction != "backward" or tolerance is not None):
+        raise ValueError(
+            "strategy='bucketed' supports direction='backward' without "
+            "tolerance only (negate the timestamp for a forward as-of, "
+            "or use strategy='window'/'pandas')"
+        )
     keys = [keys] if isinstance(keys, str) else list(keys)
     if value_cols is None:
         value_cols = [
@@ -666,18 +697,80 @@ def asof_join(
     )
 
     if strategy == "window":
-        w = (
+        if direction == "backward" and tolerance is None:
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy("__ts", "__src")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            filled = unioned.select(
+                "*",
+                *[
+                    F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+                    for c in value_cols
+                ],
+            )
+            return filled.where(F.col("__src") == a_tag).select(*final_cols)
+
+        # general form: fill (ts, value) structs so the match distance
+        # is known per column.  Tag ordering already encodes strict vs
+        # inclusive (features sort after anchors at equal ts when
+        # strict); the forward window reverses ONLY the tag order, which
+        # flips that rule's mirror image (anchors-first when inclusive).
+        # Both windows share one hash exchange on the keys.
+        tnum = F.col("__ts").cast("timestamp").cast("double")
+        unioned = unioned.withColumn("__tnum", tnum)
+        w_back = (
             Window.partitionBy(*keys)
             .orderBy("__ts", "__src")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        filled = unioned.select(
-            "*",
-            *[
-                F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-                for c in value_cols
-            ],
+        w_fwd = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__src").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
         )
+        fills = []
+        for c in value_cols:
+            cand = F.when(
+                F.col(f"__v_{c}").isNotNull(),
+                F.struct(
+                    F.col("__tnum").alias("t"), F.col(f"__v_{c}").alias("v")
+                ),
+            )
+            if direction in ("backward", "nearest"):
+                fills.append(
+                    F.last(cand, ignorenulls=True).over(w_back).alias(f"__b_{c}")
+                )
+            if direction in ("forward", "nearest"):
+                fills.append(
+                    F.first(cand, ignorenulls=True).over(w_fwd).alias(f"__w_{c}")
+                )
+        filled = unioned.select("*", *fills)
+
+        picked = []
+        for c in value_cols:
+            b = F.col(f"__b_{c}") if direction != "forward" else None
+            f_ = F.col(f"__w_{c}") if direction != "backward" else None
+            if direction == "backward":
+                m = b
+            elif direction == "forward":
+                m = f_
+            else:  # nearest: min |delta|, equidistant tie -> backward
+                m = (
+                    F.when(b.isNull(), f_)
+                    .when(f_.isNull(), b)
+                    .when(
+                        F.col("__tnum") - b["t"] <= f_["t"] - F.col("__tnum"), b
+                    )
+                    .otherwise(f_)
+                )
+            if tolerance is not None:
+                m = F.when(
+                    F.abs(F.col("__tnum") - m["t"]) <= F.lit(float(tolerance)), m
+                )
+            picked.append(m["v"].alias(f"__f_{c}"))
+        filled = filled.select("*", *picked)
         return filled.where(F.col("__src") == a_tag).select(*final_cols)
 
     if strategy == "pandas":
@@ -705,12 +798,20 @@ def asof_join(
         def merge(a_pd, f_pd):
             a_pd = a_pd.sort_values(ts_col, kind="mergesort")
             f_pd = f_pd.sort_values(ts_col, kind="mergesort")
+            tol = None
+            if tolerance is not None:
+                tol = (
+                    pd.Timedelta(seconds=float(tolerance))
+                    if str(a_pd[ts_col].dtype).startswith("datetime")
+                    else float(tolerance)
+                )
             res = pd.merge_asof(
                 a_pd,
                 f_pd.drop(columns=[k for k in keys]),
                 on=ts_col,
-                direction="backward",
+                direction=direction,
                 allow_exact_matches=not strict,
+                tolerance=tol,
             )
             return res.rename(columns={c: out_names[c] for c in value_cols})
 

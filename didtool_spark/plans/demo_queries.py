@@ -215,6 +215,69 @@ FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
 """
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """direction='nearest' + tolerance as-of (pandas.merge_asof parity;
+    temporal.py asof_join general window path): each purchase gets the
+    error event CLOSEST in time for the same user — equidistant ties
+    take the backward match — nulled when the gap exceeds 1 hour. The
+    oracle runs DuckDB's backward AND forward ASOF joins and replays the
+    tie + tolerance rule arithmetically."""
+    ev = load(spark, sf_dir, "events")
+    anchors = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    feats = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    out = asof_join(
+        anchors, feats, keys="user_id", ts_col="ts",
+        value_cols=["err_value"], strategy="window",
+        direction="nearest", tolerance=3600.0,
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.round("err_value", 6).alias("nearest_error_value"),
+    )
+
+
+SQL_ASOF_NEAREST = """
+WITH a AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     b AS (SELECT user_id, ts, value AS err_value FROM events WHERE event_type = 'error'),
+bk AS (
+  SELECT a.event_id, a.user_id, a.ts, b.ts AS bts, b.err_value AS bv
+  FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+),
+fw AS (
+  SELECT a.event_id, b.ts AS fts, b.err_value AS fv
+  FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts <= b.ts
+),
+pick AS (
+  SELECT bk.event_id, bk.user_id,
+         CASE
+           WHEN bts IS NULL THEN fts
+           WHEN fts IS NULL THEN bts
+           WHEN date_diff('microsecond', bts, bk.ts)
+                <= date_diff('microsecond', bk.ts, fts) THEN bts
+           ELSE fts
+         END AS mts,
+         CASE
+           WHEN bts IS NULL THEN fv
+           WHEN fts IS NULL THEN bv
+           WHEN date_diff('microsecond', bts, bk.ts)
+                <= date_diff('microsecond', bk.ts, fts) THEN bv
+           ELSE fv
+         END AS mv,
+         bk.ts AS ats
+  FROM bk JOIN fw USING (event_id)
+)
+SELECT event_id, user_id,
+       CASE WHEN mts IS NOT NULL
+                 AND abs(date_diff('microsecond', mts, ats)) <= 3600000000
+            THEN round(mv, 6) END AS nearest_error_value
+FROM pick
+"""
+
+
 def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: sessionized per-user point-in-time feature vectors —
     sessionize + lag + strictly-trailing rolling + forward-fill in one
@@ -371,6 +434,7 @@ QUERIES = {
     "backfill": q_backfill,
     "asof_join": q_asof_join,
     "asof_join_bucketed": q_asof_join_bucketed,
+    "asof_nearest": q_asof_nearest,
     "session_features": q_session_features,
     "training_set": q_training_set,
 }
@@ -384,6 +448,7 @@ ORACLES = {
     "backfill": SQL_BACKFILL,
     "asof_join": SQL_ASOF,
     "asof_join_bucketed": SQL_ASOF,
+    "asof_nearest": SQL_ASOF_NEAREST,
     "session_features": SQL_SESSION_FEATURES,
     "training_set": SQL_TRAINING_SET,
 }

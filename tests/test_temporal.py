@@ -157,6 +157,94 @@ def test_asof_join_matches_merge_asof(tr, tr_pd, strict, strategy):
     assert got["tool_score"].notna().any()
 
 
+@pytest.mark.parametrize("strategy", ["window", "pandas"])
+@pytest.mark.parametrize(
+    "direction, strict, tolerance",
+    [
+        ("forward", False, None),
+        ("forward", True, None),
+        ("nearest", False, None),
+        ("nearest", True, None),
+        ("backward", False, 600.0),
+        ("forward", False, 600.0),
+        ("nearest", False, 600.0),
+    ],
+)
+def test_asof_direction_tolerance_matches_merge_asof(
+    tr, tr_pd, strategy, direction, strict, tolerance
+):
+    """direction='forward'/'nearest' and tolerance replicate
+    pandas.merge_asof exactly (incl. the equidistant-tie-goes-backward
+    rule) on both the window and the Arrow-cogroup strategies."""
+    from pyspark.sql import functions as F
+
+    feats = tr.where(F.col("role") == "tool").select(
+        "conv_id", "ts", F.length("text").cast("double").alias("tool_score")
+    )
+    anchors = tr.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    got = (
+        asof_join(
+            anchors, feats, keys="conv_id", ts_col="ts",
+            value_cols=["tool_score"], strict=strict, strategy=strategy,
+            direction=direction, tolerance=tolerance,
+        )
+        .toPandas()
+        .sort_values(["conv_id", "ts", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    fp = tr_pd[tr_pd["role"] == "tool"][["conv_id", "ts"]].assign(
+        tool_score=tr_pd[tr_pd["role"] == "tool"]["text"].str.len().astype(float)
+    )
+    ap = tr_pd[tr_pd["role"] == "user"][["conv_id", "turn_idx", "ts"]]
+    expect = pd.merge_asof(
+        ap.sort_values("ts", kind="mergesort"),
+        fp.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="conv_id",
+        allow_exact_matches=not strict,
+        direction=direction,
+        tolerance=None if tolerance is None else pd.Timedelta(seconds=tolerance),
+    ).sort_values(["conv_id", "ts", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(expect)
+    np.testing.assert_allclose(
+        got["tool_score"].values, expect["tool_score"].values, equal_nan=True
+    )
+    assert got["tool_score"].notna().any()
+    if tolerance is not None:
+        assert got["tool_score"].isna().any()  # tolerance must bite
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    """Equidistant before/after features: the backward one wins (the
+    pandas rule, probed empirically)."""
+    anchors = spark.createDataFrame(
+        [("k", datetime.datetime(2026, 1, 1, 0, 0, 10))], "conv_id string, ts timestamp"
+    )
+    feats = spark.createDataFrame(
+        [
+            ("k", datetime.datetime(2026, 1, 1, 0, 0, 5), 1.0),
+            ("k", datetime.datetime(2026, 1, 1, 0, 0, 15), 2.0),
+        ],
+        "conv_id string, ts timestamp, v double",
+    )
+    for strategy in ("window", "pandas"):
+        out = asof_join(
+            anchors, feats, keys="conv_id", value_cols=["v"],
+            direction="nearest", strategy=strategy,
+        ).collect()
+        assert out[0]["v"] == 1.0, strategy
+
+
+def test_asof_bucketed_rejects_non_backward():
+    # signature-level guard: raises before touching the DataFrames
+    with pytest.raises(ValueError, match="bucketed"):
+        asof_join(None, None, strategy="bucketed", direction="forward")
+    with pytest.raises(ValueError, match="bucketed"):
+        asof_join(None, None, strategy="bucketed", tolerance=5.0)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(None, None, direction="sideways")
+
+
 def test_sessionize_bucketed_equals_window(tr):
     """Carry-trick skew-splitting sessionization must be bit-identical
     to the single-window form (small buckets force many carries)."""
