@@ -40,7 +40,7 @@ GATE_PRIORITY: list[str] = [
     "render_conversations", "truncate_convs", "role_stats", "tool_payloads",
     "outcome_labels",
     # -- tier 1 (round 4): new this round
-    "url_dedup", "asof_nearest",
+    "url_dedup", "asof_nearest", "target_encode",
     # -- tier 2: first driver-green in round 3 (checked once)
     "user_rollup", "training_set", "dt_bin", "lgb_bin", "chi_bin", "iv_all",
     "psi_all", "selector_stats", "scorecard", "dedup_clusters",
@@ -49,7 +49,7 @@ GATE_PRIORITY: list[str] = [
     # -- tier 3: driver-green in rounds 2 AND 3; a representative core set
     # stays inside the window, the rest rotate behind it.
     "sessionize", "session_features", "asof_join", "asof_join_bucketed",
-    "lag_lead", "backfill", "minhash_dedup",
+    "lag_lead", "minhash_dedup",
     "auc_ks_binned",
 ]
 

@@ -102,6 +102,11 @@ from .operators.url import (  # noqa: F401
     canonical_url_expr, canonicalize_urls, url_dedup,
 )
 
+# leakage-controlled mean/target encoding (oof / loo / smoothed-global)
+from .operators.target_encode import (  # noqa: F401
+    apply_target_encoding, fit_target_encoding, target_encode,
+)
+
 # benchmark decontamination, Gopher quality rules, domain mixing
 from .operators.decontam import (  # noqa: F401
     c4_rules, decontaminate, domain_mix, gopher_quality,

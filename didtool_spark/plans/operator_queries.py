@@ -740,6 +740,68 @@ JOIN mapping m ON m.t = CAST(floor((b.prob + 0.025) / 0.05) AS INT)
 """
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold m-estimate target encoding (target_encode.py) over
+    two categorical features with deterministic folds (event_id % 5) —
+    zero label leakage: a row's encoding uses only other-fold
+    statistics, including the prior. The oracle replays the exact
+    formula with window sums; every input to the arithmetic is an exact
+    integer, so the doubles agree bit-for-bit before rounding."""
+    from ..operators.target_encode import target_encode
+
+    ev = load(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        "event_type",
+        F.concat(
+            F.lit("b"), F.floor(F.col("value") / 100).cast("int").cast("string")
+        ).alias("vband"),
+        (F.col("value") > 500).cast("int").alias("y"),
+        F.pmod(F.col("event_id"), 5).cast("int").alias("fold"),
+    )
+    out = target_encode(
+        df, ["event_type", "vband"], "y", method="oof", fold_col="fold",
+        smoothing=20.0,
+    )
+    return out.select(
+        "event_id",
+        F.round("event_type_te", 6).alias("event_type_te"),
+        F.round("vband_te", 6).alias("vband_te"),
+    )
+
+
+SQL_TARGET_ENCODE = """
+WITH src AS (
+  SELECT event_id, event_type,
+         'b' || CAST(CAST(floor(value / 100) AS INT) AS VARCHAR) AS vband,
+         CASE WHEN value > 500 THEN 1 ELSE 0 END AS y,
+         CAST(event_id % 5 AS INT) AS fold
+  FROM events
+), w AS (
+  SELECT event_id,
+    sum(y) OVER (PARTITION BY event_type)        AS s1,
+    count(*) OVER (PARTITION BY event_type)      AS n1,
+    sum(y) OVER (PARTITION BY event_type, fold)  AS sf1,
+    count(*) OVER (PARTITION BY event_type, fold) AS nf1,
+    sum(y) OVER (PARTITION BY vband)             AS s2,
+    count(*) OVER (PARTITION BY vband)           AS n2,
+    sum(y) OVER (PARTITION BY vband, fold)       AS sf2,
+    count(*) OVER (PARTITION BY vband, fold)     AS nf2,
+    sum(y) OVER ()                               AS st,
+    count(*) OVER ()                             AS nt,
+    sum(y) OVER (PARTITION BY fold)              AS sfo,
+    count(*) OVER (PARTITION BY fold)            AS nfo
+  FROM src
+)
+SELECT event_id,
+  round((s1 - sf1 + 20.0 * ((st - sfo) * 1.0 / (nt - nfo)))
+        / (n1 - nf1 + 20.0), 6) AS event_type_te,
+  round((s2 - sf2 + 20.0 * ((st - sfo) * 1.0 / (nt - nfo)))
+        / (n2 - nf2 + 20.0), 6) AS vband_te
+FROM w
+"""
+
+
 OP_QUERIES = {
     "step_bin": q_step_bin,
     "quantile_bin": q_quantile_bin,
@@ -763,6 +825,7 @@ OP_QUERIES = {
     "auc_ks": q_auc_ks,
     "auc_ks_binned": q_auc_ks_binned,
     "scorecard": q_scorecard,
+    "target_encode": q_target_encode,
 }
 
 OP_ORACLES = {
@@ -791,4 +854,5 @@ OP_ORACLES = {
     # adjustment a no-op (see _scorecard_input); the adjustment path
     # stays covered by unit goldens
     "scorecard": SQL_SCORECARD,
+    "target_encode": SQL_TARGET_ENCODE,
 }
