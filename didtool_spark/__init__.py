@@ -97,9 +97,10 @@ from .operators.curate import (  # noqa: F401
     chunk_documents, pack_sequences, scrub_pii, stratified_sample,
 )
 
-# URL canonicalization + URL-level dedup
+# URL canonicalization, registrable-domain blocklisting, URL-level dedup
 from .operators.url import (  # noqa: F401
-    canonical_url_expr, canonicalize_urls, url_dedup,
+    canonical_url_expr, canonicalize_urls, domain_filter,
+    registered_domain_expr, url_dedup,
 )
 
 # leakage-controlled mean/target encoding (oof / loo / smoothed-global)

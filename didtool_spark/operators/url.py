@@ -34,9 +34,19 @@ carries one row per DISTINCT canonical URL) and the join back — the
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["TRACKING_PARAM_PATTERN", "canonical_url_expr", "canonicalize_urls", "url_dedup"]
+__all__ = [
+    "TRACKING_PARAM_PATTERN",
+    "TWO_LEVEL_SUFFIXES",
+    "canonical_url_expr",
+    "canonicalize_urls",
+    "domain_filter",
+    "registered_domain_expr",
+    "url_dedup",
+]
 
 # anchored per-parameter pattern: utm_* family, bare/valued ref,
 # facebook/google click ids
@@ -81,6 +91,73 @@ def canonicalize_urls(
     return df.withColumn(
         out_col, canonical_url_expr(F.col(url_col), tracking_pattern)
     )
+
+
+# the common two-level public suffixes; a deliberate, documented subset
+# of the Public Suffix List (the full PSL is a data file, not an
+# algorithm — swap in a broadcast PSL table for exactness at ingest)
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "com.tw", "co.za", "com.ar", "com.tr", "com.sg",
+)
+
+
+def registered_domain_expr(url: Column) -> Column:
+    """Registrable domain (eTLD+1 heuristic) of a URL column: the host
+    is extracted with the canonicalization rules, then reduced to its
+    last two labels — three when the two-label tail is a known
+    two-level public suffix (``TWO_LEVEL_SUFFIXES``). Pure codegen
+    (split + slice + array_join), no UDF, NULL-safe."""
+    rest = F.regexp_replace(
+        F.trim(url), r"^[A-Za-z][A-Za-z0-9+.\-]*://", ""
+    )
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_extract(rest, r"^([^/?#]+)", 1), r"^[^@]*@", ""),
+            r":\d+$",
+            "",
+        )
+    )
+    labels = F.split(host, r"\.", -1)
+    n = F.size(labels)
+    tail2 = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
+    take = F.when(
+        tail2.isin(*TWO_LEVEL_SUFFIXES) & (n >= F.lit(3)), F.lit(3)
+    ).otherwise(F.least(n, F.lit(2)))
+    return F.array_join(F.slice(labels, F.greatest(n - take + 1, F.lit(1)), take), ".")
+
+
+def domain_filter(
+    df: DataFrame,
+    blocklist: DataFrame | Sequence[str],
+    url_col: str = "url",
+    keep: bool = False,
+) -> DataFrame:
+    """Drop (or keep, with ``keep=True``) rows whose URL's registrable
+    domain appears in ``blocklist`` — the standard adult/spam domain
+    blocklist pass of web-corpus curation (C4/RefinedWeb run it before
+    any content filter because it is the cheapest).
+
+    ``blocklist`` is a one-column DataFrame (or a literal list, for
+    tests/small lists) of registrable domains. Plan: per-row domain
+    extraction (codegen) + ONE broadcast left-anti (or semi) join —
+    blocklists are millions of rows at most, far under the broadcast
+    threshold; no corpus shuffle."""
+    if not isinstance(blocklist, DataFrame):
+        spark = df.sparkSession
+        blocklist = spark.createDataFrame(
+            [(d,) for d in blocklist], "domain string"
+        )
+    bcol = blocklist.columns[0]
+    bl = F.broadcast(
+        blocklist.select(F.lower(F.col(bcol)).alias("__bl_domain")).distinct()
+    )
+    out = df.withColumn("__dom", registered_domain_expr(F.col(url_col)))
+    how = "left_semi" if keep else "left_anti"
+    return out.join(
+        bl, out["__dom"] == bl["__bl_domain"], how
+    ).drop("__dom")
 
 
 def url_dedup(

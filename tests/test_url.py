@@ -3,7 +3,8 @@
 from pyspark.sql import functions as F
 
 from didtool_spark.operators.url import (
-    canonical_url_expr, canonicalize_urls, url_dedup)
+    canonical_url_expr, canonicalize_urls, domain_filter,
+    registered_domain_expr, url_dedup)
 
 
 CASES = [
@@ -54,6 +55,48 @@ def test_canonicalize_null_and_plan(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+DOMAIN_CASES = [
+    ("https://news.bbc.co.uk/story", "bbc.co.uk"),
+    ("http://www.example.com/x", "example.com"),
+    ("https://a.b.c.example.org:8080/", "example.org"),
+    ("https://user@sub.shop.com.au/x?q=1", "shop.com.au"),
+    ("localhost/x", "localhost"),
+    ("https://co.uk/", "co.uk"),  # bare suffix: nothing above it to take
+    ("EXAMPLE.COM", "example.com"),
+]
+
+
+def test_registered_domain_cases(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(DOMAIN_CASES)], "i int, url string"
+    )
+    got = {r["i"]: r["d"] for r in
+           df.select("i", registered_domain_expr(F.col("url")).alias("d")).collect()}
+    for i, (raw, want) in enumerate(DOMAIN_CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_domain_filter_blocks_and_keeps(spark):
+    rows = [
+        (1, "https://spam.bad-site.com/win"),
+        (2, "https://www.bad-site.com/free"),
+        (3, "https://good.org/a"),
+        (4, "https://news.bbc.co.uk/x"),
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    kept = sorted(r["id"] for r in domain_filter(df, ["bad-site.com"]).collect())
+    assert kept == [3, 4]  # both bad-site subdomain forms dropped
+    only = sorted(
+        r["id"] for r in domain_filter(df, ["bbc.co.uk"], keep=True).collect()
+    )
+    assert only == [4]
+    # broadcast anti-join, no corpus shuffle
+    from tests.test_plan_shape import plan_str
+
+    p = plan_str(domain_filter(df, ["bad-site.com"]))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
 
 
 def test_url_dedup_keeps_min_id(spark):
