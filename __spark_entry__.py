@@ -41,15 +41,16 @@ GATE_PRIORITY: list[str] = [
     "outcome_labels",
     # -- tier 1 (round 4): new this round
     "url_dedup", "asof_nearest", "target_encode",
+    "future_label", "multi_horizon", "transcript_parity",
     # -- tier 2: first driver-green in round 3 (checked once)
     "user_rollup", "training_set", "dt_bin", "lgb_bin", "chi_bin", "iv_all",
     "psi_all", "selector_stats", "scorecard", "dedup_clusters",
     "split_by_cluster", "embedding_topk_ivf", "media_features", "pii_scrub",
     "chunk_docs", "stratified_sample",
     # -- tier 3: driver-green in rounds 2 AND 3; a representative core set
-    # stays inside the window, the rest rotate behind it.
-    "sessionize", "session_features", "asof_join", "asof_join_bucketed",
-    "lag_lead", "minhash_dedup",
+    # stays inside the window, the rest rotate behind it (still guarded
+    # by scripts/check_oracle.py full-registry local replays).
+    "session_features", "asof_join_bucketed", "minhash_dedup",
     "auc_ks_binned",
 ]
 

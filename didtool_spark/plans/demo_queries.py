@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.labels import with_future_label
+from ..operators.parity import transcript_parity
 from ..operators.temporal import (
     FeatureTable,
     asof_join,
@@ -425,6 +427,156 @@ FROM av ASOF LEFT JOIN p ON av.user_id = p.user_id AND av.ts > p.ts
 """
 
 
+def q_future_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-window label construction (operators/labels.py): per
+    event, whether an 'error' occurs for the same user within the next
+    600s, and the purchase value accumulated in the next hour — both
+    strictly future (the anchor row's own frame starts at +1s, so the
+    label never reads the features' history).  Runs the bucketed
+    hot-key-safe strategy; the window form is equivalence-tested in
+    tests/test_labels.py."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn(
+            "is_error", (F.col("event_type") == "error").cast("int")
+        )
+        .withColumn(
+            "purchase_value",
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+        )
+    )
+    out = with_future_label(
+        ev,
+        [("is_error", "max", 600), ("purchase_value", "sum", 3600)],
+        keys="user_id",
+        ts_col="ts",
+        fill=0,
+        strategy="bucketed",
+        bucket_seconds=86400,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("is_error_max_next600s").cast("long").alias("error_next_600s"),
+        F.round("purchase_value_sum_next3600s", 6).alias("purchase_next_1h"),
+    )
+
+
+SQL_FUTURE_LABEL = """
+SELECT event_id, user_id,
+       CAST(coalesce(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     OVER w600, 0) AS BIGINT) AS error_next_600s,
+       round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END)
+                      OVER w3600, 0), 6) AS purchase_next_1h
+FROM (SELECT *, date_diff('second', TIMESTAMP '1970-01-01', ts) AS ep FROM events)
+WINDOW w600 AS (PARTITION BY user_id ORDER BY ep
+                RANGE BETWEEN 1 FOLLOWING AND 600 FOLLOWING),
+       w3600 AS (PARTITION BY user_id ORDER BY ep
+                 RANGE BETWEEN 1 FOLLOWING AND 3600 FOLLOWING)
+"""
+
+
+def q_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store-style multi-horizon trailing aggregates: count and
+    sum of value per user at 10-minute / 1-hour / 6-hour horizons, all
+    from ONE pass — the three rangeBetween frames share a single
+    partitionBy(user).orderBy(epoch) sort, so Catalyst plans one
+    exchange + one sort for all six columns (asserted in
+    tests/test_plan_shape.py)."""
+    ev = load(spark, sf_dir, "events")
+    out = with_rolling(
+        ev,
+        [
+            ("value", "sum", 600), ("value", "count", 600),
+            ("value", "sum", 3600), ("value", "count", 3600),
+            ("value", "sum", 21600), ("value", "count", 21600),
+        ],
+        keys="user_id",
+        ts_col="ts",
+        include_current=False,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value_sum_600s", 6).alias("sum_10m"),
+        F.col("value_count_600s").alias("cnt_10m"),
+        F.round("value_sum_3600s", 6).alias("sum_1h"),
+        F.col("value_count_3600s").alias("cnt_1h"),
+        F.round("value_sum_21600s", 6).alias("sum_6h"),
+        F.col("value_count_21600s").alias("cnt_6h"),
+    )
+
+
+SQL_MULTI_HORIZON = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w600, 6) AS sum_10m,
+       count(value) OVER w600 AS cnt_10m,
+       round(sum(value) OVER w3600, 6) AS sum_1h,
+       count(value) OVER w3600 AS cnt_1h,
+       round(sum(value) OVER w21600, 6) AS sum_6h,
+       count(value) OVER w21600 AS cnt_6h
+FROM (SELECT *, date_diff('second', TIMESTAMP '1970-01-01', ts) AS ep FROM events)
+WINDOW w600 AS (PARTITION BY user_id ORDER BY ep
+                RANGE BETWEEN 600 PRECEDING AND 1 PRECEDING),
+       w3600 AS (PARTITION BY user_id ORDER BY ep
+                 RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING),
+       w21600 AS (PARTITION BY user_id ORDER BY ep
+                  RANGE BETWEEN 21600 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_transcript_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn text-equality validation (operators/parity.py) between
+    two deterministic variants of the events-as-transcript table: the
+    left drops event_id%89==0 turns, the right drops %97==0 and corrupts
+    the text of %101==0 — so all four statuses (match / diff /
+    left_only / right_only) appear and the one-join classification is
+    value-checked end to end."""
+    ev = load(spark, sf_dir, "events")
+    left = ev.where(F.pmod("event_id", F.lit(89)) != 0).select(
+        "user_id", "event_id", F.col("event_type").alias("text")
+    )
+    right = ev.where(F.pmod("event_id", F.lit(97)) != 0).select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.pmod("event_id", F.lit(101)) == 0,
+            F.concat(F.col("event_type"), F.lit("X")),
+        ).otherwise(F.col("event_type")).alias("text"),
+    )
+    return transcript_parity(
+        left, right, keys=("user_id", "event_id"), compare_cols=("text",)
+    )
+
+
+SQL_TRANSCRIPT_PARITY = """
+WITH l AS (
+  SELECT user_id, event_id, event_type AS text, TRUE AS in_l
+  FROM events WHERE event_id % 89 <> 0
+),
+r AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 101 = 0 THEN event_type || 'X'
+              ELSE event_type END AS text,
+         TRUE AS in_r
+  FROM events WHERE event_id % 97 <> 0
+),
+j AS (
+  SELECT coalesce(l.user_id, r.user_id) AS conv,
+         CASE WHEN l.in_l IS NULL THEN 'right_only'
+              WHEN r.in_r IS NULL THEN 'left_only'
+              WHEN l.text IS DISTINCT FROM r.text THEN 'diff'
+              ELSE 'match' END AS status
+  FROM l FULL OUTER JOIN r
+    ON l.user_id = r.user_id AND l.event_id = r.event_id
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv) AS BIGINT) AS n_convs
+FROM j GROUP BY status
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -437,6 +589,9 @@ QUERIES = {
     "asof_nearest": q_asof_nearest,
     "session_features": q_session_features,
     "training_set": q_training_set,
+    "future_label": q_future_label,
+    "multi_horizon": q_multi_horizon,
+    "transcript_parity": q_transcript_parity,
 }
 
 ORACLES = {
@@ -451,4 +606,7 @@ ORACLES = {
     "asof_nearest": SQL_ASOF_NEAREST,
     "session_features": SQL_SESSION_FEATURES,
     "training_set": SQL_TRAINING_SET,
+    "future_label": SQL_FUTURE_LABEL,
+    "multi_horizon": SQL_MULTI_HORIZON,
+    "transcript_parity": SQL_TRANSCRIPT_PARITY,
 }
