@@ -42,6 +42,7 @@ GATE_PRIORITY: list[str] = [
     # -- tier 1 (round 4): new this round
     "url_dedup", "asof_nearest", "target_encode",
     "future_label", "multi_horizon", "transcript_parity",
+    "group_quantiles", "heavy_hitters",
     # -- tier 2: first driver-green in round 3 (checked once)
     "user_rollup", "training_set", "dt_bin", "lgb_bin", "chi_bin", "iv_all",
     "psi_all", "selector_stats", "scorecard", "dedup_clusters",
@@ -50,8 +51,7 @@ GATE_PRIORITY: list[str] = [
     # -- tier 3: driver-green in rounds 2 AND 3; a representative core set
     # stays inside the window, the rest rotate behind it (still guarded
     # by scripts/check_oracle.py full-registry local replays).
-    "session_features", "asof_join_bucketed", "minhash_dedup",
-    "auc_ks_binned",
+    "session_features", "minhash_dedup",
 ]
 
 

@@ -86,6 +86,11 @@ from .operators.transcript import (  # noqa: F401
     attach_outcome, loop_stats, render_conversations, role_stats,
     truncate_conversations,
 )
+from .operators.labels import with_future_label  # noqa: F401
+from .operators.parity import transcript_parity  # noqa: F401
+from .operators.stats_features import (  # noqa: F401
+    group_quantiles, heavy_hitters,
+)
 from .functions.exprs import with_json_fields  # noqa: F401
 from .operators.text import (  # noqa: F401
     collocations, fingerprint_exprs, fingerprint_overlap, tfidf_keywords,

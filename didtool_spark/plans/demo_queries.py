@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.labels import with_future_label
 from ..operators.parity import transcript_parity
+from ..operators.stats_features import group_quantiles, heavy_hitters
 from ..operators.temporal import (
     FeatureTable,
     asof_join,
@@ -577,6 +578,57 @@ FROM j GROUP BY status
 """
 
 
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity exact quantile features (operators/stats_features.py):
+    median and p90 of value per user via Spark's exact `percentile`
+    aggregate (linear interpolation == SQL quantile_cont) — ONE
+    map-side-combinable shuffle; `approx=True` is the documented
+    t-digest path for hot/global keys."""
+    ev = load(spark, sf_dir, "events")
+    q = group_quantiles(ev, "value", [0.5, 0.9], keys="user_id")
+    return q.select(
+        "user_id",
+        F.round("value_p50", 6).alias("value_p50"),
+        F.round("value_p90", 6).alias("value_p90"),
+    )
+
+
+SQL_GROUP_QUANTILES = """
+SELECT user_id,
+       round(quantile_cont(value, 0.5), 6) AS value_p50,
+       round(quantile_cont(value, 0.9), 6) AS value_p90
+FROM events GROUP BY user_id
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 most frequent event types per user with deterministic
+    count-DESC/item-ASC ties: the shuffle carries one row per DISTINCT
+    (user, item) — map-side combined — and the rank window runs over
+    the aggregated count table."""
+    ev = load(spark, sf_dir, "events")
+    out = heavy_hitters(ev, "event_type", keys="user_id", k=2)
+    return out.select(
+        "user_id", F.col("rank").cast("long").alias("rank"), "item", "n"
+    )
+
+
+SQL_HEAVY_HITTERS = """
+WITH c AS (
+  SELECT user_id, event_type AS item, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, item, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, item ASC) AS rank
+  FROM c
+)
+SELECT user_id, CAST(rank AS BIGINT) AS rank, item, CAST(n AS BIGINT) AS n
+FROM r WHERE rank <= 2
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -592,6 +644,8 @@ QUERIES = {
     "future_label": q_future_label,
     "multi_horizon": q_multi_horizon,
     "transcript_parity": q_transcript_parity,
+    "group_quantiles": q_group_quantiles,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLES = {
@@ -609,4 +663,6 @@ ORACLES = {
     "future_label": SQL_FUTURE_LABEL,
     "multi_horizon": SQL_MULTI_HORIZON,
     "transcript_parity": SQL_TRANSCRIPT_PARITY,
+    "group_quantiles": SQL_GROUP_QUANTILES,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
 }

@@ -95,4 +95,27 @@ packed = dt.pack_sequences(
 print("packed sequences:",
       packed.select("shard", "pack_no").distinct().count(), "packs")
 
+# --- label side + distribution features + parity (round 4) -------------
+ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+    "is_error", (F.col("event_type") == "error").cast("int"))
+labeled = dt.with_future_label(
+    ev, [("is_error", "max", 600)], keys="user_id", ts_col="ts", fill=0)
+print("error-within-10m positive rate:",
+      labeled.agg(F.avg("is_error_max_next600s")).collect()[0][0])
+
+quants = dt.group_quantiles(ev, "value", [0.5, 0.9], keys="user_id")
+print("per-user p90 spread:",
+      quants.agg(F.min("value_p90"), F.max("value_p90")).collect()[0])
+
+hh = dt.heavy_hitters(ev, "event_type", keys="user_id", k=1)
+print("most common top event type:",
+      hh.groupBy("item").count().orderBy(F.desc("count")).first())
+
+par = dt.transcript_parity(
+    ev.select("user_id", "event_id", F.col("event_type").alias("text")),
+    ev.where("event_id % 97 != 0")
+      .select("user_id", "event_id", F.col("event_type").alias("text")),
+    keys=("user_id", "event_id"))
+print("parity:", {r["status"]: r["n_turns"] for r in par.collect()})
+
 spark.stop()
