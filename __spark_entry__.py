@@ -43,15 +43,16 @@ GATE_PRIORITY: list[str] = [
     "url_dedup", "asof_nearest", "target_encode",
     "future_label", "multi_horizon", "transcript_parity",
     "group_quantiles", "heavy_hitters",
+    "bm25_topk", "length_buckets", "text_normalize", "ngram_diversity",
     # -- tier 2: first driver-green in round 3 (checked once)
     "user_rollup", "training_set", "dt_bin", "lgb_bin", "chi_bin", "iv_all",
     "psi_all", "selector_stats", "scorecard", "dedup_clusters",
     "split_by_cluster", "embedding_topk_ivf", "media_features", "pii_scrub",
-    "chunk_docs", "stratified_sample",
-    # -- tier 3: driver-green in rounds 2 AND 3; a representative core set
-    # stays inside the window, the rest rotate behind it (still guarded
-    # by scripts/check_oracle.py full-registry local replays).
-    "session_features", "minhash_dedup",
+    # (chunk_docs / stratified_sample — simple pure-expression queries,
+    # driver-green in r3 — rotated out for the four new round-4 ops;
+    # tier 3 (session_features, minhash_dedup — green r2 AND r3) rotates
+    # fully behind the window. All rotated queries stay guarded by
+    # scripts/check_oracle.py full-registry local replays.)
 ]
 
 

@@ -93,13 +93,18 @@ from .operators.stats_features import (  # noqa: F401
 )
 from .functions.exprs import with_json_fields  # noqa: F401
 from .operators.text import (  # noqa: F401
-    collocations, fingerprint_exprs, fingerprint_overlap, tfidf_keywords,
+    collocations, fingerprint_exprs, fingerprint_overlap, ngram_diversity,
+    normalize_text, normalize_text_expr, tfidf_keywords,
     winnow_fingerprints, with_lang_id, with_text_features,
 )
 
+# ad-hoc BM25 keyword retrieval (zero-shuffle single-query scoring)
+from .operators.retrieval import bm25_topk  # noqa: F401
+
 # training-data curation (PII scrub, chunking, sampling, packing)
 from .operators.curate import (  # noqa: F401
-    chunk_documents, pack_sequences, scrub_pii, stratified_sample,
+    chunk_documents, length_bucket_stats, pack_sequences, scrub_pii,
+    stratified_sample,
 )
 
 # URL canonicalization, registrable-domain blocklisting, URL-level dedup

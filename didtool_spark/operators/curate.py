@@ -32,6 +32,7 @@ __all__ = [
     "chunk_documents",
     "stratified_sample",
     "pack_sequences",
+    "length_bucket_stats",
 ]
 
 # Ordered: URLs scrub first so an email-looking userinfo inside a URL is
@@ -203,3 +204,50 @@ def pack_conversations(
         n_shards=n_shards, seed=seed,
     ).withColumn("oversize", F.col("conv_tokens") > F.lit(int(budget)))
     return turns.join(packed, conv_col)
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    token_count_col: str,
+    min_bucket: int = 16,
+    max_bucket: int = 8192,
+) -> DataFrame:
+    """Sequence-length bucketing report for batch shaping: assign each
+    document to the smallest power-of-two bucket >= its token count
+    (clamped to [min_bucket, max_bucket]; longer docs land in the top
+    bucket, to be chunked upstream) and report, per bucket, document
+    count, real token mass, padded token mass (n_docs * bucket) and
+    the padding-waste fraction — the number that decides whether a
+    trainer pads to fixed length or buckets by length.
+
+    Plan: bucket id is a per-row expression (ceil-log2 via
+    ``ceil(log2(n))``), then ONE map-side-combined groupBy over at most
+    ``log2(max/min)+1`` distinct keys — the shuffle carries a dozen
+    rows per map task. The final sort orders a dozen-row result.
+    """
+    n = F.greatest(F.col(token_count_col).cast("long"), F.lit(1))
+    raw = F.pow(F.lit(2.0), F.ceil(F.log2(n)).cast("double"))
+    bucket = F.least(
+        F.greatest(raw.cast("long"), F.lit(int(min_bucket))),
+        F.lit(int(max_bucket)),
+    )
+    out = (
+        df.select(
+            bucket.alias("bucket"),
+            F.col(token_count_col).cast("long").alias("__n"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("sum_tokens"),
+        )
+        .withColumn("padded_tokens", F.col("n_docs") * F.col("bucket"))
+        .withColumn(
+            "waste_frac",
+            F.round(
+                1.0 - F.col("sum_tokens") / F.col("padded_tokens").cast("double"),
+                6,
+            ),
+        )
+    )
+    return out.orderBy("bucket")

@@ -390,3 +390,85 @@ def fingerprint_exprs(col: str | Column) -> dict[str, Column]:
         "fp_exact": F.md5(norm),
         "fp_rolling": F.array_min(F.transform(tri, lambda w: F.xxhash64(w))),
     }
+
+
+# --------------------------------------------------------------- normalize
+# Unicode cruft that survives web extraction: zero-widths/BOM, curly
+# quotes and long dashes, NBSP, C0/C1 control characters. Kept as a
+# module constant so the SQL oracle replays the exact same tables.
+ZERO_WIDTH = "​‌‍﻿"
+PUNCT_FROM = "‘’“”–— "
+PUNCT_TO = "''\"\"-- "
+CONTROL_CLASS = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def normalize_text_expr(col: str | Column) -> Column:
+    """Deterministic text-normalization expression: drop zero-widths,
+    ASCII-fold curly quotes/dashes/NBSP, strip control characters
+    (keeping \\n and \\t), collapse space/tab runs, cap blank-line runs
+    at one, trim.  Pure codegen — scale = scan speed; the same steps
+    replay verbatim in DuckDB (regexp_replace + translate)."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = F.regexp_replace(c, f"[{ZERO_WIDTH}]", "")
+    x = F.translate(x, PUNCT_FROM, PUNCT_TO)
+    x = F.regexp_replace(x, CONTROL_CLASS, "")
+    x = F.regexp_replace(x, "[ \t]+", " ")
+    x = F.regexp_replace(x, " ?\n ?", "\n")
+    x = F.regexp_replace(x, "\n{3,}", "\n\n")
+    return F.trim(x)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document normalization report: the cleaned text plus
+    before/after lengths and a changed flag (cheap audit columns a
+    pipeline logs before overwriting the raw text)."""
+    norm = normalize_text_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        norm.alias("text_norm"),
+        F.length(text_col).cast("int").alias("len_raw"),
+        F.length(norm).cast("int").alias("len_norm"),
+        # content inequality, not length: quote/dash folding is
+        # length-preserving and must still count as a change
+        (F.col(text_col) != norm).alias("changed"),
+    )
+
+
+# --------------------------------------------------------------- diversity
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_ratio: float = 0.5,
+) -> DataFrame:
+    """Per-document n-gram diversity (distinct n-grams / total n-grams)
+    — the self-repetition score used to drop template/boilerplate and
+    degenerate-generation documents (cf. Gopher's repetition rules,
+    which didtool_spark ships in decontam.quality_gopher; this is the
+    single-ratio form used for quick corpus triage).
+
+    Pure per-row array expressions (token split -> shifted-slice
+    zip_with windows -> array_distinct), zero shuffle: diversity of
+    100 TB is one scan. Documents with fewer than ``n`` tokens have no
+    n-gram, diversity 1.0 by convention, never flagged.
+    """
+    toks = tokens_expr(text_col)
+    grams = F.when(
+        F.size(toks) >= n, window_concat_expr(toks, n)
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(
+        n_grams > 0, F.round(n_distinct.cast("double") / n_grams, 6)
+    ).otherwise(F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_tokens"),
+        n_grams.cast("int").alias("n_ngrams"),
+        n_distinct.cast("int").alias("n_distinct"),
+        ratio.alias("diversity"),
+        (ratio < min_ratio).alias("is_repetitive"),
+    )

@@ -2500,6 +2500,221 @@ GROUP BY c.canon_url
 """
 
 
+# --------------------------------------------------------------- retrieval
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc BM25 keyword retrieval (operators/retrieval.py): global
+    top-20 documents for a four-term query, Lucene BM25 (k1=1.2,
+    b=0.75). Zero data shuffle: per-term tf and doc length are row
+    expressions, corpus stats one broadcast scalar row, top-k a
+    TakeOrderedAndProject. The oracle replays tokenization, tf, df,
+    idf and the length-normalized score in DuckDB."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, "spark hash join window", top_k=20)
+
+
+SQL_BM25_TOPK = """
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, len(t) AS dl,
+         len(list_filter(t, x -> x = 'spark'))  AS tf0,
+         len(list_filter(t, x -> x = 'hash'))   AS tf1,
+         len(list_filter(t, x -> x = 'join'))   AS tf2,
+         len(list_filter(t, x -> x = 'window')) AS tf3
+  FROM tk
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+         sum((tf0 > 0)::INT)::DOUBLE AS df0,
+         sum((tf1 > 0)::INT)::DOUBLE AS df1,
+         sum((tf2 > 0)::INT)::DOUBLE AS df2,
+         sum((tf3 > 0)::INT)::DOUBLE AS df3
+  FROM base
+), scored AS (
+  SELECT doc_id,
+    round(
+      CASE WHEN tf0 > 0 THEN ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+        * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END
+    + CASE WHEN tf1 > 0 THEN ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+        * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END
+    + CASE WHEN tf2 > 0 THEN ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+        * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END
+    + CASE WHEN tf3 > 0 THEN ln(1 + (n - df3 + 0.5) / (df3 + 0.5))
+        * tf3 * (1.2 + 1.0) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END
+    , 6) AS score
+  FROM base CROSS JOIN stats
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------- batch shaping
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing report (operators/curate.py
+    length_bucket_stats): BPE-ish token count per document -> smallest
+    power-of-two bucket in [16, 8192] -> per-bucket doc count, token
+    mass and padding-waste fraction. One dozen-key map-side-combined
+    groupBy; everything else is row expressions."""
+    from ..operators.curate import length_bucket_stats
+    from ..operators.text import n_tokens_bpe
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", n_tokens_bpe("text").cast("long").alias("n_tok")
+    )
+    return length_bucket_stats(docs, "n_tok")
+
+
+SQL_LENGTH_BUCKETS = r"""
+WITH n AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_tok
+  FROM documents
+), b AS (
+  SELECT n_tok,
+         least(greatest(CAST(pow(2.0, ceil(log2(greatest(n_tok, 1))))
+                             AS BIGINT), 16), 8192) AS bucket
+  FROM n
+), g AS (
+  SELECT bucket, count(*) AS n_docs, sum(n_tok)::BIGINT AS sum_tokens
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n_docs, sum_tokens,
+       n_docs * bucket AS padded_tokens,
+       round(1.0 - sum_tokens / CAST(n_docs * bucket AS DOUBLE), 6)
+         AS waste_frac
+FROM g ORDER BY bucket
+"""
+
+
+# ------------------------------------------------------------- normalize
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace normalization (operators/text.py
+    normalize_text): three deterministic cruft variants are injected
+    per document (curly quotes + NBSP + em-dash; zero-widths + control
+    chars + tab runs; blank-line runs + trailing spaces) and the
+    normalizer must fold them all back to clean text. Pure codegen;
+    the oracle replays both the injection and every normalization step
+    (regexp_replace + translate) in DuckDB. Result carries an md5 of
+    the normalized text so the gate hashes content compactly."""
+    from ..operators.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    v = F.pmod(F.col("doc_id"), 3)
+    raw = (
+        F.when(v == 0, F.concat(
+            F.lit("\u201cquoted\u201d \u00a0 "), F.col("text"),
+            F.lit(" \u2014 tail")))
+        .when(v == 1, F.concat(
+            F.lit("a\u200bb\u0001c\t\t"), F.col("text"),
+            F.lit("\u0007 end")))
+        .otherwise(F.concat(
+            F.lit("lead  line \n\n\n\n"), F.col("text"), F.lit("  ")))
+    )
+    out = normalize_text(docs.select("doc_id", raw.alias("text")))
+    return out.select(
+        "doc_id", F.md5("text_norm").alias("norm_md5"),
+        "len_raw", "len_norm", "changed",
+    )
+
+
+SQL_TEXT_NORMALIZE = """
+WITH raw AS (
+  SELECT doc_id,
+    CASE doc_id % 3
+      WHEN 0 THEN chr(8220) || 'quoted' || chr(8221) || ' ' || chr(160)
+                  || ' ' || text || ' ' || chr(8212) || ' tail'
+      WHEN 1 THEN 'a' || chr(8203) || 'b' || chr(1) || 'c' || chr(9)
+                  || chr(9) || text || chr(7) || ' end'
+      ELSE 'lead  line ' || chr(10) || chr(10) || chr(10) || chr(10)
+           || text || '  '
+    END AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id, length(text) AS len_raw,
+    regexp_replace(text,
+      '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g') AS t
+  FROM raw
+), s2 AS (
+  SELECT doc_id, len_raw,
+    translate(t,
+      chr(8216) || chr(8217) || chr(8220) || chr(8221) || chr(8211)
+        || chr(8212) || chr(160),
+      chr(39) || chr(39) || chr(34) || chr(34) || '--' || ' ') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, len_raw, regexp_replace(t,
+    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g') AS t
+  FROM s2
+), s4 AS (
+  SELECT doc_id, len_raw,
+    regexp_replace(t, '[ \\t]+', ' ', 'g') AS t FROM s3
+), s5 AS (
+  SELECT doc_id, len_raw,
+    regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM s4
+), s6 AS (
+  SELECT doc_id, len_raw,
+    trim(regexp_replace(t, '\\n{3,}', chr(10) || chr(10), 'g')) AS t
+  FROM s5
+)
+SELECT s6.doc_id, md5(t) AS norm_md5, CAST(len_raw AS INT) AS len_raw,
+       CAST(length(t) AS INT) AS len_norm,
+       (raw.text <> t) AS changed
+FROM s6 JOIN raw ON raw.doc_id = s6.doc_id
+"""
+
+
+# ------------------------------------------------------------- diversity
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram diversity / self-repetition triage (operators/text.py
+    ngram_diversity): documents plus a planted repetitive variant
+    (every 7th document repeated 3x — trigram diversity drops toward
+    1/3 and must be flagged). Pure per-row array expressions, zero
+    shuffle; the oracle rebuilds the trigram list with list_transform
+    over an index range in DuckDB."""
+    from ..operators.text import ngram_diversity
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", "text", "text", "text").alias("text"),
+    )
+    return ngram_diversity(docs.unionByName(planted), min_ratio=0.5)
+
+
+SQL_NGRAM_DIVERSITY = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' ' || text || ' ' || text
+  FROM documents WHERE doc_id % 7 = 0
+), tk AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM docs
+), tri AS (
+  SELECT doc_id, len(t)::INT AS n_tokens,
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE [] END AS g
+  FROM tk
+)
+SELECT doc_id, n_tokens, len(g)::INT AS n_ngrams,
+       len(list_distinct(g))::INT AS n_distinct,
+       CASE WHEN len(g) > 0
+            THEN round(len(list_distinct(g)) * 1.0 / len(g), 6)
+            ELSE 1.0 END AS diversity,
+       (CASE WHEN len(g) > 0
+             THEN round(len(list_distinct(g)) * 1.0 / len(g), 6)
+             ELSE 1.0 END) < 0.5 AS is_repetitive
+FROM tri
+"""
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -2544,6 +2759,10 @@ PIPELINE_QUERIES = {
     "tool_payloads": q_tool_payloads,
     "outcome_labels": q_outcome_labels,
     "url_dedup": q_url_dedup,
+    "bm25_topk": q_bm25_topk,
+    "length_buckets": q_length_buckets,
+    "text_normalize": q_text_normalize,
+    "ngram_diversity": q_ngram_diversity,
 }
 
 PIPELINE_ORACLES = {
@@ -2592,4 +2811,8 @@ PIPELINE_ORACLES = {
     "tool_payloads": SQL_TOOL_PAYLOADS,
     "outcome_labels": SQL_OUTCOME_LABELS,
     "url_dedup": SQL_URL_DEDUP,
+    "bm25_topk": SQL_BM25_TOPK,
+    "length_buckets": SQL_LENGTH_BUCKETS,
+    "text_normalize": SQL_TEXT_NORMALIZE,
+    "ngram_diversity": SQL_NGRAM_DIVERSITY,
 }
