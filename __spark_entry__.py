@@ -44,15 +44,21 @@ GATE_PRIORITY: list[str] = [
     "future_label", "multi_horizon", "transcript_parity",
     "group_quantiles", "heavy_hitters",
     "bm25_topk", "length_buckets", "text_normalize", "ngram_diversity",
-    # -- tier 2: first driver-green in round 3 (checked once)
-    "user_rollup", "training_set", "dt_bin", "lgb_bin", "chi_bin", "iv_all",
-    "psi_all", "selector_stats", "scorecard", "dedup_clusters",
-    "split_by_cluster", "embedding_topk_ivf", "media_features", "pii_scrub",
-    # (chunk_docs / stratified_sample — simple pure-expression queries,
-    # driver-green in r3 — rotated out for the four new round-4 ops;
-    # tier 3 (session_features, minhash_dedup — green r2 AND r3) rotates
-    # fully behind the window. All rotated queries stay guarded by
-    # scripts/check_oracle.py full-registry local replays.)
+    "profile_table", "group_sample", "skew_stats",
+    # -- tier 2: first driver-green in round 3 (checked once);
+    # media_features stays up front — its gate input gained the real
+    # JPEG/PNG decode this round, so its r3 green does not cover it
+    "user_rollup", "training_set", "dt_bin", "lgb_bin", "chi_bin",
+    "media_features", "dedup_clusters", "split_by_cluster",
+    "embedding_topk_ivf", "psi_all", "selector_stats",
+    # (rotated out of the window for the seven new round-4 ops, lowest
+    # regression risk first: chunk_docs / stratified_sample / pii_scrub
+    # (pure expressions), scorecard (driver arithmetic with goldens),
+    # iv_all (shares the melted fit machinery with psi_all +
+    # selector_stats, which stay in-window); tier 3 (session_features,
+    # minhash_dedup — green r2 AND r3) rotates fully behind. All
+    # rotated queries stay guarded by scripts/check_oracle.py
+    # full-registry local replays.)
 ]
 
 

@@ -101,6 +101,11 @@ from .operators.text import (  # noqa: F401
 # ad-hoc BM25 keyword retrieval (zero-shuffle single-query scoring)
 from .operators.retrieval import bm25_topk  # noqa: F401
 
+# table profiling, deterministic per-group sampling, key-skew report
+from .operators.profile import (  # noqa: F401
+    group_sample, profile_table, skew_stats,
+)
+
 # training-data curation (PII scrub, chunking, sampling, packing)
 from .operators.curate import (  # noqa: F401
     chunk_documents, length_bucket_stats, pack_sequences, scrub_pii,

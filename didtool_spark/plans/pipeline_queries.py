@@ -2715,6 +2715,112 @@ FROM tri
 """
 
 
+# -------------------------------------------------------------- profiling
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (operators/profile.py profile_table):
+    three events columns — a low-cardinality string, a 150-key bigint,
+    and a derived int band with planted NULLs — profiled through ONE
+    melted groupBy (row count, nulls, exact distinct, deterministic top
+    value, lexicographic min/max). The oracle melts the same columns in
+    DuckDB and replays every aggregate including the (-count, value)
+    struct-min top-value tie-break."""
+    from ..operators.profile import profile_table
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.when(F.col("value") < 100, F.lit(None).cast("int"))
+        .otherwise(F.floor(F.col("value") / 100).cast("int"))
+        .alias("vband"),
+    )
+    return profile_table(ev)
+
+
+SQL_PROFILE_TABLE = """
+WITH src AS (
+  SELECT event_type, user_id,
+         CASE WHEN value < 100 THEN NULL
+              ELSE CAST(floor(value / 100) AS INT) END AS vband
+  FROM events
+), melt AS (
+  SELECT 'event_type' AS "column", CAST(event_type AS VARCHAR) AS val FROM src
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM src
+  UNION ALL
+  SELECT 'vband', CAST(vband AS VARCHAR) FROM src
+), cells AS (
+  SELECT "column", val, count(*) AS cnt FROM melt GROUP BY "column", val
+)
+SELECT "column",
+       sum(cnt)::BIGINT AS n_rows,
+       coalesce(sum(cnt) FILTER (WHERE val IS NULL), 0)::BIGINT AS n_null,
+       round(coalesce(sum(cnt) FILTER (WHERE val IS NULL), 0)
+             * 1.0 / sum(cnt), 6) AS null_frac,
+       count(*) FILTER (WHERE val IS NOT NULL)::BIGINT AS n_distinct,
+       (min(struct_pack(neg := -cnt, v := val))
+          FILTER (WHERE val IS NOT NULL)).v AS top_value,
+       (-(min(struct_pack(neg := -cnt, v := val))
+          FILTER (WHERE val IS NOT NULL)).neg)::BIGINT AS top_count,
+       min(val) AS min_str,
+       max(val) AS max_str
+FROM cells GROUP BY "column"
+"""
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sampling (operators/profile.py
+    group_sample): exactly min(k, |group|) events per event_type,
+    ordered inside each group by md5(event_id + seed) — reproducible on
+    any cluster size, planned as WindowGroupLimit (map-side partial
+    top-k before the exchange). The oracle replays the md5 ordering."""
+    from ..operators.profile import group_sample
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    return group_sample(ev, "event_type", k=7, id_col="event_id", seed=0)
+
+
+SQL_GROUP_SAMPLE = """
+WITH r AS (
+  SELECT event_id, event_type, user_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR) || '#0') ASC, event_id ASC
+         ) AS rk
+  FROM events
+)
+SELECT event_id, event_type, user_id FROM r WHERE rk <= 7
+"""
+
+
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (operators/profile.py skew_stats): the
+    20 heaviest user_id keys with row share and skew factor (count over
+    mean-count-per-key) — the measurement that picks between the
+    window and bucketed operator strategies. One distinct-key-sized
+    groupBy, scalar totals broadcast back, TakeOrderedAndProject."""
+    from ..operators.profile import skew_stats
+
+    ev = load(spark, sf_dir, "events")
+    return skew_stats(ev, "user_id", top_k=20)
+
+
+SQL_SKEW_STATS = """
+WITH c AS (
+  SELECT user_id AS "key", count(*) AS cnt FROM events GROUP BY user_id
+), t AS (
+  SELECT sum(cnt)::DOUBLE AS total, count(*)::DOUBLE AS n_keys FROM c
+)
+SELECT "key", cnt,
+       round(cnt / total, 6) AS share,
+       round(cnt / (total / n_keys), 6) AS skew_factor,
+       CAST(row_number() OVER (ORDER BY cnt DESC, "key" ASC) AS INT) AS rank
+FROM c CROSS JOIN t
+ORDER BY cnt DESC, "key" ASC LIMIT 20
+"""
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -2763,6 +2869,9 @@ PIPELINE_QUERIES = {
     "length_buckets": q_length_buckets,
     "text_normalize": q_text_normalize,
     "ngram_diversity": q_ngram_diversity,
+    "profile_table": q_profile_table,
+    "group_sample": q_group_sample,
+    "skew_stats": q_skew_stats,
 }
 
 PIPELINE_ORACLES = {
@@ -2815,4 +2924,7 @@ PIPELINE_ORACLES = {
     "length_buckets": SQL_LENGTH_BUCKETS,
     "text_normalize": SQL_TEXT_NORMALIZE,
     "ngram_diversity": SQL_NGRAM_DIVERSITY,
+    "profile_table": SQL_PROFILE_TABLE,
+    "group_sample": SQL_GROUP_SAMPLE,
+    "skew_stats": SQL_SKEW_STATS,
 }

@@ -385,3 +385,37 @@ def test_transcript_bucketed_no_full_conv_window(spark):
             n_row_scale += 1
             assert "__bucket" in m.group(1), p
     assert n_row_scale >= 3  # the regex actually matched per operator
+
+
+def test_truncate_bucketed_matches_window_randomized(spark):
+    """Randomized differential coverage for the truncate carry-in
+    strategy (the hand fixture above pins known edges; this sweeps
+    budget boundaries landing anywhere in a bucket): random token
+    counts incl. NULLs, bucket_size=2 forces multi-bucket carries."""
+    import random
+
+    import pandas as pd
+
+    from didtool_spark.operators.transcript import truncate_conversations
+
+    for seed in (11, 12):
+        rng = random.Random(seed)
+        rows = []
+        for c in range(6):
+            for i in range(rng.randint(1, 18)):
+                rows.append(
+                    (f"c{c}", i, rng.choice([None, 1, 2, 5, 9, 20]))
+                )
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, n_tokens int"
+        )
+        budget = rng.choice([7, 23, 40])
+        for keep in ("head", "tail"):
+            a = truncate_conversations(
+                df, budget=budget, keep=keep,
+                strategy="bucketed", bucket_size=2,
+            ).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            b = truncate_conversations(
+                df, budget=budget, keep=keep, strategy="window"
+            ).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=True)
