@@ -45,20 +45,23 @@ GATE_PRIORITY: list[str] = [
     "group_quantiles", "heavy_hitters",
     "bm25_topk", "length_buckets", "text_normalize", "ngram_diversity",
     "profile_table", "group_sample", "skew_stats",
+    "decayed_features", "recency", "rolling_distinct", "trend_slope",
+    "zscore",
     # -- tier 2: first driver-green in round 3 (checked once);
     # media_features stays up front — its gate input gained the real
     # JPEG/PNG decode this round, so its r3 green does not cover it
     "user_rollup", "training_set", "dt_bin", "lgb_bin", "chi_bin",
-    "media_features", "dedup_clusters", "split_by_cluster",
-    "embedding_topk_ivf", "psi_all", "selector_stats",
-    # (rotated out of the window for the seven new round-4 ops, lowest
-    # regression risk first: chunk_docs / stratified_sample / pii_scrub
-    # (pure expressions), scorecard (driver arithmetic with goldens),
-    # iv_all (shares the melted fit machinery with psi_all +
-    # selector_stats, which stay in-window); tier 3 (session_features,
-    # minhash_dedup — green r2 AND r3) rotates fully behind. All
-    # rotated queries stay guarded by scripts/check_oracle.py
-    # full-registry local replays.)
+    "media_features",
+    # (rotated out of the window for the round-4 ops, lowest regression
+    # risk first: chunk_docs / stratified_sample / pii_scrub (pure
+    # expressions), scorecard (driver arithmetic with goldens), iv_all;
+    # then — for the five ts_features queries — dedup_clusters /
+    # split_by_cluster / embedding_topk_ivf (literal-replay oracles,
+    # heavy unit suites, the gate's three heaviest entries) and
+    # psi_all / selector_stats (aggregation fits with golden units);
+    # tier 3 (session_features, minhash_dedup — green r2 AND r3)
+    # rotates fully behind. All rotated queries stay guarded by
+    # scripts/check_oracle.py full-registry local replays.)
 ]
 
 

@@ -91,6 +91,10 @@ from .operators.parity import transcript_parity  # noqa: F401
 from .operators.stats_features import (  # noqa: F401
     group_quantiles, heavy_hitters,
 )
+from .operators.ts_features import (  # noqa: F401
+    with_decayed, with_recency, with_rolling_distinct, with_trend,
+    with_zscore,
+)
 from .functions.exprs import with_json_fields  # noqa: F401
 from .operators.text import (  # noqa: F401
     collocations, fingerprint_exprs, fingerprint_overlap, ngram_diversity,

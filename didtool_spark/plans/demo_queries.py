@@ -21,6 +21,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.labels import with_future_label
 from ..operators.parity import transcript_parity
 from ..operators.stats_features import group_quantiles, heavy_hitters
+from ..operators.ts_features import (
+    with_decayed,
+    with_recency,
+    with_rolling_distinct,
+    with_trend,
+    with_zscore,
+)
 from ..operators.temporal import (
     FeatureTable,
     asof_join,
@@ -629,6 +636,195 @@ FROM r WHERE rank <= 2
 """
 
 
+def q_decayed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed sum/count features
+    (operators/ts_features.py with_decayed), strategy="bucketed" — the
+    overflow-free, hot-key-safe path: per-(key, 64-half-life bucket)
+    exp-rebased running sums plus an F.aggregate carry fold over the
+    tiny per-key bucket-summary array (factors all <= 1).  The oracle
+    replays the defining formula directly (correlated subquery — exact,
+    O(frame) per row, fine at gate scale)."""
+    ev = load(spark, sf_dir, "events")
+    out = with_decayed(
+        ev,
+        [("value", "sum"), ("value", "count")],
+        half_life_s=3600.0,
+        keys="user_id",
+        order=("ts", "event_id"),
+        ts_col="ts",
+        strategy="bucketed",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value_decsum_3600s", 6).alias("value_decsum_3600s"),
+        F.round("value_deccount_3600s", 6).alias("value_deccount_3600s"),
+    )
+
+
+SQL_DECAYED = """
+SELECT a.event_id, a.user_id,
+  round((SELECT sum(b.value * exp(-ln(2)/3600.0
+                    * (epoch_us(a.ts) - epoch_us(b.ts)) / 1e6))
+           FROM events b WHERE b.user_id = a.user_id
+            AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))),
+        6) AS value_decsum_3600s,
+  round((SELECT sum(exp(-ln(2)/3600.0
+                    * (epoch_us(a.ts) - epoch_us(b.ts)) / 1e6))
+           FROM events b WHERE b.user_id = a.user_id
+            AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))),
+        6) AS value_deccount_3600s
+FROM events a
+"""
+
+
+def q_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency features (operators/ts_features.py with_recency):
+    inter-arrival seconds + seconds/rows since the most recent strictly
+    earlier 'error' event — pure lag / running-max expressions over
+    integer microseconds on ONE key-ordered window sort."""
+    ev = load(spark, sf_dir, "events")
+    out = with_recency(
+        ev,
+        {"error": F.col("event_type") == "error"},
+        keys="user_id",
+        order=("ts", "event_id"),
+        ts_col="ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("secs_since_prev", 6).alias("secs_since_prev"),
+        F.round("secs_since_error", 6).alias("secs_since_error"),
+        "rows_since_error",
+    )
+
+
+SQL_RECENCY = """
+WITH b AS (
+  SELECT event_id, user_id, ts, event_type,
+         row_number() OVER w AS rn,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6 AS secs_since_prev
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+  round(secs_since_prev, 6) AS secs_since_prev,
+  round((epoch_us(ts) - max(CASE WHEN event_type = 'error'
+                                 THEN epoch_us(ts) END) OVER wp) / 1e6,
+        6) AS secs_since_error,
+  CAST(rn - max(CASE WHEN event_type = 'error' THEN rn END) OVER wp
+       AS BIGINT) AS rows_since_error
+FROM b
+WINDOW wp AS (PARTITION BY user_id ORDER BY rn
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct counts (operators/ts_features.py
+    with_rolling_distinct): distinct event types over the trailing 10
+    rows AND over the trailing 2h range — frame-bounded per-row state;
+    the time mode's bucketed strategy (context duplication) is the
+    hot-key path, equivalence-tested in tests/test_ts_features.py."""
+    ev = load(spark, sf_dir, "events")
+    out = with_rolling_distinct(
+        ev, "event_type", k=10, keys="user_id", order=("ts", "event_id")
+    )
+    out = with_rolling_distinct(
+        out, "event_type", seconds=7200, keys="user_id",
+        order=("ts", "event_id"), ts_col="ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_type_nunique_last10").cast("long").alias(
+            "event_type_nunique_last10"
+        ),
+        F.col("event_type_nunique_7200s").cast("long").alias(
+            "event_type_nunique_7200s"
+        ),
+    )
+
+
+SQL_ROLLING_DISTINCT = """
+SELECT event_id, user_id,
+  CAST(count(DISTINCT event_type) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING) AS BIGINT)
+    AS event_type_nunique_last10,
+  CAST(count(DISTINCT event_type) OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN 7200000000 PRECEDING AND 1 PRECEDING) AS BIGINT)
+    AS event_type_nunique_7200s
+FROM events
+"""
+
+
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend slope (operators/ts_features.py with_trend):
+    closed form from five running sums on one window sort; x rebased to
+    per-key seconds so the co-moment stays out of double-cancellation
+    territory (epoch^2 would eat 2/3 of the mantissa)."""
+    ev = load(spark, sf_dir, "events")
+    out = with_trend(
+        ev, "value", 8, keys="user_id", order=("ts", "event_id"), ts_col="ts"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value_slope_last8", 6).alias("value_slope_last8"),
+    )
+
+
+SQL_TREND = """
+WITH b AS (
+  SELECT event_id, user_id, ts, value,
+    (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id)) / 1e6 AS x
+  FROM events
+), s AS (
+  SELECT event_id, user_id,
+    CAST(count(value) OVER w AS DOUBLE) AS n,
+    sum(CASE WHEN value IS NOT NULL THEN x END) OVER w AS sx,
+    sum(value) OVER w AS sy,
+    sum(CASE WHEN value IS NOT NULL THEN x END * value) OVER w AS sxy,
+    sum(CASE WHEN value IS NOT NULL THEN x * x END) OVER w AS sxx
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+  round(CASE WHEN n * sxx - sx * sx > 0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END,
+        6) AS value_slope_last8
+FROM s
+"""
+
+
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score (operators/ts_features.py with_zscore): thin
+    composition over with_rolling(avg, stddev) — shares its single
+    Exchange+Sort and inherits the bucketed hot-key strategy."""
+    ev = load(spark, sf_dir, "events")
+    out = with_zscore(ev, "value", 10, keys="user_id", order=("ts", "event_id"))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value_z_last10", 6).alias("value_z_last10"),
+    )
+
+
+SQL_ZSCORE = """
+WITH s AS (
+  SELECT event_id, user_id, value,
+    avg(value) OVER w AS m, stddev_samp(value) OVER w AS sd
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+  round(CASE WHEN sd > 0 THEN (value - m) / sd END, 6) AS value_z_last10
+FROM s
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -646,6 +842,11 @@ QUERIES = {
     "transcript_parity": q_transcript_parity,
     "group_quantiles": q_group_quantiles,
     "heavy_hitters": q_heavy_hitters,
+    "decayed_features": q_decayed_features,
+    "recency": q_recency,
+    "rolling_distinct": q_rolling_distinct,
+    "trend_slope": q_trend_slope,
+    "zscore": q_zscore,
 }
 
 ORACLES = {
@@ -665,4 +866,9 @@ ORACLES = {
     "transcript_parity": SQL_TRANSCRIPT_PARITY,
     "group_quantiles": SQL_GROUP_QUANTILES,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "decayed_features": SQL_DECAYED,
+    "recency": SQL_RECENCY,
+    "rolling_distinct": SQL_ROLLING_DISTINCT,
+    "trend_slope": SQL_TREND,
+    "zscore": SQL_ZSCORE,
 }

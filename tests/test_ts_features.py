@@ -1,0 +1,310 @@
+"""ts_features operators vs hand/numpy oracles + strategy equivalence
++ plan shape.  The driver-gate oracles (demo_queries.SQL_DECAYED etc.)
+replay the same semantics in DuckDB; these units pin the math and the
+bucketed hot-key strategies independently of the gate."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from didtool_spark.operators.ts_features import (
+    with_decayed,
+    with_recency,
+    with_rolling_distinct,
+    with_trend,
+    with_zscore,
+)
+from tests.test_plan_shape import plan_str
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=s)
+
+
+def _mk(spark, rows):
+    # rows: (key, secs, value)
+    return spark.createDataFrame(
+        [(k, _ts(s), i, v) for i, (k, s, v) in enumerate(rows)],
+        "k string, ts timestamp, rid long, v double",
+    )
+
+
+def _brute_decayed(rows, hl):
+    # per-row decayed sum/count over strictly earlier rows of the key
+    lam = math.log(2.0) / hl
+    out = []
+    for i, (k, s, v) in enumerate(rows):
+        terms = [
+            (vv, ss)
+            for j, (kk, ss, vv) in enumerate(rows)
+            if kk == k and (ss < s or (ss == s and j < i))
+        ]
+        if not terms:
+            out.append((None, None))
+            continue
+        cnt = sum(math.exp(-lam * (s - ss)) for _, ss in terms)
+        vsum = sum(
+            vv * math.exp(-lam * (s - ss)) for vv, ss in terms if vv is not None
+        )
+        has_v = any(vv is not None for vv, _ in terms)
+        out.append((vsum if has_v else None, cnt))
+    return out
+
+
+ROWS = [
+    ("a", 0.0, 10.0),
+    ("a", 100.0, None),     # NULL value: drops from sum, counts in count
+    ("a", 100.0, 5.0),      # tie on ts -> rid order breaks it
+    ("a", 3600.0, 2.0),
+    ("a", 90000.0, 7.0),    # next day (bucket crossing at small bw)
+    ("b", 50.0, 1.0),
+    ("b", 250000.0, 4.0),   # ~3 days later (empty buckets between)
+]
+
+
+def test_decayed_strategies_match_brute(spark):
+    hl = 600.0
+    exp = _brute_decayed(ROWS, hl)
+    df = _mk(spark, ROWS)
+    for strategy, bw in [("window", None), ("bucketed", 1200)]:
+        out = with_decayed(
+            df, [("v", "sum"), ("v", "count")], hl,
+            keys="k", order=("ts", "rid"), ts_col="ts",
+            strategy=strategy, bucket_seconds=bw,
+        )
+        got = {
+            r["rid"]: (r["v_decsum_600s"], r["v_deccount_600s"])
+            for r in out.collect()
+        }
+        for i, (es, ec) in enumerate(exp):
+            gs, gc = got[i]
+            if es is None:
+                assert gs is None, (strategy, i, gs)
+            else:
+                assert abs(gs - es) < 1e-9 * max(1.0, abs(es)), (strategy, i)
+            if ec is None:
+                assert gc is None, (strategy, i, gc)
+            else:
+                assert abs(gc - ec) < 1e-9, (strategy, i)
+
+
+def test_decayed_include_current(spark):
+    df = _mk(spark, [("a", 0.0, 3.0)])
+    out = with_decayed(
+        df, [("v", "sum")], 60.0, keys="k", order=("ts", "rid"),
+        ts_col="ts", include_current=True,
+    ).collect()[0]
+    assert abs(out["v_decsum_60s"] - 3.0) < 1e-12
+
+
+def test_decayed_bucketed_randomized_equivalence(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for k in range(6):
+        n = int(rng.integers(1, 60))
+        secs = np.sort(rng.uniform(0, 50_000, n))
+        for s in secs:
+            v = None if rng.random() < 0.15 else float(rng.normal(0, 5))
+            rows.append((f"k{k}", float(s), v))
+    df = _mk(spark, rows)
+    a = with_decayed(
+        df, [("v", "sum"), ("v", "count")], 300.0,
+        keys="k", order=("ts", "rid"), ts_col="ts",
+    )
+    b = with_decayed(
+        df, [("v", "sum"), ("v", "count")], 300.0,
+        keys="k", order=("ts", "rid"), ts_col="ts",
+        strategy="bucketed", bucket_seconds=900,
+    )
+    pa = {r["rid"]: r for r in a.collect()}
+    pb = {r["rid"]: r for r in b.collect()}
+    for rid, ra in pa.items():
+        rb = pb[rid]
+        for c in ("v_decsum_300s", "v_deccount_300s"):
+            if ra[c] is None:
+                assert rb[c] is None, (rid, c, rb[c])
+            else:
+                assert abs(ra[c] - rb[c]) < 1e-9 * max(1.0, abs(ra[c])), (
+                    rid, c, ra[c], rb[c],
+                )
+
+
+def test_decayed_overflow_guard():
+    try:
+        with_decayed(
+            None, [("v", "sum")], 1.0, strategy="bucketed",
+            bucket_seconds=86_400,
+        )
+    except ValueError as e:
+        assert "overflow" in str(e)
+    else:
+        raise AssertionError("expected ValueError on overflow-bound bucket")
+
+
+def test_decayed_single_exchange_window(spark):
+    df = _mk(spark, ROWS)
+    out = with_decayed(
+        df, [("v", "sum")], 600.0, keys="k", order=("ts", "rid"), ts_col="ts"
+    )
+    import re
+
+    p = plan_str(out)
+    # rebase min + running sum share one Exchange+Sort
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:3000]
+
+
+def test_recency_hand_oracle(spark):
+    rows = [
+        ("a", 0.0, "x"),
+        ("a", 10.0, "err"),
+        ("a", 25.0, "x"),
+        ("a", 30.0, "err"),
+        ("a", 60.0, "x"),
+        ("b", 5.0, "x"),
+    ]
+    df = spark.createDataFrame(
+        [(k, _ts(s), i, t) for i, (k, s, t) in enumerate(rows)],
+        "k string, ts timestamp, rid long, typ string",
+    )
+    out = with_recency(
+        df, {"err": F.col("typ") == "err"}, keys="k", order=("ts", "rid"),
+        ts_col="ts",
+    )
+    got = {r["rid"]: r for r in out.collect()}
+    assert got[0]["secs_since_prev"] is None
+    assert got[1]["secs_since_prev"] == 10.0
+    assert got[0]["secs_since_err"] is None and got[0]["rows_since_err"] is None
+    assert got[2]["secs_since_err"] == 15.0 and got[2]["rows_since_err"] == 1
+    # current row matching the predicate must NOT see itself
+    assert got[3]["secs_since_err"] == 20.0 and got[3]["rows_since_err"] == 2
+    assert got[4]["secs_since_err"] == 30.0 and got[4]["rows_since_err"] == 1
+    assert got[5]["secs_since_err"] is None  # other key untouched
+
+
+def test_recency_microsecond_precision(spark):
+    a = dt.datetime(2024, 1, 1, 0, 0, 0, 250_000)
+    b = dt.datetime(2024, 1, 1, 0, 0, 1, 750_000)
+    df = spark.createDataFrame(
+        [("a", a, 0), ("a", b, 1)], "k string, ts timestamp, rid long"
+    )
+    out = with_recency(df, keys="k", order=("ts", "rid"), ts_col="ts")
+    got = {r["rid"]: r["secs_since_prev"] for r in out.collect()}
+    assert got[1] == 1.5
+
+
+def test_rolling_distinct_rows_hand(spark):
+    rows = [("a", float(i), t) for i, t in enumerate(["x", "y", "x", None, "z"])]
+    df = spark.createDataFrame(
+        [(k, _ts(s), i, t) for i, (k, s, t) in enumerate(rows)],
+        "k string, ts timestamp, rid long, typ string",
+    )
+    out = with_rolling_distinct(df, "typ", k=3, keys="k", order=("ts", "rid"))
+    got = {r["rid"]: r["typ_nunique_last3"] for r in out.collect()}
+    # NULL never counts; frame excludes current row
+    assert [got[i] for i in range(5)] == [0, 1, 2, 2, 2]
+
+
+def test_rolling_distinct_time_bucketed_equivalence(spark):
+    rng = np.random.default_rng(23)
+    rows = []
+    for k in range(5):
+        for s in np.sort(rng.uniform(0, 40_000, int(rng.integers(1, 80)))):
+            rows.append((f"k{k}", float(s), str(rng.integers(0, 4))))
+    df = spark.createDataFrame(
+        [(k, _ts(s), i, t) for i, (k, s, t) in enumerate(rows)],
+        "k string, ts timestamp, rid long, typ string",
+    )
+    kw = dict(seconds=3000, keys="k", order=("ts", "rid"), ts_col="ts")
+    a = with_rolling_distinct(df, "typ", **kw)
+    b = with_rolling_distinct(
+        df, "typ", strategy="bucketed", bucket_seconds=3000, **kw
+    )
+    ga = {r["rid"]: r["typ_nunique_3000s"] for r in a.collect()}
+    gb = {r["rid"]: r["typ_nunique_3000s"] for r in b.collect()}
+    assert ga == gb
+
+
+def test_trend_matches_polyfit(spark):
+    rng = np.random.default_rng(5)
+    secs = np.sort(rng.uniform(0, 1000, 30))
+    vals = 3.0 * secs + rng.normal(0, 1, 30)
+    rows = [("a", float(s), float(v)) for s, v in zip(secs, vals)]
+    df = _mk(spark, rows)
+    out = with_trend(df, "v", 8, keys="k", order=("ts", "rid"), ts_col="ts")
+    got = {r["rid"]: r["v_slope_last8"] for r in out.collect()}
+    for i in range(30):
+        lo = max(0, i - 8)
+        xs, ys = secs[lo:i], vals[lo:i]
+        if len(xs) < 2:
+            assert got[i] is None
+            continue
+        exp = float(np.polyfit(xs, ys, 1)[0])
+        assert abs(got[i] - exp) < 1e-6 * max(1.0, abs(exp)), i
+
+
+def test_trend_null_on_degenerate(spark):
+    # one point, and two points at the same timestamp -> denom == 0
+    rows = [("a", 0.0, 1.0), ("a", 0.0, 2.0), ("a", 0.0, 3.0)]
+    df = _mk(spark, rows)
+    out = with_trend(df, "v", 5, keys="k", order=("ts", "rid"), ts_col="ts")
+    assert all(r["v_slope_last5"] is None for r in out.collect())
+
+
+def test_zscore_matches_pandas(spark):
+    rng = np.random.default_rng(9)
+    rows = [("a", float(i * 10), float(v)) for i, v in enumerate(rng.normal(2, 3, 50))]
+    df = _mk(spark, rows)
+    out = with_zscore(df, "v", 10, keys="k", order=("ts", "rid"))
+    got = {r["rid"]: r["v_z_last10"] for r in out.collect()}
+    vals = [v for _, _, v in rows]
+    import pandas as pd
+
+    s = pd.Series(vals)
+    m = s.rolling(10, min_periods=1).mean().shift(1)
+    sd = s.rolling(10, min_periods=2).std().shift(1)
+    for i in range(50):
+        if i < 2 or sd[i] == 0 or np.isnan(sd[i]):
+            assert got[i] is None
+        else:
+            exp = (vals[i] - m[i]) / sd[i]
+            assert abs(got[i] - exp) < 1e-9, i
+
+
+def test_zscore_bucketed_equivalence(spark):
+    rng = np.random.default_rng(31)
+    rows = []
+    for k in range(4):
+        for s in np.sort(rng.uniform(0, 200_000, int(rng.integers(2, 70)))):
+            rows.append((f"k{k}", float(s), float(rng.normal(0, 2))))
+    df = _mk(spark, rows)
+    a = with_zscore(df, "v", 7, keys="k", order=("ts", "rid"))
+    b = with_zscore(
+        df, "v", 7, keys="k", order=("ts", "rid"),
+        strategy="bucketed", bucket_ts_col="ts", bucket_seconds=50_000,
+    )
+    ga = {r["rid"]: r["v_z_last7"] for r in a.collect()}
+    gb = {r["rid"]: r["v_z_last7"] for r in b.collect()}
+    for rid, va in ga.items():
+        vb = gb[rid]
+        if va is None:
+            assert vb is None, rid
+        else:
+            assert abs(va - vb) < 1e-9, rid
+
+
+def test_shared_sort_plan_shape(spark):
+    # recency + trend + zscore on the same (keys, order) reuse one
+    # Exchange: the whole feature block is a single shuffle.
+    df = _mk(spark, ROWS)
+    out = with_recency(df, keys="k", order=("ts", "rid"), ts_col="ts")
+    out = with_trend(out, "v", 8, keys="k", order=("ts", "rid"), ts_col="ts")
+    out = with_zscore(out, "v", 10, keys="k", order=("ts", "rid"))
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan_str(out))) == 1
