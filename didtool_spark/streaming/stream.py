@@ -240,6 +240,97 @@ def streaming_near_dup_matches(
     )
 
 
+def streaming_decayed_features(
+    stream: DataFrame,
+    half_life_s: float = 3600.0,
+):
+    """Streaming form of operators.ts_features.with_decayed: per-conv
+    exponentially time-decayed text-length sum and turn count, emitted
+    STRICTLY HISTORICALLY (the row's own turn is excluded, matching the
+    batch include_current=False default — leakage-safe).
+
+    State per conv_id is three scalars (last_ts_micros, decayed_sum,
+    decayed_count): each arriving turn decays the state by
+    ``exp(-ln2 * dt / half_life)`` (sequential products of factors
+    <= 1 — unconditionally stable, no overflow bound at all, unlike the
+    batch window strategy's rebase), emits the decayed values, then
+    folds its own (text_len, 1) in.  First-ever turn of a conv emits
+    NULL (batch: sum over an empty frame).
+
+    Ordering caveat shared with streaming_running_features: rows are
+    sorted (ts, turn_idx) within a micro-batch; cross-batch order
+    relies on the source being append-ordered per conversation.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    lam = math.log(2.0) / float(half_life_s)
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text_len_decsum", DoubleType()),
+            StructField("turn_deccount", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_us", LongType()),
+            StructField("dsum", DoubleType()),
+            StructField("dcnt", DoubleType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        (conv_id,) = key
+        if state.exists:
+            last_us, dsum, dcnt = state.get
+        else:
+            last_us, dsum, dcnt = None, 0.0, 0.0
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                us = int(pd.Timestamp(row.ts).value // 1_000)
+                if last_us is None:
+                    emit_sum = emit_cnt = None
+                else:
+                    decay = math.exp(-lam * (us - last_us) / 1e6)
+                    dsum *= decay
+                    dcnt *= decay
+                    emit_sum, emit_cnt = dsum, dcnt
+                dsum += float(len(row.text or ""))
+                dcnt += 1.0
+                last_us = us
+                out.append(
+                    (conv_id, int(row.turn_idx), row.ts, emit_sum, emit_cnt)
+                )
+        state.update((last_us, dsum, dcnt))
+        pdf_out = pd.DataFrame(
+            out,
+            columns=[
+                "conv_id", "turn_idx", "ts", "text_len_decsum",
+                "turn_deccount",
+            ],
+        )
+        yield pdf_out
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     text_col: str = "text",

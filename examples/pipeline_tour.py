@@ -111,6 +111,23 @@ hh = dt.heavy_hitters(ev, "event_type", keys="user_id", k=1)
 print("most common top event type:",
       hh.groupBy("item").count().orderBy(F.desc("count")).first())
 
+# --- time-series feature block (one shuffle for the whole family) ----
+tsf = dt.with_decayed(
+    ev, [("value", "sum"), ("value", "count")], half_life_s=3600,
+    keys="user_id", order=("ts", "event_id"), ts_col="ts")
+tsf = dt.with_recency(
+    tsf, {"error": F.col("event_type") == "error"},
+    keys="user_id", order=("ts", "event_id"), ts_col="ts")
+tsf = dt.with_rolling_distinct(
+    tsf, "event_type", k=10, keys="user_id", order=("ts", "event_id"))
+tsf = dt.with_trend(
+    tsf, "value", 8, keys="user_id", order=("ts", "event_id"), ts_col="ts")
+tsf = dt.with_zscore(tsf, "value", 10, keys="user_id", order=("ts", "event_id"))
+print(tsf.select(
+    "event_id", "value_decsum_3600s", "secs_since_error",
+    "event_type_nunique_last10", "value_slope_last8", "value_z_last10",
+).limit(3).collect())
+
 par = dt.transcript_parity(
     ev.select("user_id", "event_id", F.col("event_type").alias("text")),
     ev.where("event_id % 97 != 0")

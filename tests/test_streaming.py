@@ -345,3 +345,52 @@ def test_psi_monitor_categorical_numeric_dtype_matches_batch(spark):
     got = mon.psi_now(actual)
     want = batch_psi(ref, actual, "code", is_continuous=False)
     assert abs(got - want) < 1e-12
+
+
+def test_stateful_decayed_features_matches_batch(spark, stream_dirs, tmp_path_factory):
+    """streaming_decayed_features: the sequential decay-state fold must
+    carry across micro-batches and reproduce batch with_decayed (both
+    strictly historical) to float tolerance."""
+    import numpy as np
+
+    from didtool_spark.operators.ts_features import with_decayed
+    from didtool_spark.streaming.stream import (
+        read_transcript_stream, run_stream_once, streaming_decayed_features,
+    )
+
+    src, _ = stream_dirs
+    root = str(tmp_path_factory.mktemp("decayed_stream"))
+    out = os.path.join(root, "out")
+    ck = os.path.join(root, "ck")
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    run_stream_once(streaming_decayed_features(stream, 3600.0), ck, out)
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    batch_src = spark.read.parquet(src).withColumn(
+        "tl", F.length("text").cast("double")
+    )
+    expect = (
+        with_decayed(
+            batch_src, [("tl", "sum"), ("tl", "count")], 3600.0,
+            keys="conv_id", order=("ts", "turn_idx"), ts_col="ts",
+        )
+        .select("conv_id", "turn_idx", "tl_decsum_3600s", "tl_deccount_3600s")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(expect) and len(got) > 0
+    for g_col, e_col in [
+        ("text_len_decsum", "tl_decsum_3600s"),
+        ("turn_deccount", "tl_deccount_3600s"),
+    ]:
+        g, e = got[g_col], expect[e_col]
+        assert (g.isna() == e.isna()).all(), g_col  # first turn of a conv
+        m = ~g.isna()
+        assert np.allclose(g[m], e[m], rtol=1e-9), g_col
