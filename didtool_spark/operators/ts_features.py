@@ -75,7 +75,10 @@ def _fold_step(lam_bw: float):
     # carry(b) = (carry(prev) + bucket_sum(prev)) * exp(-lam*gap);
     # every factor <= 1, so the fold can never overflow however long
     # the key lives.  acc = struct(prev bucket id, running mass valued
-    # at prev bucket start, emitted (bucket, carry) array).
+    # at prev bucket start, running contributing-row count, emitted
+    # (bucket, carry, prior count) array).  The exact integer count —
+    # NOT carry == 0 — decides empty-history NULLs downstream: negative
+    # values at one timestamp can cancel a carry to exactly 0.0.
     def step(acc, e):
         gap = (e["b"] - acc["pb"]).cast("double") * F.lit(lam_bw)
         carry = F.when(
@@ -84,9 +87,16 @@ def _fold_step(lam_bw: float):
         return F.struct(
             e["b"].alias("pb"),
             (carry + e["s"]).alias("run"),
+            (acc["cnt"] + e["n"]).alias("cnt"),
             F.concat(
                 acc["out"],
-                F.array(F.struct(e["b"].alias("b"), carry.alias("carry"))),
+                F.array(
+                    F.struct(
+                        e["b"].alias("b"),
+                        carry.alias("carry"),
+                        acc["cnt"].alias("pcnt"),
+                    )
+                ),
             ).alias("out"),
         )
 
@@ -184,6 +194,7 @@ def with_decayed(
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     carry_cols = []
+    contrib = {}
     for col, agg in specs_l:
         tag = f"{col}_{agg}"
         # in-bucket running sum at the row + full-bucket mass for the fold
@@ -191,18 +202,22 @@ def with_decayed(
         out = out.withColumn(
             f"__tot_{tag}", F.coalesce(F.sum(weight(col, agg, x)).over(wball), F.lit(0.0))
         )
+        # exact contributing-row count: non-null values for "sum",
+        # every row for "count" — mirrors SQL sum/count NULL semantics
+        contrib[tag] = F.count(F.col(col)) if agg == "sum" else F.count(F.lit(1))
         carry_cols.append(tag)
 
     # per-key bucket summaries -> sequential carry fold (tiny per-key
     # array: one element per occupied bucket, NOT per row)
-    g = (
-        out.groupBy(*keys_l, "__b")
-        .agg(*[F.first(f"__tot_{t}").alias(f"s_{t}") for t in carry_cols])
+    g = out.groupBy(*keys_l, "__b").agg(
+        *[F.first(f"__tot_{t}").alias(f"s_{t}") for t in carry_cols],
+        *[contrib[t].alias(f"n_{t}") for t in carry_cols],
     )
     init = F.struct(
         F.lit(-(2**62)).cast("long").alias("pb"),
         F.lit(0.0).alias("run"),
-        F.array().cast("array<struct<b:long,carry:double>>").alias("out"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.array().cast("array<struct<b:long,carry:double,pcnt:long>>").alias("out"),
     )
     folded = g.groupBy(*keys_l).agg(
         F.array_sort(
@@ -210,6 +225,7 @@ def with_decayed(
                 F.struct(
                     F.col("__b").alias("b"),
                     *[F.col(f"s_{t}").alias(f"s_{t}") for t in carry_cols],
+                    *[F.col(f"n_{t}").alias(f"n_{t}") for t in carry_cols],
                 )
             )
         ).alias("__arr")
@@ -217,7 +233,9 @@ def with_decayed(
     def pick(tag: str):
         # closure factory — a default-arg capture would change the
         # pyspark HOF lambda's arity (see temporal._prefix_vals)
-        return lambda e: F.struct(e["b"].alias("b"), e[f"s_{tag}"].alias("s"))
+        return lambda e: F.struct(
+            e["b"].alias("b"), e[f"s_{tag}"].alias("s"), e[f"n_{tag}"].alias("n")
+        )
 
     lam_bw = lam * bw
     for tag in carry_cols:
@@ -233,6 +251,7 @@ def with_decayed(
         *keys_l,
         F.col(f"__z.{carry_cols[0]}.b").alias("__b"),
         *[F.col(f"__z.{t}.carry").alias(f"__carry_{t}") for t in carry_cols],
+        *[F.col(f"__z.{t}.pcnt").alias(f"__pcnt_{t}") for t in carry_cols],
     )
     j = out.join(carries, [*keys_l, "__b"], "left")
     drop = ["__us", "__b"]
@@ -240,14 +259,17 @@ def with_decayed(
         tag = f"{col}_{agg}"
         name = f"{col}_dec{agg}_{hl_tag}s"
         carry = F.coalesce(F.col(f"__carry_{tag}"), F.lit(0.0))
+        pcnt = F.coalesce(F.col(f"__pcnt_{tag}"), F.lit(0))
         inrun = F.col(f"__in_{tag}")
-        # NULL only when the whole history frame is empty (carry == 0
-        # exactly when no earlier bucket had any contribution)
+        # NULL only when the whole history frame is empty: no in-bucket
+        # contribution AND zero rows contributed in earlier buckets.
+        # The exact integer count — not carry == 0.0 — decides: negative
+        # values can cancel a real carry to exactly zero.
         total = F.when(
-            inrun.isNull() & (carry == F.lit(0.0)), F.lit(None).cast("double")
+            inrun.isNull() & (pcnt == F.lit(0)), F.lit(None).cast("double")
         ).otherwise(F.coalesce(inrun, F.lit(0.0)) + carry)
         j = j.withColumn(name, total * F.exp(F.lit(-lam) * x))
-        drop += [f"__in_{tag}", f"__tot_{tag}", f"__carry_{tag}"]
+        drop += [f"__in_{tag}", f"__tot_{tag}", f"__carry_{tag}", f"__pcnt_{tag}"]
     return j.drop(*drop)
 
 

@@ -135,6 +135,30 @@ def test_decayed_bucketed_randomized_equivalence(spark):
                 )
 
 
+def test_decayed_bucketed_zero_cancel_carry(spark):
+    # +5 and -5 at the same instant in an EARLIER bucket cancel the
+    # carry to exactly 0.0; the later row's history is non-empty, so
+    # the feature must be 0.0, not NULL.  Regression: the bucketed
+    # strategy used carry == 0.0 as the empty-history test.
+    rows = [
+        ("a", 0.0, 5.0),
+        ("a", 0.0, -5.0),
+        ("a", 5000.0, 3.0),   # next bucket at bw=1200
+    ]
+    df = _mk(spark, rows)
+    for strategy, bw in [("window", None), ("bucketed", 1200)]:
+        out = with_decayed(
+            df, [("v", "sum"), ("v", "count")], 600.0,
+            keys="k", order=("ts", "rid"), ts_col="ts",
+            strategy=strategy, bucket_seconds=bw,
+        )
+        got = {r["rid"]: r for r in out.collect()}
+        assert got[2]["v_decsum_600s"] == 0.0, (strategy, got[2])
+        # count never cancels: 2 * exp(-ln2 * 5000/600)
+        exp_cnt = 2.0 * math.exp(-math.log(2.0) * 5000.0 / 600.0)
+        assert abs(got[2]["v_deccount_600s"] - exp_cnt) < 1e-12, strategy
+
+
 def test_decayed_overflow_guard():
     try:
         with_decayed(
