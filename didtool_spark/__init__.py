@@ -95,6 +95,14 @@ from .operators.ts_features import (  # noqa: F401
     with_decayed, with_recency, with_rolling_distinct, with_trend,
     with_zscore,
 )
+from .operators.feature_hash import hash_vectorize, hashed_cross  # noqa: F401
+from .operators.calibration import (  # noqa: F401
+    calibration_metrics, cohen_kappa, reliability_table,
+)
+from .operators.seq_features import (  # noqa: F401
+    transition_counts, with_turn_novelty,
+)
+from .operators.pooling import pool_embeddings  # noqa: F401
 from .functions.exprs import with_json_fields  # noqa: F401
 from .operators.text import (  # noqa: F401
     collocations, fingerprint_exprs, fingerprint_overlap, ngram_diversity,

@@ -696,7 +696,10 @@ def q_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round("secs_since_prev", 6).alias("secs_since_prev"),
         F.round("secs_since_error", 6).alias("secs_since_error"),
-        "rows_since_error",
+        # double, not bigint: the column is NULL before a user's first
+        # error, and a nullable integer round-trips through pandas as
+        # float64 on the DuckDB side only — dtype-mismatching the hash
+        F.col("rows_since_error").cast("double").alias("rows_since_error"),
     )
 
 
@@ -713,7 +716,7 @@ SELECT event_id, user_id,
                                  THEN epoch_us(ts) END) OVER wp) / 1e6,
         6) AS secs_since_error,
   CAST(rn - max(CASE WHEN event_type = 'error' THEN rn END) OVER wp
-       AS BIGINT) AS rows_since_error
+       AS DOUBLE) AS rows_since_error
 FROM b
 WINDOW wp AS (PARTITION BY user_id ORDER BY rn
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -825,6 +828,270 @@ FROM s
 """
 
 
+def q_feature_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed crossed feature (operators/feature_hash.py hashed_cross):
+    event_type x (user_id % 7) into 64 buckets — stateless, fit-free,
+    pure codegen.  Gate uses hash_fn='md5_60' so DuckDB replays the
+    exact bucket ids; the engine default is JVM xxhash64."""
+    from ..operators.feature_hash import hashed_cross
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "__u7", (F.col("user_id") % 7).cast("string")
+    )
+    out = hashed_cross(
+        ev, ["event_type", "__u7"], 64, out_col="cross_b", hash_fn="md5_60"
+    )
+    return out.select("event_id", "cross_b")
+
+
+SQL_FEATURE_CROSS = """
+SELECT event_id,
+       CAST(('0x' || substr(md5(concat_ws(chr(31),
+                coalesce(event_type, chr(0)),
+                coalesce(CAST(user_id % 7 AS VARCHAR), chr(0)))),
+             1, 15))::BIGINT % 64 AS BIGINT) AS cross_b
+FROM events
+"""
+
+
+def q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse vector (feature_hash.py hash_vectorize):
+    one categorical + one numeric column into 32 signed hashed slots,
+    exploded to (event_id, idx, v) long form for the value hash.
+    Per-row duplicate indices are expression-fold-merged."""
+    from ..operators.feature_hash import hash_vectorize
+
+    ev = load(spark, sf_dir, "events")
+    out = hash_vectorize(
+        ev,
+        cat_cols=["event_type"],
+        num_cols=["value"],
+        n_features=32,
+        hash_fn="md5_60",
+    )
+    return out.select("event_id", F.explode("features").alias("f")).select(
+        "event_id",
+        F.col("f.idx").alias("idx"),
+        F.round("f.v", 6).alias("v"),
+    )
+
+
+SQL_HASH_FEATURES = """
+WITH toks AS (
+  SELECT event_id,
+         'event_type=' || coalesce(event_type, chr(0)) AS tok,
+         1.0 AS v
+  FROM events
+  UNION ALL
+  SELECT event_id, 'value' AS tok, value
+  FROM events WHERE value IS NOT NULL
+),
+h AS (
+  SELECT event_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 32 AS idx,
+         CASE WHEN ('0x' || substr(md5(tok || '#s'), 1, 15))::BIGINT % 2 = 0
+              THEN v ELSE -v END AS sv
+  FROM toks
+)
+SELECT event_id, CAST(idx AS BIGINT) AS idx, round(sum(sv), 6) AS v
+FROM h GROUP BY event_id, idx
+"""
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table (operators/calibration.py): a logistic score
+    of value vs a purchase/signup event label, 10 equal-width bins —
+    per-bin count, mean score, event rate, calibration gap.  One
+    map-side-combined groupBy; n_bins rows of state."""
+    from ..operators.calibration import reliability_table
+
+    ev = load(spark, sf_dir, "events")
+    scored = ev.withColumn(
+        "score", 1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))
+    ).withColumn(
+        "label", F.col("event_type").isin("purchase", "signup").cast("int")
+    )
+    out = reliability_table(scored, "score", "label", n_bins=10)
+    return out.select(
+        "bin",
+        "n",
+        F.round("avg_score", 6).alias("avg_score"),
+        F.round("event_rate", 6).alias("event_rate"),
+        F.round("gap", 6).alias("gap"),
+    )
+
+
+SQL_CALIBRATION = """
+WITH s AS (
+  SELECT 1.0 / (1.0 + exp(-(value - 50.0) / 25.0)) AS score,
+         CAST(event_type IN ('purchase', 'signup') AS INT) AS label
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+b AS (
+  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+         count(*) AS n, avg(score) AS avg_score,
+         avg(CAST(label AS DOUBLE)) AS event_rate
+  FROM s GROUP BY 1
+)
+SELECT bin, CAST(n AS BIGINT) AS n, round(avg_score, 6) AS avg_score,
+       round(event_rate, 6) AS event_rate,
+       round(abs(event_rate - avg_score), 6) AS gap
+FROM b
+"""
+
+
+def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (calibration.py cohen_kappa) between two heuristic
+    labelers — value > 5 vs event_type in (purchase, signup).  The
+    contingency table is the only shuffle (n_classes^2 rows); po/pe/
+    kappa reduce over it."""
+    from ..operators.calibration import cohen_kappa
+
+    ev = load(spark, sf_dir, "events")
+    lab = ev.withColumn("a", (F.col("value") > 5.0).cast("int")).withColumn(
+        "b", F.col("event_type").isin("purchase", "signup").cast("int")
+    )
+    out = cohen_kappa(lab, "a", "b")
+    return out.select(
+        "n",
+        F.round("po", 6).alias("po"),
+        F.round("pe", 6).alias("pe"),
+        F.round("kappa", 6).alias("kappa"),
+    )
+
+
+SQL_LABEL_AGREEMENT = """
+WITH l AS (
+  SELECT CAST(value > 5.0 AS INT) AS a,
+         CAST(event_type IN ('purchase', 'signup') AS INT) AS b
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+c AS (SELECT a, b, count(*) AS n FROM l GROUP BY a, b),
+agg AS (
+  SELECT sum(n) AS n,
+         sum(CASE WHEN a = b THEN n ELSE 0 END) * 1.0 / sum(n) AS po
+  FROM c
+),
+pe AS (
+  SELECT sum(x.na * 1.0 * y.nb) AS s
+  FROM (SELECT a, sum(n) AS na FROM c GROUP BY a) x
+  JOIN (SELECT b, sum(n) AS nb FROM c GROUP BY b) y ON x.a = y.b
+)
+SELECT CAST(agg.n AS BIGINT) AS n,
+       round(agg.po, 6) AS po,
+       round(pe.s / (agg.n * 1.0 * agg.n), 6) AS pe,
+       round(CASE WHEN pe.s / (agg.n * 1.0 * agg.n) < 1.0
+                  THEN (agg.po - pe.s / (agg.n * 1.0 * agg.n))
+                       / (1.0 - pe.s / (agg.n * 1.0 * agg.n)) END, 6) AS kappa
+FROM agg, pe
+"""
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Markov transition counts of event_type
+    (operators/seq_features.py transition_counts): one lag window on
+    the shared (user, ts, event_id) sort + one map-side-combined
+    groupBy over (user, from, to)."""
+    from ..operators.seq_features import transition_counts
+
+    ev = load(spark, sf_dir, "events")
+    out = transition_counts(
+        ev, "event_type", keys="user_id", order=("ts", "event_id")
+    )
+    return out.select("user_id", "from", "to", "n")
+
+
+SQL_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, prev AS "from", event_type AS "to",
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE rn > 1 GROUP BY user_id, prev, event_type
+"""
+
+
+def q_turn_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-to-turn token Jaccard (seq_features.py with_turn_novelty)
+    over the props payload per user: tokenize/lag/set ops all inside
+    whole-stage codegen on the shared entity sort — a loop/stall
+    signal (1.0 = the turn repeats the previous one)."""
+    from ..operators.seq_features import with_turn_novelty
+
+    ev = load(spark, sf_dir, "events")
+    out = with_turn_novelty(ev, "props", keys="user_id", order=("ts", "event_id"))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("props_jaccard_prev", 6).alias("props_jaccard_prev"),
+    )
+
+
+SQL_TURN_NOVELTY = """
+WITH t AS (
+  SELECT event_id, user_id, ts,
+         coalesce(list_distinct(list_filter(
+           string_split_regex(lower(props), '[^a-z0-9]+'),
+           x -> x <> '')), []) AS toks
+  FROM events
+),
+p AS (
+  SELECT event_id, user_id, toks,
+         lag(toks) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM t
+)
+SELECT event_id, user_id,
+       round(CASE WHEN prev IS NOT NULL
+                   AND len(list_distinct(list_concat(toks, prev))) > 0
+              THEN len(list_filter(toks, x -> list_contains(prev, x))) * 1.0
+                   / len(list_distinct(list_concat(toks, prev)))
+              END, 6) AS props_jaccard_prev
+FROM p
+"""
+
+
+def q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean/max embedding pooling (operators/pooling.py):
+    posexplode -> groupBy(label, dim) with map-side combine — the
+    shuffle carries (labels x dims) aggregated rows and a hot label
+    spreads over dim reducers.  Gate returns the long form."""
+    from ..operators.pooling import pool_embeddings
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = pool_embeddings(
+        emb, "embedding", keys="label", aggs=("mean", "max"), long=True
+    )
+    return out.select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("mean", 6).alias("mean_v"),
+        F.round("max", 6).alias("max_v"),
+        "n_vecs",
+    )
+
+
+SQL_EMBEDDING_POOL = """
+WITH e AS (
+  SELECT label,
+         unnest(embedding) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+)
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+       round(avg(CAST(v AS DOUBLE)), 6) AS mean_v,
+       round(max(CAST(v AS DOUBLE)), 6) AS max_v,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM e GROUP BY label, i
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -847,6 +1114,13 @@ QUERIES = {
     "rolling_distinct": q_rolling_distinct,
     "trend_slope": q_trend_slope,
     "zscore": q_zscore,
+    "feature_cross": q_feature_cross,
+    "hash_features": q_hash_features,
+    "calibration": q_calibration,
+    "label_agreement": q_label_agreement,
+    "transitions": q_transitions,
+    "turn_novelty": q_turn_novelty,
+    "embedding_pool": q_embedding_pool,
 }
 
 ORACLES = {
@@ -871,4 +1145,11 @@ ORACLES = {
     "rolling_distinct": SQL_ROLLING_DISTINCT,
     "trend_slope": SQL_TREND,
     "zscore": SQL_ZSCORE,
+    "feature_cross": SQL_FEATURE_CROSS,
+    "hash_features": SQL_HASH_FEATURES,
+    "calibration": SQL_CALIBRATION,
+    "label_agreement": SQL_LABEL_AGREEMENT,
+    "transitions": SQL_TRANSITIONS,
+    "turn_novelty": SQL_TURN_NOVELTY,
+    "embedding_pool": SQL_EMBEDDING_POOL,
 }
