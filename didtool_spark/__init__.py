@@ -103,6 +103,9 @@ from .operators.seq_features import (  # noqa: F401
     transition_counts, with_turn_novelty,
 )
 from .operators.pooling import pool_embeddings  # noqa: F401
+from .operators.scalers import (  # noqa: F401
+    apply_imputer, apply_scaler, fit_imputer, fit_scaler, winsorize,
+)
 from .functions.exprs import with_json_fields  # noqa: F401
 from .operators.text import (  # noqa: F401
     collocations, fingerprint_exprs, fingerprint_overlap, ngram_diversity,

@@ -1092,6 +1092,126 @@ FROM e GROUP BY label, i
 """
 
 
+def q_scale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard scaling (operators/scalers.py fit_scaler/apply_scaler):
+    three columns fitted in ONE melted map-side-combined aggregation
+    over ONE scan; the transform inlines the O(columns) constants as
+    literals — pure codegen, no data join."""
+    from ..operators.scalers import apply_scaler, fit_scaler
+
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    stats = fit_scaler(li, cols, method="standard")
+    out = apply_scaler(li.select("l_orderkey", "l_linenumber", *cols), stats)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[F.round(f"{c}_scaled", 6).alias(f"{c}_scaled") for c in cols],
+    )
+
+
+SQL_SCALE_FEATURES = """
+WITH s AS (
+  SELECT avg(l_quantity) AS m1, stddev_samp(l_quantity) AS s1,
+         avg(l_extendedprice) AS m2, stddev_samp(l_extendedprice) AS s2,
+         avg(l_discount) AS m3, stddev_samp(l_discount) AS s3
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+  round(CASE WHEN s1 > 0 THEN (l_quantity - m1) / s1
+             WHEN l_quantity IS NOT NULL THEN 0.0 END, 6) AS l_quantity_scaled,
+  round(CASE WHEN s2 > 0 THEN (l_extendedprice - m2) / s2
+             WHEN l_extendedprice IS NOT NULL THEN 0.0 END, 6)
+    AS l_extendedprice_scaled,
+  round(CASE WHEN s3 > 0 THEN (l_discount - m3) / s3
+             WHEN l_discount IS NOT NULL THEN 0.0 END, 6) AS l_discount_scaled
+FROM lineitem, s
+"""
+
+
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation (scalers.py fit_imputer/apply_imputer)
+    over deterministically-planted NULLs: numeric mean fill + most-
+    frequent categorical fill with the (-count, value) struct-min
+    tie-break.  Fits are aggregated-key-sized; fills inline as
+    literals."""
+    from ..operators.scalers import apply_imputer, fit_imputer
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")).alias("value2"),
+        F.when(F.col("event_id") % 11 != 0, F.col("event_type")).alias("etype2"),
+    )
+    stats = fit_imputer(ev, num_cols=["value2"], cat_cols=["etype2"])
+    out = apply_imputer(ev, stats)
+    return out.select(
+        "event_id",
+        F.round("value2", 6).alias("value_imp"),
+        F.col("etype2").alias("etype_imp"),
+    )
+
+
+SQL_IMPUTE = """
+WITH base AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 <> 0 THEN value END AS value2,
+         CASE WHEN event_id % 11 <> 0 THEN event_type END AS etype2
+  FROM events
+),
+m AS (SELECT avg(value2) AS fv FROM base),
+c AS (
+  SELECT etype2 AS v, count(*) AS n FROM base
+  WHERE etype2 IS NOT NULL GROUP BY etype2
+),
+top AS (SELECT v FROM c ORDER BY n DESC, v ASC LIMIT 1)
+SELECT base.event_id,
+       round(coalesce(base.value2, m.fv), 6) AS value_imp,
+       coalesce(base.etype2, top.v) AS etype_imp
+FROM base, m, top
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile winsorization (scalers.py winsorize): clip two columns
+    at their exact (p05, p95) — ONE melted percentile aggregation fits
+    every bound, the clip is literal-inlined codegen.  Spark
+    `percentile` == DuckDB quantile_cont (linear interpolation)."""
+    from ..operators.scalers import winsorize
+
+    li = load(spark, sf_dir, "lineitem")
+    out = winsorize(
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        ["l_quantity", "l_extendedprice"],
+        lower=0.05,
+        upper=0.95,
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity_w", 6).alias("l_quantity_w"),
+        F.round("l_extendedprice_w", 6).alias("l_extendedprice_w"),
+    )
+
+
+SQL_WINSORIZE = """
+WITH q AS (
+  SELECT quantile_cont(l_quantity, 0.05) AS lo1,
+         quantile_cont(l_quantity, 0.95) AS hi1,
+         quantile_cont(l_extendedprice, 0.05) AS lo2,
+         quantile_cont(l_extendedprice, 0.95) AS hi2
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN l_quantity IS NOT NULL
+              THEN least(greatest(l_quantity, lo1), hi1) END, 6)
+         AS l_quantity_w,
+       round(CASE WHEN l_extendedprice IS NOT NULL
+              THEN least(greatest(l_extendedprice, lo2), hi2) END, 6)
+         AS l_extendedprice_w
+FROM lineitem, q
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -1121,6 +1241,9 @@ QUERIES = {
     "transitions": q_transitions,
     "turn_novelty": q_turn_novelty,
     "embedding_pool": q_embedding_pool,
+    "scale_features": q_scale_features,
+    "impute": q_impute,
+    "winsorize": q_winsorize,
 }
 
 ORACLES = {
@@ -1152,4 +1275,7 @@ ORACLES = {
     "transitions": SQL_TRANSITIONS,
     "turn_novelty": SQL_TURN_NOVELTY,
     "embedding_pool": SQL_EMBEDDING_POOL,
+    "scale_features": SQL_SCALE_FEATURES,
+    "impute": SQL_IMPUTE,
+    "winsorize": SQL_WINSORIZE,
 }
