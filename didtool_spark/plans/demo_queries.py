@@ -1212,6 +1212,104 @@ FROM lineitem, q
 """
 
 
+def q_mi_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking (operators/mi.py mi_scores):
+    event_type + a coarse value bin vs a deterministic 3-class target —
+    every feature melts into ONE joint-count groupBy; marginals and the
+    MI sum reduce over the aggregated cell table, never the input."""
+    from ..operators.mi import mi_scores
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") / 50.0).cast("long").alias("value_bin"),
+        (F.col("event_id") % 3).alias("y"),
+    )
+    out = mi_scores(ev, ["event_type", "value_bin"], target="y")
+    return out.select("feature", F.round("mi", 6).alias("mi"))
+
+
+SQL_MI_SCORES = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(value / 50.0) AS BIGINT) AS value_bin,
+         event_id % 3 AS y
+  FROM events
+),
+m AS (
+  SELECT 'event_type' AS feat, event_type AS val, y FROM base WHERE y IS NOT NULL
+  UNION ALL
+  SELECT 'value_bin', CAST(value_bin AS VARCHAR), y FROM base WHERE y IS NOT NULL
+),
+j AS (SELECT feat, val, y, count(*) AS nxy FROM m GROUP BY feat, val, y),
+c AS (
+  SELECT nxy, feat,
+         sum(nxy) OVER (PARTITION BY feat) AS n,
+         sum(nxy) OVER (PARTITION BY feat, val) AS nx,
+         sum(nxy) OVER (PARTITION BY feat, y) AS ny
+  FROM j
+)
+SELECT feat AS feature,
+       round(sum((nxy * 1.0 / n) * ln((nxy * 1.0 * n) / (nx * 1.0 * ny))), 6)
+         AS mi
+FROM c GROUP BY feat
+"""
+
+
+_QT_B = 20
+_QT_PROBS = ", ".join(repr(i / _QT_B) for i in range(_QT_B + 1))
+
+
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile transform to normal (operators/mi.py
+    quantile_transform, output='normal'): a 20-edge exact-percentile
+    grid fitted in one melted agg, applied as literal binary-search +
+    linear interpolation + the Acklam probit — pure codegen, NO global
+    sort (the percent_rank trap).  The oracle replays the grid
+    interpolation AND the probit from the same coefficients
+    (mi.probit_sql)."""
+    from ..operators.mi import quantile_transform
+
+    ev = load(spark, sf_dir, "events")
+    out = quantile_transform(
+        ev, ["value"], n_quantiles=_QT_B, output="normal"
+    )
+    return out.select(
+        "event_id", F.round("value_q", 6).alias("value_q")
+    )
+
+
+def _sql_quantile_norm() -> str:
+    from ..operators.mi import probit_sql
+
+    eps = 1.0 / (2.0 * _QT_B)
+    rank = f"least(greatest(r.rank, {eps!r}), {1 - eps!r})"
+    return f"""
+WITH e AS (
+  SELECT quantile_cont(value, [{_QT_PROBS}]) AS ed FROM events
+),
+b AS (SELECT unnest(generate_series(1, {_QT_B})) AS i),
+r AS (
+  SELECT ev.event_id,
+         least(greatest(sum(
+           CASE WHEN e.ed[b.i + 1] > e.ed[b.i]
+                THEN least(greatest((ev.value - e.ed[b.i])
+                                    / (e.ed[b.i + 1] - e.ed[b.i]), 0.0), 1.0)
+                     / {float(_QT_B)!r}
+                WHEN ev.value >= e.ed[b.i] THEN {1.0 / _QT_B!r}
+                ELSE 0.0 END), 0.0), 1.0) AS rank
+  FROM events ev, e, b
+  WHERE ev.value IS NOT NULL
+  GROUP BY ev.event_id
+)
+SELECT ev.event_id,
+       round({probit_sql(rank)}, 6) AS value_q
+FROM events ev LEFT JOIN r ON ev.event_id = r.event_id
+"""
+
+
+SQL_QUANTILE_NORM = _sql_quantile_norm()
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -1244,6 +1342,8 @@ QUERIES = {
     "scale_features": q_scale_features,
     "impute": q_impute,
     "winsorize": q_winsorize,
+    "mi_scores": q_mi_scores,
+    "quantile_norm": q_quantile_norm,
 }
 
 ORACLES = {
@@ -1278,4 +1378,6 @@ ORACLES = {
     "scale_features": SQL_SCALE_FEATURES,
     "impute": SQL_IMPUTE,
     "winsorize": SQL_WINSORIZE,
+    "mi_scores": SQL_MI_SCORES,
+    "quantile_norm": SQL_QUANTILE_NORM,
 }
