@@ -223,3 +223,65 @@ def test_bpe_tokenize_plan_shape(spark):
     assert "PythonUDF" not in p and "BatchEvalPython" not in p
     assert "HashAggregate" in p  # the distinct-word vocab table
     assert "staticinvoke" in p.lower() or "replace" in p.lower()
+
+
+def test_feature_bank_plan_shapes(spark):
+    """Scale contract of the round-4 feature bank: stateless hashed
+    features are shuffle-free codegen; the calibration/agreement/
+    transition/novelty/pooling family shuffles only on aggregated or
+    entity keys; no Python eval node anywhere."""
+    import re
+
+    from didtool_spark.operators.calibration import reliability_table
+    from didtool_spark.operators.feature_hash import (
+        hash_vectorize, hashed_cross,
+    )
+    from didtool_spark.operators.pooling import pool_embeddings
+    from didtool_spark.operators.seq_features import (
+        transition_counts, with_turn_novelty,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def exchanges(df):
+        p = plan_str(df)
+        assert "PythonUDF" not in p and "BatchEvalPython" not in p, p[:2000]
+        return len(re.findall(r"\(\d+\) Exchange", p)), p
+
+    # stateless hashing: zero shuffle, stays in the scan stage
+    n, p = exchanges(hashed_cross(ev, ["event_type", "user_id"], 64))
+    assert n == 0, p[:2000]
+    n, p = exchanges(
+        hash_vectorize(ev, cat_cols=["event_type"], num_cols=["value"])
+    )
+    assert n == 0, p[:2000]
+
+    # reliability: ONE map-side-combined groupBy (partial_avg present)
+    scored = ev.withColumn("s", F.col("value") / 500.0).withColumn(
+        "y", (F.col("value") > 5).cast("int")
+    )
+    n, p = exchanges(reliability_table(scored, "s", "y"))
+    assert n == 1 and "partial_avg" in p, p[:2500]
+
+    # transitions: ONE exchange total — the (user, from, to) groupBy
+    # rides the lag window's user_id hash partitioning (the entity key
+    # is a grouping-key subset, so Catalyst inserts no second shuffle)
+    n, p = exchanges(
+        transition_counts(ev, "event_type", keys="user_id",
+                          order=("ts", "event_id"))
+    )
+    assert n == 1, p[:2500]
+
+    # novelty: one entity-sort exchange, everything else codegen
+    n, p = exchanges(
+        with_turn_novelty(ev, "props", keys="user_id",
+                          order=("ts", "event_id"))
+    )
+    assert n == 1, p[:2500]
+
+    # pooling long form: one (keys, dim) groupBy with map-side combine
+    n, p = exchanges(
+        pool_embeddings(emb, "embedding", keys="label", long=True)
+    )
+    assert n == 1 and "partial_avg" in p, p[:2500]
