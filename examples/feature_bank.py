@@ -1,0 +1,103 @@
+"""didtool_spark feature-bank tour — the round-4 extensions.
+
+Walks the classic tabular feature pipeline the reference delegated to
+sklearn, plus the sequence/embedding features a transcript store needs:
+
+1. cleaning:  winsorize -> impute -> scale (fit/apply split — the stats
+   frames are small, checkpointable, and literal-inlined at apply)
+2. encoding:  hashed crossed features + hashing-trick sparse vectors
+   (stateless — nothing to fit, nothing to broadcast)
+3. distribution: quantile transform to normal (grid + Acklam probit,
+   no global sort)
+4. ranking:   mutual-information scores per feature
+5. sequence:  Markov transitions + turn-to-turn novelty per entity
+6. vectors:   per-entity embedding pooling
+7. evaluation: reliability table / ECE / Brier + Cohen's kappa
+
+Everything is a lazy DataFrame plan; the only driver-side values are
+O(columns) statistics frames.
+
+Run:  python examples/feature_bank.py [testdata_dir]
+      (default: /root/testdata/sf0.001)
+"""
+
+import os
+import sys
+
+from pyspark.sql import SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import didtool_spark as dt  # noqa: E402
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("didtool-spark-feature-bank")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+# ------------------------------------------- 1. clean numeric columns
+clipped = dt.winsorize(ev, ["value"], lower=0.01, upper=0.99)
+imp_stats = dt.fit_imputer(clipped, num_cols=["value_w"], cat_cols=["event_type"])
+print("imputer stats:", imp_stats.collect())
+clean = dt.apply_imputer(clipped, imp_stats)
+
+scale_stats = dt.fit_scaler(clean, ["value_w"], method="robust")
+print("scaler stats:", scale_stats.collect())
+scaled = dt.apply_scaler(clean, scale_stats)
+
+# ------------------------------------------- 2. stateless encodings
+crossed = dt.hashed_cross(scaled, ["event_type", "user_id"], n_buckets=1024)
+vec = dt.hash_vectorize(
+    crossed, cat_cols=["event_type"], num_cols=["value_w_scaled"],
+    n_features=2**18,
+)
+print(vec.select("event_id", "event_type_x_user_id_b", "features").limit(3).collect())
+
+# ------------------------------------------- 3. distribution transform
+qt = dt.quantile_transform(ev, ["value"], n_quantiles=100, output="normal")
+print("rank-gauss sample:", qt.select("event_id", "value", "value_q").limit(3).collect())
+
+# ------------------------------------------- 4. feature ranking by MI
+binned = ev.select(
+    "event_type",
+    F.floor(F.col("value") / 50.0).cast("long").alias("value_bin"),
+    (F.col("event_id") % 3).alias("y"),
+)
+print("MI ranking:", dt.mi_scores(binned, ["event_type", "value_bin"]).collect())
+
+# ------------------------------------------- 5. sequence features
+trans = dt.transition_counts(ev, "event_type", keys="user_id",
+                             order=("ts", "event_id"))
+print("top transitions:",
+      trans.orderBy(F.desc("n")).limit(5).collect())
+nov = dt.with_turn_novelty(ev, "props", keys="user_id", order=("ts", "event_id"))
+print("mean turn-repeat (1.0 = stalled):",
+      nov.agg(F.avg("props_jaccard_prev")).collect()[0][0])
+
+# ------------------------------------------- 6. embedding pooling
+pooled = dt.pool_embeddings(emb, "embedding", keys="label",
+                            aggs=("mean",), l2_normalize=True)
+print("pooled per-label vectors:", pooled.select("label", "n_vecs").collect())
+
+# ------------------------------------------- 7. evaluation
+scored = ev.withColumn(
+    "score", 1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))
+).withColumn("label", F.col("event_type").isin("purchase", "signup").cast("int"))
+print("reliability:",
+      dt.reliability_table(scored, "score", "label").orderBy("bin").collect())
+print("calibration:", dt.calibration_metrics(scored, "score", "label").collect())
+lab = scored.withColumn("a", (F.col("value") > 5.0).cast("int")).withColumn(
+    "b", F.col("label")
+)
+print("labeler agreement:", dt.cohen_kappa(lab, "a", "b").collect())
+
+spark.stop()
+print("feature-bank tour complete")
