@@ -1310,6 +1310,57 @@ FROM events ev LEFT JOIN r ON ev.event_id = r.event_id
 SQL_QUANTILE_NORM = _sql_quantile_norm()
 
 
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid resampling (operators/resample.py resample_grid):
+    events onto a dense per-user 6h grid, last-value buckets,
+    forward-filled.  Aggregation shuffles cells not events; the grid
+    generates distributedly via sequence()+explode; ffill is one
+    (user, bucket) sort."""
+    from ..operators.resample import resample_grid
+
+    ev = load(spark, sf_dir, "events")
+    out = resample_grid(
+        ev, "value", step_s=21600, keys="user_id", ts_col="ts",
+        agg="last", ffill=True,
+    )
+    return out.select(
+        "user_id",
+        (F.unix_micros("bucket_ts") / F.lit(1_000_000)).cast("long").alias("bucket_s"),
+        F.round("value_last", 6).alias("value_last"),
+        "n_events",
+    )
+
+
+SQL_RESAMPLE = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 21600000000) AS BIGINT) AS bk,
+         epoch_us(ts) AS us, value
+  FROM events
+),
+cells AS (
+  SELECT user_id, bk,
+         max(CASE WHEN value IS NOT NULL
+                  THEN struct_pack(u := us, v := value) END).v AS v,
+         count(*) AS n
+  FROM b GROUP BY user_id, bk
+),
+span AS (SELECT user_id, min(bk) AS lo, max(bk) AS hi FROM cells GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bk FROM span),
+j AS (
+  SELECT g.user_id, g.bk, c.v, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN cells c ON g.user_id = c.user_id AND g.bk = c.bk
+)
+SELECT user_id,
+       CAST(bk * 21600 AS BIGINT) AS bucket_s,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bk
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_last,
+       CAST(n AS BIGINT) AS n_events
+FROM j
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -1344,6 +1395,7 @@ QUERIES = {
     "winsorize": q_winsorize,
     "mi_scores": q_mi_scores,
     "quantile_norm": q_quantile_norm,
+    "resample": q_resample,
 }
 
 ORACLES = {
@@ -1380,4 +1432,5 @@ ORACLES = {
     "winsorize": SQL_WINSORIZE,
     "mi_scores": SQL_MI_SCORES,
     "quantile_norm": SQL_QUANTILE_NORM,
+    "resample": SQL_RESAMPLE,
 }

@@ -1,0 +1,101 @@
+"""Units for resample_grid vs pandas resample semantics: dense grid,
+per-bucket aggregation, deterministic last, leakage-free ffill."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from didtool_spark.operators.resample import resample_grid
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=s)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(k, _ts(s), v) for k, s, v in rows],
+        "k string, ts timestamp, v double",
+    )
+
+
+def test_resample_last_grid_and_ffill(spark):
+    rows = [
+        ("a", 5.0, 1.0),
+        ("a", 50.0, 2.0),     # same bucket at step 60: last wins
+        ("a", 130.0, None),   # bucket 2: only a NULL value
+        ("a", 310.0, 9.0),    # bucket 5; buckets 3-4 are gaps
+        ("b", 65.0, 7.0),
+    ]
+    df = _mk(spark, rows)
+    out = resample_grid(df, "v", 60, keys="k", agg="last", ffill=False)
+    got = {
+        (r["k"], r["bucket_ts"]): (r["v_last"], r["n_events"])
+        for r in out.collect()
+    }
+    assert got[("a", _ts(0))] == (2.0, 2)
+    assert got[("a", _ts(120))] == (None, 1)   # NULL-only bucket
+    assert got[("a", _ts(180))] == (None, 0)   # gap cell
+    assert got[("a", _ts(240))] == (None, 0)
+    assert got[("a", _ts(300))] == (9.0, 1)
+    assert got[("b", _ts(60))] == (7.0, 1)
+    assert len([k for k in got if k[0] == "a"]) == 6  # dense 0..5
+    assert len([k for k in got if k[0] == "b"]) == 1
+
+    filled = resample_grid(df, "v", 60, keys="k", agg="last", ffill=True)
+    gf = {(r["k"], r["bucket_ts"]): r["v_last"] for r in filled.collect()}
+    assert gf[("a", _ts(120))] == 2.0   # NULL bucket filled from bucket 0
+    assert gf[("a", _ts(240))] == 2.0   # gaps carry forward
+    assert gf[("a", _ts(300))] == 9.0   # own value wins over carry
+
+
+def test_resample_last_same_ts_tiebreak(spark):
+    df = _mk(spark, [("a", 10.0, 3.0), ("a", 10.0, 8.0)])
+    out = resample_grid(df, "v", 60, keys="k").collect()
+    assert out[0]["v_last"] == 8.0  # exact-tie -> larger value, stable
+
+
+def test_resample_aggs_match_pandas(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(41)
+    rows = [("a", float(s), float(v)) for s, v in
+            zip(np.sort(rng.uniform(0, 600, 60)), rng.normal(5, 2, 60))]
+    df = _mk(spark, rows)
+    pdf = pd.DataFrame(rows, columns=["k", "s", "v"])
+    pdf["ts"] = pdf["s"].map(_ts)
+    res = pdf.set_index("ts").resample("60s")
+    for agg, pd_val in (("sum", res["v"].sum()), ("avg", res["v"].mean()),
+                        ("max", res["v"].max()), ("count", res["v"].count())):
+        out = {r["bucket_ts"]: r[f"v_{agg}"] for r in
+               resample_grid(df, "v", 60, keys="k", agg=agg).collect()}
+        for t, e in pd_val.items():
+            g = out[t.to_pydatetime().replace(tzinfo=None)]
+            if agg == "sum" and np.isnan(e):
+                # pandas sums an empty bucket to 0.0; SQL sum is NULL
+                continue
+            if isinstance(e, float) and np.isnan(e):
+                assert g is None, (agg, t)
+            else:
+                assert abs(g - e) < 1e-9, (agg, t, g, e)
+
+
+def test_resample_single_partitioning_plan(spark):
+    import re
+
+    from tests.test_plan_shape import plan_str
+
+    df = _mk(spark, [("a", float(i * 30), float(i)) for i in range(50)])
+    out = resample_grid(df, "v", 60, keys="k", ffill=True)
+    p = plan_str(out)
+    assert "PythonUDF" not in p
+    # groupBy(k,b), span agg, grid join and the ffill window all hash
+    # on k / (k,b) — bounded exchange count, no single-partition stage
+    assert "Exchange SinglePartition" not in p
+    n = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n <= 4, p[:3000]
