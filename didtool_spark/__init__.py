@@ -159,7 +159,7 @@ from .sources.tables import (  # noqa: F401
 )
 
 # streaming drift monitoring (didtool's psi as a live per-window monitor)
-from .streaming.drift import PsiMonitor  # noqa: F401
+from .streaming.drift import CalibrationMonitor, PsiMonitor  # noqa: F401
 
 # SVG rendering for the reference's matplotlib diagnostics (plot_roc,
 # plot_ks, plot_pr_curve, ... — metric.py:313-756) without a GUI stack

@@ -185,3 +185,102 @@ class PsiMonitor:
             .collect()
         }
         return self._psi_of_counts(a_counts)
+
+
+class CalibrationMonitor:
+    """Live score-calibration monitor: the batch reliability table /
+    Brier / ECE / MCE (operators/calibration.py) per event-time window.
+
+    Scale split, same as PsiMonitor: the STREAMING side runs ONE
+    watermark-bounded groupBy on (window, bin) carrying four sufficient
+    statistics (count, sum score, sum label, sum squared error) with
+    map-side partial aggregation — state is O(n_bins) per open window,
+    independent of input rate.  The per-window metric fold is driver
+    math over the windows x n_bins sink table and computes EXACTLY the
+    batch ``calibration_metrics`` numbers (asserted equal in tests).
+    """
+
+    def __init__(self, score_col: str, label_col: str, n_bins: int = 10):
+        self.score_col = score_col
+        self.label_col = label_col
+        self.n_bins = int(n_bins)
+
+    def _bin(self):
+        s = F.col(self.score_col).cast("double")
+        return F.least(
+            F.floor(s * F.lit(self.n_bins)), F.lit(self.n_bins - 1)
+        ).cast("long")
+
+    def windowed_bins(
+        self,
+        stream: DataFrame,
+        ts_col: str = "ts",
+        window_duration: str = "1 hour",
+        watermark: str = "2 hours",
+    ) -> DataFrame:
+        """(window_start, window_end, bin, n, sum_s, sum_y, sum_sq) per
+        tumbling window — append-mode compatible.  NULL scores/labels
+        drop (the batch reliability_table contract)."""
+        s = F.col(self.score_col).cast("double")
+        y = F.col(self.label_col).cast("double")
+        return (
+            stream.where(s.isNotNull() & y.isNotNull())
+            .withWatermark(ts_col, watermark)
+            .groupBy(
+                F.window(ts_col, window_duration).alias("w"),
+                self._bin().alias("bin"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(s).alias("sum_s"),
+                F.sum(y).alias("sum_y"),
+                F.sum(F.pow(s - y, 2)).alias("sum_sq"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "bin", "n", "sum_s", "sum_y", "sum_sq",
+            )
+        )
+
+    @staticmethod
+    def _fold(g: pd.DataFrame) -> dict:
+        n = g["n"].sum()
+        gaps = (g["sum_y"] / g["n"] - g["sum_s"] / g["n"]).abs()
+        return {
+            "n_rows": int(n),
+            "brier": float(g["sum_sq"].sum() / n),
+            "ece": float((gaps * g["n"]).sum() / n),
+            "mce": float(gaps.max()),
+        }
+
+    def calibration_table(self, counts: DataFrame) -> pd.DataFrame:
+        """Per-window (n_rows, brier, ece, mce) from the streaming sink
+        — windows x n_bins rows, driver-sized by construction."""
+        pdf = counts.toPandas()
+        out = []
+        for (ws, we), g in pdf.groupby(
+            ["window_start", "window_end"], sort=True
+        ):
+            out.append(
+                {"window_start": ws, "window_end": we, **self._fold(g)}
+            )
+        return pd.DataFrame(out)
+
+    def now(self, scored: DataFrame) -> dict:
+        """One-shot batch check — the same numbers
+        calibration_metrics(scored, ...) returns."""
+        s = F.col(self.score_col).cast("double")
+        y = F.col(self.label_col).cast("double")
+        g = (
+            scored.where(s.isNotNull() & y.isNotNull())
+            .groupBy(self._bin().alias("bin"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(s).alias("sum_s"),
+                F.sum(y).alias("sum_y"),
+                F.sum(F.pow(s - y, 2)).alias("sum_sq"),
+            )
+            .toPandas()
+        )
+        return self._fold(g)

@@ -394,3 +394,51 @@ def test_stateful_decayed_features_matches_batch(spark, stream_dirs, tmp_path_fa
         assert (g.isna() == e.isna()).all(), g_col  # first turn of a conv
         m = ~g.isna()
         assert np.allclose(g[m], e[m], rtol=1e-9), g_col
+
+
+def test_streaming_calibration_monitor_matches_batch(spark, tmp_path_factory):
+    """Per-window streaming calibration == batch calibration_metrics on
+    the same window slice: the streaming side aggregates four
+    sufficient statistics per (window, bin); the fold is identical."""
+    from didtool_spark.operators.calibration import calibration_metrics
+    from didtool_spark.streaming.drift import CalibrationMonitor
+
+    root = tmp_path_factory.mktemp("calib")
+    src, out, ck = str(root / "src"), str(root / "out"), str(root / "ck")
+    tr = generate_transcripts(spark, n_convs=40, avg_turns=10)
+    scored = tr.select(
+        "conv_id",
+        "ts",
+        (1.0 / (1.0 + F.exp(-(F.length("text") - 40.0) / 20.0))).alias("s"),
+        (F.col("role") == "assistant").cast("int").alias("y"),
+    )
+    scored.write.mode("overwrite").parquet(src)
+    ref = spark.read.parquet(src)
+
+    mon = CalibrationMonitor("s", "y", n_bins=10)
+    stream = (
+        spark.readStream.schema("conv_id string, ts timestamp, s double, y int")
+        .format("parquet")
+        .load(src)
+    )
+    run_stream_once(
+        mon.windowed_bins(
+            stream, window_duration="30 minutes", watermark="0 seconds"
+        ),
+        ck, out,
+    )
+    table = mon.calibration_table(spark.read.parquet(out))
+    assert len(table) >= 2
+
+    for row in table.itertuples(index=False):
+        sl = ref.where(
+            (F.col("ts") >= F.lit(row.window_start))
+            & (F.col("ts") < F.lit(row.window_end))
+        )
+        batch = calibration_metrics(sl, "s", "y", n_bins=10).collect()[0]
+        assert batch["n"] == row.n_rows
+        for m in ("brier", "ece", "mce"):
+            assert abs(batch[m] - getattr(row, m)) < 1e-12, m
+        one = mon.now(sl)
+        for m in ("brier", "ece", "mce"):
+            assert abs(one[m] - getattr(row, m)) < 1e-12, m
