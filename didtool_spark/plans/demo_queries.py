@@ -1361,6 +1361,78 @@ FROM j
 """
 
 
+def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) CV splits (operators/cv.py):
+    5 equal-count time segments from one percentile fit; every row's
+    (segment, test_fold) is a literal-comparison codegen expression —
+    train = strictly earlier segments, so no feature fit ever sees its
+    test window."""
+    from ..operators.cv import rolling_origin_folds
+
+    ev = load(spark, sf_dir, "events")
+    out = rolling_origin_folds(ev, n_folds=5, ts_col="ts", min_train_folds=1)
+    return out.select(
+        "event_id",
+        F.col("segment").cast("long").alias("segment"),
+        F.col("test_fold").cast("double").alias("test_fold"),
+    )
+
+
+SQL_CV_FOLDS = """
+WITH e AS (
+  SELECT quantile_cont(epoch_us(ts), [0.2, 0.4, 0.6, 0.8]) AS ed FROM events
+),
+s AS (
+  SELECT event_id,
+         (CASE WHEN epoch_us(ts) >= ed[1] THEN 1 ELSE 0 END
+        + CASE WHEN epoch_us(ts) >= ed[2] THEN 1 ELSE 0 END
+        + CASE WHEN epoch_us(ts) >= ed[3] THEN 1 ELSE 0 END
+        + CASE WHEN epoch_us(ts) >= ed[4] THEN 1 ELSE 0 END) AS segment
+  FROM events, e
+)
+SELECT event_id, CAST(segment AS BIGINT) AS segment,
+       CAST(CASE WHEN segment >= 1 THEN segment END AS DOUBLE) AS test_fold
+FROM s
+"""
+
+
+def q_purged_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged K-fold with a 1-day embargo (operators/cv.py
+    purged_kfold): contiguous time folds; per test fold k the train_k
+    mask drops rows inside the fold OR within the embargo of its
+    boundaries — forward label horizons cannot leak across.  Pure
+    literal comparisons, zero shuffle."""
+    from ..operators.cv import purged_kfold
+
+    ev = load(spark, sf_dir, "events")
+    out = purged_kfold(ev, n_folds=3, ts_col="ts", embargo_s=86400.0)
+    return out.select(
+        "event_id",
+        F.col("fold").cast("long").alias("fold"),
+        "train_0", "train_1", "train_2",
+    )
+
+
+SQL_PURGED_FOLDS = """
+WITH e AS (
+  SELECT quantile_cont(epoch_us(ts), [1.0/3, 2.0/3]) AS ed FROM events
+),
+s AS (
+  SELECT event_id, CAST(epoch_us(ts) AS DOUBLE) AS us,
+         (CASE WHEN epoch_us(ts) >= ed[1] THEN 1 ELSE 0 END
+        + CASE WHEN epoch_us(ts) >= ed[2] THEN 1 ELSE 0 END) AS fold,
+         ed[1] AS e1, ed[2] AS e2
+  FROM events, e
+)
+SELECT event_id, CAST(fold AS BIGINT) AS fold,
+       fold <> 0 AND NOT (us >= e1 AND us < e1 + 86400000000.0) AS train_0,
+       fold <> 1 AND NOT (us >= e1 - 86400000000.0 AND us < e1)
+                AND NOT (us >= e2 AND us < e2 + 86400000000.0) AS train_1,
+       fold <> 2 AND NOT (us >= e2 - 86400000000.0 AND us < e2) AS train_2
+FROM s
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -1396,6 +1468,8 @@ QUERIES = {
     "mi_scores": q_mi_scores,
     "quantile_norm": q_quantile_norm,
     "resample": q_resample,
+    "cv_folds": q_cv_folds,
+    "purged_folds": q_purged_folds,
 }
 
 ORACLES = {
@@ -1433,4 +1507,6 @@ ORACLES = {
     "mi_scores": SQL_MI_SCORES,
     "quantile_norm": SQL_QUANTILE_NORM,
     "resample": SQL_RESAMPLE,
+    "cv_folds": SQL_CV_FOLDS,
+    "purged_folds": SQL_PURGED_FOLDS,
 }
