@@ -1433,6 +1433,53 @@ FROM s
 """
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (operators/negatives.py): two
+    hash-derived negatives per distinct (supplier, part) positive —
+    the j-th negative is a pure function of (entity, item, j, seed),
+    so results are identical on any cluster size.  Dense item index on
+    the broadcast DIMENSION table; one anti-join removes accidental
+    positives.  Gate uses hash_fn='md5_60' for the SQL replay."""
+    from ..operators.negatives import negative_samples
+
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    pos = li.select(
+        "l_suppkey", F.col("l_partkey").alias("p_partkey")
+    ).distinct()
+    out = negative_samples(
+        pos, part, k=2, entity_col="l_suppkey", item_col="p_partkey",
+        seed=42, hash_fn="md5_60",
+    )
+    return out.select(
+        "l_suppkey", "pos_item", F.col("j").cast("long").alias("j"), "neg_item"
+    )
+
+
+SQL_NEGATIVE_SAMPLES = """
+WITH idx AS (
+  SELECT p_partkey AS neg_item,
+         row_number() OVER (ORDER BY p_partkey) - 1 AS i
+  FROM part
+),
+n AS (SELECT count(*) AS n FROM part),
+pos AS (SELECT DISTINCT l_suppkey AS ent, l_partkey AS itm FROM lineitem),
+cand AS (
+  SELECT ent, itm, j,
+         ('0x' || substr(md5(concat_ws(chr(31),
+            CAST(ent AS VARCHAR), CAST(itm AS VARCHAR),
+            CAST(j AS VARCHAR), '42')), 1, 15))::BIGINT % n.n AS i
+  FROM pos, unnest([0, 1]) AS t(j), n
+)
+SELECT c.ent AS l_suppkey, c.itm AS pos_item,
+       CAST(c.j AS BIGINT) AS j, x.neg_item
+FROM cand c JOIN idx x ON c.i = x.i
+WHERE NOT EXISTS (
+  SELECT 1 FROM pos p WHERE p.ent = c.ent AND p.itm = x.neg_item
+)
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -1470,6 +1517,7 @@ QUERIES = {
     "resample": q_resample,
     "cv_folds": q_cv_folds,
     "purged_folds": q_purged_folds,
+    "negative_samples": q_negative_samples,
 }
 
 ORACLES = {
@@ -1509,4 +1557,5 @@ ORACLES = {
     "resample": SQL_RESAMPLE,
     "cv_folds": SQL_CV_FOLDS,
     "purged_folds": SQL_PURGED_FOLDS,
+    "negative_samples": SQL_NEGATIVE_SAMPLES,
 }
