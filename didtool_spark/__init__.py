@@ -110,6 +110,9 @@ from .operators.mi import mi_scores, quantile_transform  # noqa: F401
 from .operators.resample import resample_grid  # noqa: F401
 from .operators.cv import purged_kfold, rolling_origin_folds  # noqa: F401
 from .operators.negatives import negative_samples  # noqa: F401
+from .operators.quality_checks import (  # noqa: F401
+    accepted_values, in_range, min_rows, not_null, unique, validate,
+)
 from .functions.exprs import with_json_fields  # noqa: F401
 from .operators.text import (  # noqa: F401
     collocations, fingerprint_exprs, fingerprint_overlap, ngram_diversity,

@@ -1480,6 +1480,69 @@ WHERE NOT EXISTS (
 """
 
 
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/quality_checks.py):
+    five expectation rules — null rate, range, accepted values,
+    uniqueness, row count — ALL compiled into ONE aggregation job over
+    ONE scan; the output is the tiny (rule, column, metric, threshold,
+    passed) frame a checkpoint hook asserts on."""
+    from ..operators.quality_checks import (
+        accepted_values, in_range, min_rows, not_null, unique, validate,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    out = validate(
+        ev,
+        [
+            not_null("value"),
+            in_range("value", 0.0, 400.0, max_violation_rate=0.05),
+            accepted_values(
+                "event_type",
+                ["click", "view", "purchase", "signup", "error"],
+            ),
+            unique("event_id"),
+            min_rows(1000),
+        ],
+    )
+    return out.select(
+        "rule", "column", F.round("metric", 6).alias("metric"),
+        "threshold", "passed",
+    )
+
+
+SQL_QUALITY_CHECKS = """
+WITH t AS (
+  SELECT count(*) AS total,
+         count(value) AS nn_v,
+         sum(CASE WHEN value < 0.0 OR value > 400.0 THEN 1 ELSE 0 END) AS oor,
+         count(event_type) AS nn_e,
+         sum(CASE WHEN event_type NOT IN
+             ('click', 'view', 'purchase', 'signup', 'error')
+             THEN 1 ELSE 0 END) AS bad_e,
+         count(DISTINCT event_id) AS d_id
+  FROM events
+)
+SELECT 'not_null' AS rule, 'value' AS "column",
+       round((total - nn_v) * 1.0 / total, 6) AS metric, 0.0 AS threshold,
+       (total - nn_v) * 1.0 / total <= 0.0 AS passed FROM t
+UNION ALL
+SELECT 'in_range', 'value',
+       round(coalesce(oor * 1.0 / nn_v, 0.0), 6), 0.05,
+       coalesce(oor * 1.0 / nn_v, 0.0) <= 0.05 FROM t
+UNION ALL
+SELECT 'accepted_values', 'event_type',
+       round(coalesce(bad_e * 1.0 / nn_e, 0.0), 6), 0.0,
+       coalesce(bad_e * 1.0 / nn_e, 0.0) <= 0.0 FROM t
+UNION ALL
+SELECT 'unique', 'event_id',
+       round((total - d_id) * 1.0 / total, 6), 0.0,
+       (total - d_id) * 1.0 / total <= 0.0 FROM t
+UNION ALL
+SELECT 'min_rows', '*', CAST(total AS DOUBLE), 1000.0,
+       total >= 1000 FROM t
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -1518,6 +1581,7 @@ QUERIES = {
     "cv_folds": q_cv_folds,
     "purged_folds": q_purged_folds,
     "negative_samples": q_negative_samples,
+    "quality_checks": q_quality_checks,
 }
 
 ORACLES = {
@@ -1558,4 +1622,5 @@ ORACLES = {
     "cv_folds": SQL_CV_FOLDS,
     "purged_folds": SQL_PURGED_FOLDS,
     "negative_samples": SQL_NEGATIVE_SAMPLES,
+    "quality_checks": SQL_QUALITY_CHECKS,
 }
