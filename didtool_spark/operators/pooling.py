@@ -87,6 +87,13 @@ def pool_embeddings(
         col = F.transform(F.col("__arr"), pick(a))
         if a == "mean" and l2_normalize:
             nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
-            col = F.when(nrm > 0, F.transform(col, lambda x: x / nrm)).otherwise(col)
+            # single-element transform = let-binding: the norm is
+            # computed once per row, not once per element (see mi.py)
+            col = F.transform(
+                F.array(nrm),
+                lambda n: F.when(n > 0, F.transform(col, lambda x: x / n)).otherwise(
+                    col
+                ),
+            )[0]
         packed = packed.withColumn(f"{emb_col}_{a}", col)
     return packed.drop("__arr")

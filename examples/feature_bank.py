@@ -87,7 +87,37 @@ pooled = dt.pool_embeddings(emb, "embedding", keys="label",
                             aggs=("mean",), l2_normalize=True)
 print("pooled per-label vectors:", pooled.select("label", "n_vecs").collect())
 
-# ------------------------------------------- 7. evaluation
+# ------------------------------------------- 7. grids, CV, negatives, QA
+grid = dt.resample_grid(ev, "value", step_s=6 * 3600, keys="user_id",
+                        agg="last", ffill=True)
+print("resampled grid cells:", grid.count())
+
+folds = dt.rolling_origin_folds(ev, n_folds=5, ts_col="ts")
+print("rows per time segment:",
+      sorted((r["segment"], r["count"]) for r in
+             folds.groupBy("segment").count().collect()))
+
+# positives = each user's purchase/signup interactions; the other
+# event types are the candidate negative space
+pos = (
+    ev.where(F.col("event_type").isin("purchase", "signup"))
+    .select("user_id", F.col("event_type").alias("item"))
+    .distinct()
+)
+items = ev.select(F.col("event_type").alias("item")).distinct()
+negs = dt.negative_samples(pos, items, k=2, item_col="item")
+print("negative pairs:", negs.count(),
+      negs.limit(3).collect())
+
+report = dt.validate(ev, [
+    dt.not_null("value"),
+    dt.in_range("value", 0, 1000),
+    dt.unique("event_id"),
+    dt.min_rows(100),
+])
+print("data-quality gate:", report.collect())
+
+# ------------------------------------------- 8. evaluation
 scored = ev.withColumn(
     "score", 1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))
 ).withColumn("label", F.col("event_type").isin("purchase", "signup").cast("int"))
