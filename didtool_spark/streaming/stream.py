@@ -351,3 +351,69 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")
     )
+
+
+def streaming_transitions(
+    stream: DataFrame,
+    col: str = "role",
+):
+    """Streaming form of operators.seq_features.transition_counts: per
+    conversation, emit the (from, to) state transition each arriving
+    turn completes.  Downstream this feeds any streaming aggregation
+    (e.g. groupBy(from, to).count() for live Markov matrices).
+
+    State per conv_id is ONE value — the previous turn's ``col`` (with
+    an explicit seen-flag so a NULL value is a real level, exactly the
+    batch operator's contract).  The first turn of a conversation
+    starts no transition and emits nothing.
+
+    Ordering caveat shared with streaming_running_features: rows are
+    sorted (ts, turn_idx) within a micro-batch; cross-batch order
+    relies on the source being append-ordered per conversation.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("from", StringType()),
+            StructField("to", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("seen", BooleanType()), StructField("prev", StringType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        (conv_id,) = key
+        seen, prev = state.get if state.exists else (False, None)
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                cur = getattr(row, col)
+                cur = None if pd.isna(cur) else cur
+                if seen:
+                    out.append(
+                        (conv_id, int(row.turn_idx), row.ts, prev, cur)
+                    )
+                seen, prev = True, cur
+        state.update((seen, prev))
+        yield pd.DataFrame(
+            out, columns=["conv_id", "turn_idx", "ts", "from", "to"]
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

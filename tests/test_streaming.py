@@ -442,3 +442,33 @@ def test_streaming_calibration_monitor_matches_batch(spark, tmp_path_factory):
         one = mon.now(sl)
         for m in ("brier", "ece", "mce"):
             assert abs(one[m] - getattr(row, m)) < 1e-12, m
+
+
+def test_streaming_transitions_match_batch(spark, stream_dirs, tmp_path_factory):
+    """streaming_transitions: the one-value state must carry across
+    micro-batches and reproduce batch transition_counts exactly."""
+    from didtool_spark.operators.seq_features import transition_counts
+    from didtool_spark.streaming.stream import (
+        read_transcript_stream, run_stream_once, streaming_transitions,
+    )
+
+    src, _ = stream_dirs
+    root = str(tmp_path_factory.mktemp("trans_stream"))
+    out, ck = os.path.join(root, "out"), os.path.join(root, "ck")
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    run_stream_once(streaming_transitions(stream, col="role"), ck, out)
+    got = (
+        spark.read.parquet(out)
+        .groupBy("from", "to")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+    batch = transition_counts(
+        spark.read.parquet(src), "role",
+        keys="conv_id", order=("ts", "turn_idx"), per_key=False,
+    )
+    g = {(r["from"], r["to"]): r["n"] for r in got.collect()}
+    b = {(r["from"], r["to"]): r["n"] for r in batch.collect()}
+    assert g == b and sum(b.values()) > 0
