@@ -9,22 +9,28 @@ computed point-in-time safe (each row only ever sees strictly earlier
 rows of its own key).
 
 Scale design:
-- ``transition_counts``: one window lag + one map-side-combined groupBy
-  whose key space is (entity x V^2) AGGREGATED rows, not events; the
-  lag shares the (keys, order) Exchange+Sort with any other feature on
-  the same ordering.
-- ``with_turn_novelty``: tokenization, lag, and the Jaccard are all
-  array expressions inside whole-stage codegen — per-row state is two
-  token arrays (turn-sized).  No Python, no extra shuffle beyond the
-  shared (keys, order) sort.
+- both operators need exactly ONE lag, so they delegate the shift to
+  temporal.with_lags and inherit BOTH its strategies: the default
+  single-(keys, order)-sort window (shared Exchange with any other
+  feature on the same ordering — the transitions groupBy even rides
+  the same partitioning, no second shuffle), and ``strategy=
+  "bucketed"`` — the carry-in trick that bounds task size by time
+  bucket instead of key size, for hot single-conversation keys.
+- "has a previous row" comes from lagging a literal TRUE flag, not
+  from ``prev IS NULL`` — a NULL *value* is a real level and
+  transitions like any other (the didtool NULL-level convention).
+- tokenization and the Jaccard are array expressions inside
+  whole-stage codegen; per-row state is two token arrays (turn-sized).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .temporal import with_lags
 
 __all__ = ["transition_counts", "with_turn_novelty"]
 
@@ -39,26 +45,32 @@ def transition_counts(
     keys: Sequence[str] | str = "conv_id",
     order: Sequence[str] | str = ("ts", "turn_idx"),
     per_key: bool = True,
+    strategy: str = "window",
+    ts_col: str = "ts",
+    bucket_seconds: int = 86400,
 ) -> DataFrame:
     """Counts of (previous value -> current value) transitions of
     ``col`` along each key's order: ``(keys..., from, to, n)``
     (``per_key=False`` drops the keys for corpus-level counts).
 
-    The first row of a key starts no transition (excluded by row
-    number, NOT by ``prev IS NULL`` — a NULL *value* is a real level
-    and transitions like any other).
+    The first row of a key starts no transition (excluded by a lagged
+    seen-flag, NOT by ``prev IS NULL`` — a NULL *value* is a real level
+    and transitions like any other).  ``strategy="bucketed"`` bounds
+    task size by ``bucket_seconds`` for hot keys (with_lags carry-in);
+    output is identical.
     """
-    keys_l, order_l = _lists(keys), _lists(order)
-    w = Window.partitionBy(*keys_l).orderBy(*order_l)
-    pairs = (
-        df.withColumn("__prev", F.lag(col, 1).over(w))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") > 1)
+    keys_l = _lists(keys)
+    base = df.withColumn("__seen", F.lit(True))
+    lagged = with_lags(
+        base, [col, "__seen"], lags=[1],
+        keys=keys, order=order, strategy=strategy,
+        ts_col=ts_col, bucket_seconds=bucket_seconds,
     )
+    pairs = lagged.where(F.col("__seen_lag1").isNotNull())
     grp = [*keys_l] if per_key else []
     return (
         pairs.groupBy(
-            *grp, F.col("__prev").alias("from"), F.col(col).alias("to")
+            *grp, F.col(f"{col}_lag1").alias("from"), F.col(col).alias("to")
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -70,6 +82,9 @@ def with_turn_novelty(
     keys: Sequence[str] | str = "conv_id",
     order: Sequence[str] | str = ("ts", "turn_idx"),
     token_pattern: str = "[^a-z0-9]+",
+    strategy: str = "window",
+    ts_col: str = "ts",
+    bucket_seconds: int = 86400,
 ) -> DataFrame:
     """Jaccard similarity of the row's distinct lowercase tokens vs the
     PREVIOUS row of its key: column ``{text_col}_jaccard_prev`` in
@@ -79,8 +94,9 @@ def with_turn_novelty(
 
     NULL or empty text tokenizes to the empty set (so a NULL turn after
     a non-empty one scores 0.0, not NULL — the turn IS fully novel).
+    ``strategy="bucketed"`` inherits the with_lags carry-in for hot
+    keys; identical output.
     """
-    keys_l, order_l = _lists(keys), _lists(order)
     toks = F.array_distinct(
         F.filter(
             F.split(F.lower(F.col(text_col)), token_pattern),
@@ -88,17 +104,19 @@ def with_turn_novelty(
         )
     )
     toks = F.coalesce(toks, F.array().cast("array<string>"))
-    w = Window.partitionBy(*keys_l).orderBy(*order_l)
-    out = (
-        df.withColumn("__toks", toks)
-        .withColumn("__prev", F.lag("__toks", 1).over(w))
+    out = df.withColumn("__toks", toks)
+    out = with_lags(
+        out, ["__toks"], lags=[1],
+        keys=keys, order=order, strategy=strategy,
+        ts_col=ts_col, bucket_seconds=bucket_seconds,
     )
-    inter = F.size(F.array_intersect(F.col("__toks"), F.col("__prev")))
-    union = F.size(F.array_union(F.col("__toks"), F.col("__prev")))
+    prev = F.col("__toks_lag1")
+    inter = F.size(F.array_intersect(F.col("__toks"), prev))
+    union = F.size(F.array_union(F.col("__toks"), prev))
     jac = F.when(
-        F.col("__prev").isNotNull() & (union > 0),
+        prev.isNotNull() & (union > 0),
         inter.cast("double") / union.cast("double"),
     )
     return out.withColumn(f"{text_col}_jaccard_prev", jac).drop(
-        "__toks", "__prev"
+        "__toks", "__toks_lag1"
     )

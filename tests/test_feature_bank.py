@@ -260,3 +260,44 @@ def test_pool_embeddings_long_matches_packed(spark):
     long = pool_embeddings(df, "emb", keys="k", aggs=("mean",), long=True)
     for r in long.collect():
         assert abs(packed[r["k"]][r["dim"]] - r["mean"]) < 1e-12
+
+
+def test_transitions_and_novelty_bucketed_equivalence(spark):
+    # randomized window == bucketed (the with_lags carry-in) for both
+    # sequence ops — the hot-key strategy must be output-identical
+    rng = np.random.default_rng(47)
+    rows = []
+    for k in range(6):
+        n = int(rng.integers(1, 80))
+        for s in np.sort(rng.uniform(0, 400_000, n)):
+            st = None if rng.random() < 0.1 else f"s{rng.integers(0, 4)}"
+            txt = None if rng.random() < 0.15 else " ".join(
+                f"w{rng.integers(0, 6)}" for _ in range(int(rng.integers(0, 5)))
+            )
+            rows.append((f"k{k}", float(s), st, txt))
+    df = spark.createDataFrame(
+        [(k, _ts(s), i, st, tx) for i, (k, s, st, tx) in enumerate(rows)],
+        "k string, ts timestamp, rid long, st string, txt string",
+    )
+    kw = dict(keys="k", order=("ts", "rid"))
+    a = transition_counts(df, "st", **kw)
+    b = transition_counts(
+        df, "st", strategy="bucketed", ts_col="ts", bucket_seconds=50_000, **kw
+    )
+    ga = {(r["k"], r["from"], r["to"]): r["n"] for r in a.collect()}
+    gb = {(r["k"], r["from"], r["to"]): r["n"] for r in b.collect()}
+    assert ga == gb and sum(ga.values()) > 50
+
+    na = with_turn_novelty(df, "txt", **kw)
+    nb = with_turn_novelty(
+        df, "txt", strategy="bucketed", ts_col="ts", bucket_seconds=50_000, **kw
+    )
+    pa = {r["rid"]: r["txt_jaccard_prev"] for r in na.collect()}
+    pb = {r["rid"]: r["txt_jaccard_prev"] for r in nb.collect()}
+    assert set(pa) == set(pb)
+    for rid, va in pa.items():
+        vb = pb[rid]
+        if va is None:
+            assert vb is None, rid
+        else:
+            assert abs(va - vb) < 1e-12, rid
