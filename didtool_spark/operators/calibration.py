@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["reliability_table", "calibration_metrics", "cohen_kappa"]
+__all__ = [
+    "reliability_table",
+    "calibration_metrics",
+    "cohen_kappa",
+    "fit_isotonic",
+    "apply_isotonic",
+    "isotonic_fit_points",
+]
 
 
 def _bin_expr(score: Column, n_bins: int) -> Column:
@@ -125,4 +132,117 @@ def cohen_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.when(
             F.col("pe") < 1.0, (F.col("po") - F.col("pe")) / (1.0 - F.col("pe"))
         ),
+    )
+
+
+def fit_isotonic(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 256,
+) -> dict:
+    """Fit a monotone (non-decreasing) calibration map score -> P(y=1)
+    by isotonic regression: ONE min/max aggregate + ONE map-side-
+    combined binned groupBy shuffle n_bins rows to the driver, where
+    pool-adjacent-violators runs over the aggregated bins (weighted by
+    bin count — exactly PAV on the rows, since rows in a bin share an
+    x up to the bin width).
+
+    Returns a small plain dict model: ``{"lo", "hi", "n_bins",
+    "values"}`` with one fitted value per occupied-or-interpolated bin
+    (empty bins inherit the previous bin's value — step semantics).
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.where(s.isNotNull() & y.isNotNull())
+    mm = base.agg(F.min(s).alias("lo"), F.max(s).alias("hi")).collect()[0]
+    lo, hi = mm["lo"], mm["hi"]
+    if lo is None:
+        raise ValueError("no non-NULL (score, label) rows to fit on")
+    width = (hi - lo) or 1.0
+    b = F.least(
+        F.floor((s - F.lit(lo)) / F.lit(width) * n_bins), F.lit(n_bins - 1)
+    ).cast("int")
+    rows = (
+        base.groupBy(b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(y).alias("sy"))
+        .collect()
+    )
+    by_bin = {r["b"]: (r["n"], r["sy"]) for r in rows}
+    return _isotonic_from_bins(by_bin, float(lo), float(hi), n_bins)
+
+
+def _isotonic_from_bins(by_bin: dict, lo: float, hi: float, n_bins: int) -> dict:
+    """PAV over aggregated (bin -> (n, sum_y)) — shared by the
+    DataFrame fit and the pure-Python twin (isotonic_fit_points) that
+    oracle replays are built from."""
+    occ = sorted(by_bin)
+    rates = [by_bin[i][1] / by_bin[i][0] for i in occ]
+    weights = [by_bin[i][0] for i in occ]
+    # PAV with explicit bin spans so re-expansion is exact
+    blocks = []  # [value, weight, count_of_bins]
+    for r, w in zip(rates, weights):
+        blocks.append([float(r), float(w), 1])
+        while len(blocks) > 1 and blocks[-2][0] >= blocks[-1][0]:
+            v2, w2, c2 = blocks.pop()
+            v1, w1, c1 = blocks.pop()
+            blocks.append(
+                [(v1 * w1 + v2 * w2) / (w1 + w2), w1 + w2, c1 + c2]
+            )
+    fitted_occ = []
+    for v, _, c in blocks:
+        fitted_occ.extend([v] * c)
+    fit_by_bin = dict(zip(occ, fitted_occ))
+    values, last = [], fitted_occ[0]
+    for i in range(n_bins):
+        last = fit_by_bin.get(i, last)
+        values.append(last)
+    return {"lo": lo, "hi": hi, "n_bins": n_bins, "values": values}
+
+
+def isotonic_fit_points(xs, ys, n_bins: int = 256) -> dict:
+    """Pure-Python twin of :func:`fit_isotonic` over in-memory points —
+    IDENTICAL arithmetic (same binning expression, same PAV), used to
+    inline fitted values into oracle SQL and asserted equal to the
+    DataFrame fit in tests."""
+    import math
+
+    pts = [(float(x), float(y)) for x, y in zip(xs, ys)
+           if x is not None and y is not None]
+    if not pts:
+        raise ValueError("no non-NULL (score, label) points to fit on")
+    lo = min(x for x, _ in pts)
+    hi = max(x for x, _ in pts)
+    width = (hi - lo) or 1.0
+    by_bin: dict = {}
+    for x, y in pts:
+        b = min(int(math.floor((x - lo) / width * n_bins)), n_bins - 1)
+        n, sy = by_bin.get(b, (0, 0.0))
+        by_bin[b] = (n + 1, sy + y)
+    return _isotonic_from_bins(by_bin, lo, hi, n_bins)
+
+
+def apply_isotonic(
+    df: DataFrame,
+    model: dict,
+    score_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply a fitted isotonic map as pure codegen: bin the score on
+    the fitted [lo, hi] grid (clipping outside — the sklearn
+    out-of-domain convention) and index a LITERAL value array.  NULL
+    scores stay NULL."""
+    out_col = out_col or f"{score_col}_cal"
+    s = F.col(score_col).cast("double")
+    lo, hi, n = model["lo"], model["hi"], model["n_bins"]
+    width = (hi - lo) or 1.0
+    b = F.least(
+        F.greatest(
+            F.floor((s - F.lit(lo)) / F.lit(width) * n), F.lit(0)
+        ),
+        F.lit(n - 1),
+    ).cast("int")
+    arr = F.array(*[F.lit(float(v)) for v in model["values"]])
+    return df.withColumn(
+        out_col, F.when(s.isNotNull(), F.element_at(arr, b + 1))
     )

@@ -1543,6 +1543,67 @@ SELECT 'min_rows', '*', CAST(total AS DOUBLE), 1000.0,
 """
 
 
+def _isotonic_fit_points():
+    # deterministic sf-independent fit input: x_i = i/200, pseudo-label
+    # from pure integer arithmetic (Knuth-hash mod vs a linear ramp) —
+    # exactly computable in Spark AND in the oracle builder
+    xs = [i / 200.0 for i in range(200)]
+    ys = [1 if (i * 2654435761) % 1000 < 100 + 4 * i else 0 for i in range(200)]
+    return xs, ys
+
+
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (operators/calibration.py fit_isotonic /
+    apply_isotonic): PAV over aggregated score bins (driver math over
+    n_bins rows — the ChiMerge/driver_fit pattern), applied as a pure
+    literal-array lookup.  Fit input is a deterministic synthetic ramp
+    (literal-replay: the oracle inlines the same fitted values via the
+    pure-Python twin isotonic_fit_points, asserted equal in tests)."""
+    from ..operators.calibration import apply_isotonic, fit_isotonic
+
+    fitd = spark.range(200).select(
+        (F.col("id") / 200.0).alias("s"),
+        (
+            (F.col("id") * 2654435761) % 1000 < 100 + 4 * F.col("id")
+        ).cast("int").alias("y"),
+    )
+    model = fit_isotonic(fitd, "s", "y", n_bins=64)
+    ev = load(spark, sf_dir, "events").withColumn(
+        "score", F.least(F.col("value") / 500.0, F.lit(0.98))
+    )
+    out = apply_isotonic(ev, model, "score")
+    return out.select(
+        "event_id",
+        F.round("score", 6).alias("score"),
+        F.round("score_cal", 6).alias("score_cal"),
+    )
+
+
+def _sql_isotonic() -> str:
+    from ..operators.calibration import isotonic_fit_points
+
+    xs, ys = _isotonic_fit_points()
+    m = isotonic_fit_points(xs, ys, n_bins=64)
+    vals = ", ".join(repr(v) for v in m["values"])
+    lo, width, n = m["lo"], (m["hi"] - m["lo"]) or 1.0, m["n_bins"]
+    return f"""
+WITH s AS (
+  SELECT event_id, least(value / 500.0, 0.98) AS score FROM events
+)
+SELECT event_id, round(score, 6) AS score,
+       round(CASE WHEN score IS NOT NULL THEN CAST(
+         ([{vals}])[
+           CAST(least(greatest(floor((CAST(score AS DOUBLE) - {lo!r})
+                                     / {width!r} * {n}), 0), {n - 1}) AS INT)
+           + 1
+         ] AS DOUBLE) END, 6) AS score_cal
+FROM s
+"""
+
+
+SQL_ISOTONIC = _sql_isotonic()
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -1582,6 +1643,7 @@ QUERIES = {
     "purged_folds": q_purged_folds,
     "negative_samples": q_negative_samples,
     "quality_checks": q_quality_checks,
+    "isotonic": q_isotonic,
 }
 
 ORACLES = {
@@ -1623,4 +1685,5 @@ ORACLES = {
     "purged_folds": SQL_PURGED_FOLDS,
     "negative_samples": SQL_NEGATIVE_SAMPLES,
     "quality_checks": SQL_QUALITY_CHECKS,
+    "isotonic": SQL_ISOTONIC,
 }

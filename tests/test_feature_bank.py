@@ -301,3 +301,65 @@ def test_transitions_and_novelty_bucketed_equivalence(spark):
             assert vb is None, rid
         else:
             assert abs(va - vb) < 1e-12, rid
+
+
+# ---------------------------------------------------------- isotonic
+
+
+def test_isotonic_properties_and_twin(spark):
+    from didtool_spark.operators.calibration import (
+        apply_isotonic, fit_isotonic, isotonic_fit_points,
+    )
+
+    rng = np.random.default_rng(53)
+    xs = rng.uniform(0, 1, 600)
+    ps = 0.1 + 0.8 * xs
+    ys = (rng.uniform(0, 1, 600) < ps).astype(int)
+    df = spark.createDataFrame(
+        [(float(x), int(y)) for x, y in zip(xs, ys)], "s double, y int"
+    )
+    m = fit_isotonic(df, "s", "y", n_bins=32)
+    # pure-Python twin is bit-identical (the oracle-replay contract)
+    tw = isotonic_fit_points(xs, ys, n_bins=32)
+    assert m == tw
+    v = m["values"]
+    assert all(a <= b + 1e-15 for a, b in zip(v, v[1:]))  # monotone
+    assert all(0.0 <= x <= 1.0 for x in v)
+    # weighted mean preservation: sum over rows of fitted == sum(y)
+    out = apply_isotonic(df, m, "s").agg(F.sum("s_cal")).collect()[0][0]
+    assert abs(out - ys.sum()) < 1e-6
+
+
+def test_isotonic_hand_case_and_antitonic(spark):
+    from didtool_spark.operators.calibration import isotonic_fit_points
+
+    # 4 exact bins with rates [0.1, 0.3, 0.2, 0.4] equal weight:
+    # PAV pools the middle violator pair to 0.25
+    xs, ys = [], []
+    for b, rate in enumerate([0.1, 0.3, 0.2, 0.4]):
+        for i in range(10):
+            xs.append(b * 1.0)
+            ys.append(1 if i < rate * 10 else 0)
+    m = isotonic_fit_points(xs, ys, n_bins=4)
+    assert [round(v, 10) for v in m["values"]] == [0.1, 0.25, 0.25, 0.4]
+    # perfectly anti-monotone input pools to one global block
+    m2 = isotonic_fit_points(
+        [0.0, 1.0, 2.0, 3.0], [1, 1, 0, 0], n_bins=4
+    )
+    assert m2["values"] == [0.5] * 4
+
+
+def test_isotonic_apply_null_and_clip(spark):
+    from didtool_spark.operators.calibration import apply_isotonic
+
+    m = {"lo": 0.0, "hi": 1.0, "n_bins": 4,
+         "values": [0.1, 0.2, 0.3, 0.4]}
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (0.999,), (7.0,), (None,)], "s double"
+    )
+    got = [r["s_cal"] for r in apply_isotonic(df, m, "s").collect()]
+    assert got[0] == 0.1      # clip below
+    assert got[1] == 0.1
+    assert got[2] == 0.4
+    assert got[3] == 0.4      # clip above
+    assert got[4] is None     # NULL passes through
