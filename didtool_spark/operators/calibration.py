@@ -26,6 +26,7 @@ __all__ = [
     "fit_isotonic",
     "apply_isotonic",
     "isotonic_fit_points",
+    "distribution_distance",
 ]
 
 
@@ -246,3 +247,69 @@ def apply_isotonic(
     return df.withColumn(
         out_col, F.when(s.isNotNull(), F.element_at(arr, b + 1))
     )
+
+
+def distribution_distance(
+    expected: DataFrame,
+    actual: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> dict:
+    """Binned two-sample distribution distances beyond PSI: returns
+    ``{"psi", "ks", "jsd", "tvd", "n_expected", "n_actual"}``.
+
+    Bins are the EXPECTED side's equal-width step edges (the
+    metrics.psi leakage-safe rule: the serving side never influences
+    the binning); both sides reduce to n_bins counts in one
+    map-side-combined groupBy each, and every distance is driver math
+    over those counts:
+
+    - psi — the didtool formula (1e-10 rate floors, metric.py:126-260);
+    - ks  — max |cumulative difference| (binned two-sample
+      Kolmogorov-Smirnov statistic; resolution 1/n_bins);
+    - jsd — Jensen-Shannon divergence, natural log (bounded ln 2);
+    - tvd — total variation distance = half the L1 gap.
+
+    NaN/NULL values share the reference's NA bin on both sides.
+    """
+    import math
+
+    from ..functions.binexpr import bin_expr
+    from .binning import step_edges
+
+    edges = step_edges(expected, col, n_bins, remove_empty_bins=False)
+
+    def counts(frame):
+        return {
+            r["__b"]: r["count"]
+            for r in frame.select(
+                bin_expr(F.col(col).try_cast("double"), edges).alias("__b")
+            )
+            .groupBy("__b")
+            .count()
+            .collect()
+        }
+
+    e_counts, a_counts = counts(expected), counts(actual)
+    has_nan = (-1 in e_counts) or (-1 in a_counts)
+    keys = ([-1] if has_nan else []) + list(range(len(edges) - 1))
+    ne = sum(e_counts.values()) or 1
+    na = sum(a_counts.values()) or 1
+    e_rate = [max(e_counts.get(k, 0) / ne, 1e-10) for k in keys]
+    a_rate = [max(a_counts.get(k, 0) / na, 1e-10) for k in keys]
+    psi_v = sum((a - e) * math.log(a / e) for a, e in zip(a_rate, e_rate))
+    ce = ca = 0.0
+    ks = 0.0
+    for e, a in zip(e_rate, a_rate):
+        ce += e
+        ca += a
+        ks = max(ks, abs(ce - ca))
+    jsd = 0.0
+    for e, a in zip(e_rate, a_rate):
+        m = (e + a) / 2.0
+        jsd += 0.5 * (e * math.log(e / m) + a * math.log(a / m))
+    tvd = 0.5 * sum(abs(a - e) for a, e in zip(a_rate, e_rate))
+    return {
+        "psi": psi_v, "ks": ks, "jsd": jsd, "tvd": tvd,
+        "n_expected": int(ne), "n_actual": int(na),
+    }

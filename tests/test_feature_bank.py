@@ -363,3 +363,39 @@ def test_isotonic_apply_null_and_clip(spark):
     assert got[2] == 0.4
     assert got[3] == 0.4      # clip above
     assert got[4] is None     # NULL passes through
+
+
+def test_distribution_distance_metrics(spark):
+    from didtool_spark.operators.calibration import distribution_distance
+    from didtool_spark.operators.metrics import psi as batch_psi
+
+    rng = np.random.default_rng(59)
+    e = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(0, 1, 800)], "x double"
+    )
+    a = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(0.8, 1, 700)], "x double"
+    )
+    d = distribution_distance(e, a, "x", n_bins=10)
+    # psi matches the reference-parity batch psi exactly
+    assert abs(d["psi"] - batch_psi(e, a, "x", n_bins=10)) < 1e-12
+    # shifted distributions separate on every metric; bounds hold
+    assert 0 < d["ks"] <= 1 and 0 < d["tvd"] <= 1
+    assert 0 < d["jsd"] <= np.log(2) + 1e-12
+    assert d["n_expected"] == 800 and d["n_actual"] == 700
+    # identical inputs -> (near-)zero distances
+    z = distribution_distance(e, e, "x", n_bins=10)
+    assert z["psi"] < 1e-12 and z["ks"] < 1e-12 and z["jsd"] < 1e-12
+    # numpy cross-check of the binned KS on the same edges
+    from didtool_spark.operators.binning import step_edges
+
+    edges = np.array(step_edges(e, "x", 10, remove_empty_bins=False))
+    ev = np.array([r["x"] for r in e.collect()])
+    av = np.array([r["x"] for r in a.collect()])
+    ce = np.clip(
+        np.histogram(ev, bins=edges)[0] / len(ev), 1e-10, None
+    ).cumsum()
+    ca = np.clip(
+        np.histogram(av, bins=edges)[0] / len(av), 1e-10, None
+    ).cumsum()
+    assert abs(d["ks"] - np.abs(ce - ca).max()) < 1e-9
