@@ -47,20 +47,32 @@ GATE_PRIORITY: list[str] = [
     "profile_table", "group_sample", "skew_stats",
     "decayed_features", "recency", "rolling_distinct", "trend_slope",
     "zscore",
-    # -- tier 2: first driver-green in round 3 (checked once);
-    # media_features stays up front — its gate input gained the real
-    # JPEG/PNG decode this round, so its r3 green does not cover it
-    "user_rollup", "training_set", "dt_bin", "lgb_bin", "chi_bin",
+    # -- tier 1 (round 4, sessions 5-6): the five float-hairiest of the
+    # never-checked feature-bank queries (probit folds, log-based MI,
+    # reliability/PAV calibration, multi-distance drift) — queries first
+    # driver-checked only in round 5 would have no recovery round if an
+    # oracle edge diverges, so the riskiest go through the gate now
+    "mi_scores", "quantile_norm", "calibration", "isotonic",
+    "dist_distance",
+    # -- tier 2: media_features stays up front — its gate input gained
+    # the real JPEG/PNG decode this round, so its r3 green does not
+    # cover it
     "media_features",
-    # (rotated out of the window for the round-4 ops, lowest regression
-    # risk first: chunk_docs / stratified_sample / pii_scrub (pure
-    # expressions), scorecard (driver arithmetic with goldens), iv_all;
-    # then — for the five ts_features queries — dedup_clusters /
-    # split_by_cluster / embedding_topk_ivf (literal-replay oracles,
-    # heavy unit suites, the gate's three heaviest entries) and
-    # psi_all / selector_stats (aggregation fits with golden units);
-    # tier 3 (session_features, minhash_dedup — green r2 AND r3)
-    # rotates fully behind. All rotated queries stay guarded by
+    # (rotated out of the window, lowest regression risk first: the
+    # remaining round-3-green entries (user_rollup / training_set /
+    # dt_bin / lgb_bin / chi_bin moved out this session — each has
+    # golden units and a stable oracle), chunk_docs / stratified_sample
+    # / pii_scrub (pure expressions), scorecard (driver arithmetic with
+    # goldens), iv_all / psi_all / selector_stats (aggregation fits
+    # with golden units), dedup_clusters / split_by_cluster /
+    # embedding_topk_ivf (literal-replay oracles, heavy unit suites,
+    # the gate's three heaviest entries); tier 3 (session_features,
+    # minhash_dedup — green r2 AND r3) rotates fully behind.  The
+    # still-never-checked low-risk remainder (feature_cross,
+    # hash_features, label_agreement, transitions, turn_novelty,
+    # embedding_pool, scale_features, impute, winsorize, resample,
+    # cv_folds, purged_folds, negative_samples, quality_checks) is
+    # round 5's window.  All queries outside the window stay guarded by
     # scripts/check_oracle.py full-registry local replays.)
 ]
 

@@ -1604,6 +1604,65 @@ FROM s
 SQL_ISOTONIC = _sql_isotonic()
 
 
+def q_dist_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample distances (operators/calibration.py
+    distribution_distance): PSI + KS + Jensen-Shannon + total variation
+    between the even/odd event halves over the EXPECTED side's 10-bin
+    step grid (the metrics.psi leakage-safe binning rule).  Two 10-row
+    count aggregations; every distance is driver math over the counts."""
+    from ..operators.calibration import distribution_distance
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    expected = ev.where(F.col("event_id") % 2 == 0)
+    actual = ev.where(F.col("event_id") % 2 == 1)
+    d = distribution_distance(expected, actual, "value", n_bins=10)
+    return spark.createDataFrame(
+        [(
+            round(d["psi"], 6), round(d["ks"], 6), round(d["jsd"], 6),
+            round(d["tvd"], 6), d["n_expected"], d["n_actual"],
+        )],
+        "psi double, ks double, jsd double, tvd double, "
+        "n_expected bigint, n_actual bigint",
+    )
+
+
+SQL_DIST_DISTANCE = """
+WITH s AS (SELECT min(value) mn, max(value) mx FROM events
+           WHERE event_id % 2 = 0 AND value IS NOT NULL),
+eb AS (
+  SELECT CAST(least(greatest(ceil((e.value - s.mn) / ((s.mx - s.mn) / 10.0)), 1), 10) - 1 AS INT) AS b
+  FROM events e, s WHERE e.event_id % 2 = 0 AND e.value IS NOT NULL
+),
+ab AS (
+  SELECT CAST(least(greatest(ceil((e.value - s.mn) / ((s.mx - s.mn) / 10.0)), 1), 10) - 1 AS INT) AS b
+  FROM events e, s WHERE e.event_id % 2 = 1 AND e.value IS NOT NULL
+),
+ec AS (SELECT b, count(*) c FROM eb GROUP BY b),
+ac AS (SELECT b, count(*) c FROM ab GROUP BY b),
+keys AS (SELECT CAST(range AS INT) AS b FROM range(0, 10)),
+r AS (
+  SELECT k.b,
+         greatest(coalesce(ec.c, 0) * 1.0 / (SELECT sum(c) FROM ec), 1e-10) er,
+         greatest(coalesce(ac.c, 0) * 1.0 / (SELECT sum(c) FROM ac), 1e-10) ar
+  FROM keys k LEFT JOIN ec ON k.b = ec.b LEFT JOIN ac ON k.b = ac.b
+),
+c AS (
+  SELECT b, er, ar,
+         sum(er) OVER (ORDER BY b) AS ce,
+         sum(ar) OVER (ORDER BY b) AS ca
+  FROM r
+)
+SELECT round(sum((ar - er) * ln(ar / er)), 6) AS psi,
+       round(max(abs(ce - ca)), 6) AS ks,
+       round(sum(0.5 * (er * ln(er / ((er + ar) / 2.0))
+                      + ar * ln(ar / ((er + ar) / 2.0)))), 6) AS jsd,
+       round(0.5 * sum(abs(ar - er)), 6) AS tvd,
+       CAST((SELECT sum(c) FROM ec) AS BIGINT) AS n_expected,
+       CAST((SELECT sum(c) FROM ac) AS BIGINT) AS n_actual
+FROM c
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -1644,6 +1703,7 @@ QUERIES = {
     "negative_samples": q_negative_samples,
     "quality_checks": q_quality_checks,
     "isotonic": q_isotonic,
+    "dist_distance": q_dist_distance,
 }
 
 ORACLES = {
@@ -1686,4 +1746,5 @@ ORACLES = {
     "negative_samples": SQL_NEGATIVE_SAMPLES,
     "quality_checks": SQL_QUALITY_CHECKS,
     "isotonic": SQL_ISOTONIC,
+    "dist_distance": SQL_DIST_DISTANCE,
 }
