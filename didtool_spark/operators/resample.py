@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["resample_grid"]
+__all__ = ["resample_grid", "time_rollup"]
 
 _AGGS = ("last", "sum", "avg", "count", "max", "min")
 
@@ -95,3 +95,148 @@ def resample_grid(
         val.alias(out_col),
         F.coalesce(F.col("__n"), F.lit(0)).alias("n_events"),
     )
+
+
+# --------------------------------------------------------------- rollup
+
+# canonical fine -> coarse order; "week" is terminal (ISO weeks cross
+# month/year boundaries, so nothing calendar-nests over a week bucket)
+_GRAINS = ("minute", "hour", "day", "week", "month", "quarter", "year")
+_ROLLUP_AGGS = ("count", "sum", "min", "max", "avg")
+
+
+def _nests(fine: str, coarse: str) -> bool:
+    """True when every `fine` bucket lies inside ONE `coarse` bucket —
+    the condition for computing `coarse` by merging `fine` partials."""
+    if fine == "week":
+        return False
+    fi, ci = _GRAINS.index(fine), _GRAINS.index(coarse)
+    return fi < ci
+
+
+def time_rollup(
+    df: DataFrame,
+    specs: Sequence[tuple[str, str]],
+    grains: Sequence[str] = ("hour", "day", "week"),
+    keys: Sequence[str] | str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hierarchical time-grain rollup (continuous-aggregate style):
+    one row per (key, grain, bucket_ts) with every spec's aggregate —
+    ``(keys..., grain, bucket_ts, {col}_{agg}..., n_events)``.
+
+    specs: (col, agg) with agg in {"count", "sum", "min", "max",
+    "avg"}; ``count``/``avg`` follow SQL NULL semantics (non-NULL
+    count; avg = sum/count over non-NULLs, NULL for an empty bucket).
+
+    Scale design — the point of this operator vs. N independent
+    groupBys: the BASE TABLE IS SCANNED ONCE.  The finest grain is one
+    map-side-combined groupBy producing MERGEABLE partials (sum, count,
+    min, max — avg carried as sum+count); every coarser grain
+    re-aggregates the previous grain's tiny partial table
+    (`date_trunc` of a finer bucket start is exact, so partials land in
+    exactly one coarser bucket).  The union branches are built from
+    the SAME partial DataFrame, so their exchange subtrees
+    canonicalize identically and AQE's exchange reuse
+    (spark.sql.exchange.reuse, on by default) executes each shared
+    shuffle once — the day branch rides the hour branch's shuffle, the
+    week branch the day merge's (asserted in tests/test_resample.py).
+    At 100 TB the day/week/month rollups
+    cost a shuffle over |hour buckets x keys| rows, not another corpus
+    scan.  Grains that don't calendar-nest over the finest requested
+    grain (e.g. "month" when "week" is the only finer grain) fall back
+    to the finest NESTING partial, never to a base rescan.  Exact
+    distinct is deliberately unsupported: it does not merge; use
+    approx sketches for that at scale.
+    """
+    grains_l = list(grains)
+    if not grains_l:
+        raise ValueError("grains must be non-empty")
+    for g in grains_l:
+        if g not in _GRAINS:
+            raise ValueError(f"unknown grain {g!r}; pick from {_GRAINS}")
+    if sorted(grains_l, key=_GRAINS.index) != grains_l or len(
+        set(grains_l)
+    ) != len(grains_l):
+        raise ValueError("grains must be unique and ordered fine -> coarse")
+    for _, a in specs:
+        if a not in _ROLLUP_AGGS:
+            raise ValueError(
+                f"unsupported agg {a!r}; pick from {_ROLLUP_AGGS}"
+            )
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+
+    # partial columns: one (sum, cnt) / min / max per DISTINCT (col, agg
+    # family) — shared by avg/sum/count specs over the same column
+    need: dict[tuple[str, str], str] = {}  # (col, family) -> partial name
+    for c, a in specs:
+        fam = {"count": "cnt", "sum": "sum", "avg": "avg",
+               "min": "min", "max": "max"}[a]
+        fams = ("sum", "cnt") if fam == "avg" else (fam,)
+        for f_ in fams:
+            need.setdefault((c, f_), f"__{f_}_{c}")
+
+    def first_aggs():
+        out = [F.count(F.lit(1)).alias("__n")]
+        for (c, fam), name in need.items():
+            v = F.col(c)
+            e = {
+                "sum": F.sum(v), "cnt": F.count(v).cast("long"),
+                "min": F.min(v), "max": F.max(v),
+            }[fam]
+            out.append(e.alias(name))
+        return out
+
+    def merge_aggs():
+        out = [F.sum("__n").cast("long").alias("__n")]
+        for (_, fam), name in need.items():
+            v = F.col(name)
+            e = {
+                "sum": F.sum(v), "cnt": F.sum(v).cast("long"),
+                "min": F.min(v), "max": F.max(v),
+            }[fam]
+            out.append(e.alias(name))
+        return out
+
+    def finalize(partial: DataFrame, grain: str) -> DataFrame:
+        cols = [*keys_l, F.lit(grain).alias("grain"),
+                F.col("__bucket").alias("bucket_ts")]
+        for c, a in specs:
+            if a == "avg":
+                e = F.col(need[(c, "sum")]) / F.col(need[(c, "cnt")])
+            elif a == "count":
+                e = F.col(need[(c, "cnt")])
+            else:
+                e = F.col(need[(c, a)])
+            cols.append(e.alias(f"{c}_{a}"))
+        cols.append(F.col("__n").alias("n_events"))
+        return partial.select(*cols)
+
+    partials: dict[str, DataFrame] = {}
+    outs = []
+    for g in grains_l:
+        src = None
+        for fg in reversed([x for x in partials if _nests(x, g)]):
+            src = fg
+            break
+        if src is None:
+            p = (
+                df.groupBy(
+                    *keys_l,
+                    F.date_trunc(g, F.col(ts_col)).alias("__bucket"),
+                ).agg(*first_aggs())
+            )
+        else:
+            p = (
+                partials[src]
+                .groupBy(
+                    *keys_l,
+                    F.date_trunc(g, F.col("__bucket")).alias("__bucket"),
+                ).agg(*merge_aggs())
+            )
+        partials[g] = p
+        outs.append(finalize(p, g))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -1331,6 +1331,51 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time-grain rollup (operators/resample.py
+    time_rollup): per-user hour/day/week aggregates where the base
+    table is scanned ONCE — day merges hour partials, week merges day
+    partials.  The oracle recomputes every grain directly from the
+    base table, so value equality proves the partial-merge path."""
+    from ..operators.resample import time_rollup
+
+    ev = load(spark, sf_dir, "events")
+    out = time_rollup(
+        ev,
+        [("value", "sum"), ("value", "avg"), ("value", "count"),
+         ("value", "min")],
+        grains=("hour", "day", "week"), keys="user_id", ts_col="ts",
+    )
+    return out.select(
+        "user_id", "grain",
+        (F.unix_micros("bucket_ts") / F.lit(1_000_000)).cast("long")
+        .alias("bucket_s"),
+        F.round("value_sum", 6).alias("value_sum"),
+        F.round("value_avg", 6).alias("value_avg"),
+        "value_count",
+        F.round("value_min", 6).alias("value_min"),
+        "n_events",
+    )
+
+
+def _sql_time_rollup() -> str:
+    grain_sql = """
+SELECT user_id, '{g}' AS grain,
+       CAST(epoch_us(date_trunc('{g}', ts)) / 1000000 AS BIGINT) AS bucket_s,
+       round(sum(value), 6) AS value_sum,
+       round(avg(value), 6) AS value_avg,
+       count(value) AS value_count,
+       round(min(value), 6) AS value_min,
+       count(*) AS n_events
+FROM events GROUP BY 1, 3"""
+    return "\nUNION ALL\n".join(
+        grain_sql.format(g=g) for g in ("hour", "day", "week")
+    )
+
+
+SQL_TIME_ROLLUP = _sql_time_rollup()
+
+
 SQL_RESAMPLE = """
 WITH b AS (
   SELECT user_id,
@@ -1704,6 +1749,7 @@ QUERIES = {
     "quality_checks": q_quality_checks,
     "isotonic": q_isotonic,
     "dist_distance": q_dist_distance,
+    "time_rollup": q_time_rollup,
 }
 
 ORACLES = {
@@ -1747,4 +1793,5 @@ ORACLES = {
     "quality_checks": SQL_QUALITY_CHECKS,
     "isotonic": SQL_ISOTONIC,
     "dist_distance": SQL_DIST_DISTANCE,
+    "time_rollup": SQL_TIME_ROLLUP,
 }

@@ -99,3 +99,113 @@ def test_resample_single_partitioning_plan(spark):
     assert "Exchange SinglePartition" not in p
     n = len(re.findall(r"\(\d+\) Exchange", p))
     assert n <= 4, p[:3000]
+
+
+# ------------------------------------------------------------ time_rollup
+
+from didtool_spark.operators.resample import time_rollup
+
+
+def _rollup_fixture(spark):
+    # two keys, events spanning two ISO weeks and two months, NULLs mixed in
+    rows = [
+        ("a", dt.datetime(2024, 1, 31, 22, 10), 1.0),
+        ("a", dt.datetime(2024, 1, 31, 22, 40), None),   # same hour, NULL
+        ("a", dt.datetime(2024, 1, 31, 23, 5), 3.0),
+        ("a", dt.datetime(2024, 2, 1, 0, 30), 5.0),      # next day + month
+        ("a", dt.datetime(2024, 2, 5, 9, 0), 7.0),       # next ISO week
+        ("b", dt.datetime(2024, 2, 5, 9, 30), -2.0),
+        ("b", dt.datetime(2024, 2, 5, 10, 30), None),    # all-NULL hour
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+
+def _direct(df, grain, keys=("k",)):
+    """Reference: each grain aggregated straight from the base table."""
+    return (
+        df.groupBy(*keys, F.date_trunc(grain, "ts").alias("bucket_ts"))
+        .agg(
+            F.sum("v").alias("v_sum"),
+            F.avg("v").alias("v_avg"),
+            F.count("v").alias("v_count"),
+            F.min("v").alias("v_min"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("grain", F.lit(grain))
+    )
+
+
+def test_time_rollup_merge_equals_direct(spark):
+    df = _rollup_fixture(spark)
+    specs = [("v", "sum"), ("v", "avg"), ("v", "count"), ("v", "min")]
+    out = time_rollup(df, specs, grains=("hour", "day", "week"), keys="k")
+    for grain in ("hour", "day", "week"):
+        got = {
+            (r["k"], r["bucket_ts"]): r
+            for r in out.where(F.col("grain") == grain).collect()
+        }
+        want = {(r["k"], r["bucket_ts"]): r for r in _direct(df, grain).collect()}
+        assert set(got) == set(want), grain
+        for key, w in want.items():
+            g = got[key]
+            for c in ("v_sum", "v_avg", "v_min"):
+                if w[c] is None:
+                    assert g[c] is None, (grain, key, c)
+                else:
+                    assert abs(g[c] - w[c]) < 1e-9, (grain, key, c)
+            assert g["v_count"] == w["v_count"], (grain, key)
+            assert g["n_events"] == w["n_events"], (grain, key)
+
+
+def test_time_rollup_month_skips_week_partial(spark):
+    """month never merges week partials (ISO weeks cross month
+    boundaries): values must still equal the direct aggregation even
+    when 'week' sits between 'day' and 'month' in the grain list."""
+    df = _rollup_fixture(spark)
+    out = time_rollup(
+        df, [("v", "sum"), ("v", "count")],
+        grains=("day", "week", "month"), keys="k",
+    )
+    got = {
+        (r["k"], r["bucket_ts"]): (r["v_sum"], r["v_count"])
+        for r in out.where(F.col("grain") == "month").collect()
+    }
+    want = {
+        (r["k"], r["bucket_ts"]): (r["v_sum"], r["v_count"])
+        for r in _direct(df, "month").collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert abs(got[key][0] - want[key][0]) < 1e-9
+        assert got[key][1] == want[key][1]
+
+
+def test_time_rollup_scans_base_once(spark, tmp_path):
+    """Each union branch shares the finer grain's exchange: at runtime
+    AQE must fuse the day branch onto the hour branch's shuffle and the
+    week branch onto the day merge's shuffle (two ReusedExchange
+    stages), so the base parquet is read exactly once."""
+    p = str(tmp_path / "ev")
+    _rollup_fixture(spark).write.mode("overwrite").parquet(p)
+    base = spark.read.parquet(p)
+    out = time_rollup(
+        base, [("v", "sum"), ("v", "avg")],
+        grains=("hour", "day", "week"), keys="k",
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_time_rollup_validation(spark):
+    df = _rollup_fixture(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="fine -> coarse"):
+        time_rollup(df, [("v", "sum")], grains=("day", "hour"), keys="k")
+    with pytest.raises(ValueError, match="unknown grain"):
+        time_rollup(df, [("v", "sum")], grains=("fortnight",), keys="k")
+    with pytest.raises(ValueError, match="unsupported agg"):
+        time_rollup(df, [("v", "median")], keys="k")
+    with pytest.raises(ValueError, match="unique"):
+        time_rollup(df, [("v", "sum")], grains=("day", "day"), keys="k")
