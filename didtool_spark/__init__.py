@@ -109,7 +109,9 @@ from .operators.scalers import (  # noqa: F401
     apply_imputer, apply_scaler, fit_imputer, fit_scaler, winsorize,
 )
 from .operators.mi import mi_scores, quantile_transform  # noqa: F401
-from .operators.resample import resample_grid, time_rollup  # noqa: F401
+from .operators.resample import (  # noqa: F401
+    distinct_rollup, resample_grid, time_rollup,
+)
 from .operators.cv import purged_kfold, rolling_origin_folds  # noqa: F401
 from .operators.negatives import negative_samples  # noqa: F401
 from .operators.quality_checks import (  # noqa: F401

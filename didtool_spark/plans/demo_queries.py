@@ -1376,6 +1376,57 @@ FROM events GROUP BY 1, 3"""
 SQL_TIME_ROLLUP = _sql_time_rollup()
 
 
+def q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct rollup (operators/resample.py distinct_rollup):
+    per-day and per-week distinct users, the week sketch merged from
+    day sketches.  The estimate is approximate BY DESIGN, so the gate
+    contract is the part an oracle can check exactly: the exact
+    distinct counts + n_events (SQL-replayable) and a deterministic
+    within-5% flag on the sketch estimate (HLL at lg_k=12 has ~1.6%
+    standard error and is a pure function of the value set, so the
+    flag is stable for a fixed input)."""
+    from ..operators.resample import distinct_rollup
+
+    ev = load(spark, sf_dir, "events")
+    est = distinct_rollup(
+        ev, "user_id", grains=("day", "week"), keys=(), ts_col="ts",
+    )
+    exact = None
+    for g in ("day", "week"):
+        e = ev.groupBy(F.date_trunc(g, "ts").alias("bucket_ts")).agg(
+            F.countDistinct("user_id").alias("n_exact")
+        ).withColumn("grain", F.lit(g))
+        exact = e if exact is None else exact.unionByName(e)
+    j = est.join(F.broadcast(exact), ["grain", "bucket_ts"])
+    return j.select(
+        "grain",
+        (F.unix_micros("bucket_ts") / F.lit(1_000_000)).cast("long")
+        .alias("bucket_s"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        "n_events",
+        (
+            (F.col("user_id_distinct") >= 0.95 * F.col("n_exact"))
+            & (F.col("user_id_distinct") <= 1.05 * F.col("n_exact"))
+        ).alias("within_5pct"),
+    )
+
+
+def _sql_distinct_rollup() -> str:
+    grain_sql = """
+SELECT '{g}' AS grain,
+       CAST(epoch_us(date_trunc('{g}', ts)) / 1000000 AS BIGINT) AS bucket_s,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       count(*) AS n_events,
+       TRUE AS within_5pct
+FROM events GROUP BY 1, 2"""
+    return "\nUNION ALL\n".join(
+        grain_sql.format(g=g) for g in ("day", "week")
+    )
+
+
+SQL_DISTINCT_ROLLUP = _sql_distinct_rollup()
+
+
 SQL_RESAMPLE = """
 WITH b AS (
   SELECT user_id,
@@ -1750,6 +1801,7 @@ QUERIES = {
     "isotonic": q_isotonic,
     "dist_distance": q_dist_distance,
     "time_rollup": q_time_rollup,
+    "distinct_rollup": q_distinct_rollup,
 }
 
 ORACLES = {
@@ -1794,4 +1846,5 @@ ORACLES = {
     "isotonic": SQL_ISOTONIC,
     "dist_distance": SQL_DIST_DISTANCE,
     "time_rollup": SQL_TIME_ROLLUP,
+    "distinct_rollup": SQL_DISTINCT_ROLLUP,
 }

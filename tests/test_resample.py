@@ -209,3 +209,65 @@ def test_time_rollup_validation(spark):
         time_rollup(df, [("v", "median")], keys="k")
     with pytest.raises(ValueError, match="unique"):
         time_rollup(df, [("v", "sum")], grains=("day", "day"), keys="k")
+
+
+# --------------------------------------------------------- distinct_rollup
+
+from didtool_spark.operators.resample import distinct_rollup
+
+
+def test_distinct_rollup_merge_within_bound_of_direct(spark):
+    """The union of day sketches must estimate the week within the same
+    error bound as sketching the week directly (the estimates need not
+    be numerically identical — a direct small-set sketch may still be
+    in datasketches' exact sparse mode while union promotes to dense
+    registers)."""
+    df = spark.range(5000).select(
+        (F.col("id") % 997).alias("u"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") % 14) * 86400 + F.col("id") % 3600
+        ).alias("ts"),
+    )
+    merged = {
+        r["bucket_ts"]: r["u_distinct"]
+        for r in distinct_rollup(
+            df, "u", grains=("day", "week"), keys=(), ts_col="ts"
+        ).where(F.col("grain") == "week").collect()
+    }
+    direct = {
+        r["bucket_ts"]: r["u_distinct"]
+        for r in distinct_rollup(
+            df, "u", grains=("week",), keys=(), ts_col="ts"
+        ).collect()
+    }
+    assert set(merged) == set(direct) and len(merged) >= 2
+    for b in direct:  # every day holds all 997 distinct values
+        assert abs(merged[b] - 997) <= 0.05 * 997, (b, merged[b])
+        assert abs(direct[b] - 997) <= 0.05 * 997, (b, direct[b])
+
+
+def test_distinct_rollup_estimate_accuracy(spark):
+    """At lg_k=12 the estimate's standard error is ~1.6%; the fixture's
+    deterministic estimates must land within 5% of exact."""
+    df = spark.range(20000).select(
+        (F.col("id") * 2654435761 % 7919).alias("u"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") % 7) * 86400
+        ).alias("ts"),
+    )
+    est = {
+        (r["grain"], r["bucket_ts"]): r["u_distinct"]
+        for r in distinct_rollup(
+            df, "u", grains=("day", "week"), keys=(), ts_col="ts"
+        ).collect()
+    }
+    exact = {}
+    for g in ("day", "week"):
+        for r in (
+            df.groupBy(F.date_trunc(g, "ts").alias("b"))
+            .agg(F.countDistinct("u").alias("n")).collect()
+        ):
+            exact[(g, r["b"])] = r["n"]
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= 0.05 * exact[k], (k, est[k], exact[k])
