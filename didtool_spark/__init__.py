@@ -86,7 +86,9 @@ from .operators.transcript import (  # noqa: F401
     attach_outcome, loop_stats, render_conversations, role_stats,
     truncate_conversations,
 )
-from .operators.labels import with_future_label  # noqa: F401
+from .operators.labels import (  # noqa: F401
+    with_future_label, with_time_to_event,
+)
 from .operators.parity import transcript_parity  # noqa: F401
 from .operators.stats_features import (  # noqa: F401
     group_quantiles, heavy_hitters,

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .temporal import _AGG, epoch_seconds
 
-__all__ = ["with_future_label"]
+__all__ = ["with_future_label", "with_time_to_event"]
 
 
 def _apply_specs(
@@ -104,4 +104,67 @@ def with_future_label(
     u = own.unionByName(ctx)
     wbase = Window.partitionBy(*keys_l, "__bucket").orderBy("__ts_long")
     u = _apply_specs(u, specs_l, wbase, lower, fill)
+    return u.where(~F.col("__ctx")).drop("__ts_long", "__bucket", "__ctx")
+
+
+def with_time_to_event(
+    df: DataFrame,
+    event: Column,
+    horizon_s: int,
+    keys: Sequence[str] | str = "conv_id",
+    ts_col: str = "ts",
+    name: str = "tte",
+    strategy: str = "window",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Survival-style time-to-event labels: for each anchor row, the
+    seconds until the FIRST strictly-future row of the same ``keys``
+    where ``event`` holds, right-censored at ``horizon_s``.
+
+    Adds ``{name}_s`` (NULL when no qualifying event lies in
+    (row_ts, row_ts + horizon] — the censored case) and
+    ``{name}_observed`` (the censoring indicator survival losses need;
+    a censored row's true time-to-event is only known to exceed the
+    horizon, which is information a plain binary future-label throws
+    away).  Like ``with_future_label``, the frame is strictly future —
+    rows sharing the anchor's exact timestamp are excluded — so this
+    is a LABEL column: keep it out of the feature set the zero-leakage
+    audit covers.
+
+    Scale design matches with_future_label: one shuffle on ``keys``
+    with a conditional-min rangeBetween frame; ``strategy="bucketed"``
+    mirrors rows into the PREVIOUS time bucket (width >= horizon) so a
+    hot key's task is bounded by bucket, with identical output.
+    """
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    h = int(horizon_s)
+
+    def attach(frame: DataFrame, base: Window) -> DataFrame:
+        w = base.rangeBetween(1, h)
+        first_ev = F.min(
+            F.when(event, F.col("__ts_long"))
+        ).over(w)
+        return frame.withColumn(
+            f"{name}_s", (first_ev - F.col("__ts_long")).cast("long")
+        ).withColumn(f"{name}_observed", first_ev.isNotNull())
+
+    if strategy == "window":
+        out = df.withColumn("__ts_long", epoch_seconds(ts_col))
+        base = Window.partitionBy(*keys_l).orderBy("__ts_long")
+        return attach(out, base).drop("__ts_long")
+
+    if strategy != "bucketed":
+        raise ValueError(f"unknown with_time_to_event strategy {strategy!r}")
+
+    bw = max(int(bucket_seconds), h)
+    base_b = df.withColumn("__ts_long", epoch_seconds(ts_col))
+    own = base_b.withColumn(
+        "__bucket", F.floor(F.col("__ts_long") / F.lit(bw))
+    ).withColumn("__ctx", F.lit(False))
+    ctx = base_b.withColumn(
+        "__bucket", F.floor(F.col("__ts_long") / F.lit(bw)) - 1
+    ).withColumn("__ctx", F.lit(True))
+    u = own.unionByName(ctx)
+    wbase = Window.partitionBy(*keys_l, "__bucket").orderBy("__ts_long")
+    u = attach(u, wbase)
     return u.where(~F.col("__ctx")).drop("__ts_long", "__bucket", "__ctx")

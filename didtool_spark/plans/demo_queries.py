@@ -470,6 +470,35 @@ def q_future_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival labels (operators/labels.py with_time_to_event):
+    per event, seconds until the user's FIRST strictly-future 'error'
+    event, right-censored at 24h (tte_s NULL + observed false).  Runs
+    the bucketed hot-key-safe strategy; window equivalence is covered
+    in tests/test_labels.py and the randomized fuzz suite."""
+    from ..operators.labels import with_time_to_event
+
+    ev = load(spark, sf_dir, "events")
+    out = with_time_to_event(
+        ev, F.col("event_type") == "error", 86400,
+        keys="user_id", ts_col="ts", name="tte",
+        strategy="bucketed", bucket_seconds=86400,
+    )
+    return out.select("event_id", "user_id", "tte_s", "tte_observed")
+
+
+SQL_TIME_TO_EVENT = """
+SELECT event_id, user_id,
+       CAST(min(CASE WHEN event_type = 'error' THEN ep END) OVER w - ep
+            AS BIGINT) AS tte_s,
+       min(CASE WHEN event_type = 'error' THEN ep END) OVER w IS NOT NULL
+           AS tte_observed
+FROM (SELECT *, date_diff('second', TIMESTAMP '1970-01-01', ts) AS ep FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ep
+             RANGE BETWEEN 1 FOLLOWING AND 86400 FOLLOWING)
+"""
+
+
 SQL_FUTURE_LABEL = """
 SELECT event_id, user_id,
        CAST(coalesce(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
@@ -1802,6 +1831,7 @@ QUERIES = {
     "dist_distance": q_dist_distance,
     "time_rollup": q_time_rollup,
     "distinct_rollup": q_distinct_rollup,
+    "time_to_event": q_time_to_event,
 }
 
 ORACLES = {
@@ -1847,4 +1877,5 @@ ORACLES = {
     "dist_distance": SQL_DIST_DISTANCE,
     "time_rollup": SQL_TIME_ROLLUP,
     "distinct_rollup": SQL_DISTINCT_ROLLUP,
+    "time_to_event": SQL_TIME_TO_EVENT,
 }

@@ -163,3 +163,63 @@ def test_transcript_parity_detail_and_null_safety(spark):
     # NULL == NULL counts as a match (eqNullSafe)
     assert rows[("A", 0)] == ("match", [])
     assert rows[("A", 1)] == ("diff", ["role"])
+
+
+# -------------------------------------------------------- with_time_to_event
+
+from didtool_spark.operators.labels import with_time_to_event
+
+
+def test_time_to_event_hand_fixture(spark):
+    rows = [
+        # (key, t, is_event)
+        ("u", 0.0, 0),
+        ("u", 10.0, 1),    # anchor 0 -> tte 10
+        ("u", 10.0, 0),    # same-second row: frame starts at +1s
+        ("u", 100.0, 1),   # anchor@10s rows -> tte 90
+        ("u", 5000.0, 0),  # no event within 600s -> censored
+        ("v", 0.0, 0),     # other key: never sees u's events
+    ]
+    df = spark.createDataFrame(
+        [(k, _ts(s), e) for k, s, e in rows],
+        "k string, ts timestamp, e int",
+    )
+    out = {
+        (r["k"], r["ts"], r["e"]): (r["tte_s"], r["tte_observed"])
+        for r in with_time_to_event(
+            df, F.col("e") == 1, 600, keys="k", ts_col="ts"
+        ).collect()
+    }
+    assert out[("u", _ts(0.0), 0)] == (10, True)
+    # the event AT 10s is not its own label (strictly future frame);
+    # both 10s rows see the 100s event
+    assert out[("u", _ts(10.0), 1)] == (90, True)
+    assert out[("u", _ts(10.0), 0)] == (90, True)
+    assert out[("u", _ts(100.0), 1)] == (None, False)   # next event > 600s away
+    assert out[("u", _ts(5000.0), 0)] == (None, False)  # censored tail
+    assert out[("v", _ts(0.0), 0)] == (None, False)
+
+
+def test_time_to_event_bucketed_equals_window(spark):
+    random.seed(7)
+    rows = []
+    for k in ("a", "b", "c"):
+        t = 0.0
+        for _ in range(40):
+            t += random.choice([1, 10, 300, 1799, 1800, 3600])
+            rows.append((k, _ts(t), random.random() < 0.3))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, e boolean")
+    kw = dict(event=F.col("e"), horizon_s=1800, keys="k", ts_col="ts")
+    a = (
+        with_time_to_event(df, **kw)
+        .select("k", "ts", "tte_s", "tte_observed")
+        .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    b = (
+        with_time_to_event(df, strategy="bucketed", bucket_seconds=600, **kw)
+        .select("k", "ts", "tte_s", "tte_observed")
+        .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)

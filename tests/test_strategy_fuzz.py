@@ -20,7 +20,10 @@ import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
-from didtool_spark.operators.labels import with_future_label
+from didtool_spark.operators.labels import (
+    with_future_label,
+    with_time_to_event,
+)
 from didtool_spark.operators.seq_features import (
     transition_counts,
     with_turn_novelty,
@@ -202,6 +205,13 @@ def test_feature_bucketed_equals_window_fuzz(spark, rows):
         with_future_label(df, specs),
         with_future_label(df, specs, strategy="bucketed",
                           bucket_seconds=1800),
+        ["conv_id", "turn_idx"],
+    )
+    tte_kw = dict(event=F.col("role") == "tool", horizon_s=1800)
+    _cmp(
+        with_time_to_event(df, **tte_kw),
+        with_time_to_event(df, strategy="bucketed", bucket_seconds=600,
+                           **tte_kw),
         ["conv_id", "turn_idx"],
     )
     _cmp(
