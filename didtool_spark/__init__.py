@@ -100,7 +100,7 @@ from .operators.ts_features import (  # noqa: F401
 from .operators.feature_hash import hash_vectorize, hashed_cross  # noqa: F401
 from .operators.calibration import (  # noqa: F401
     apply_isotonic, calibration_metrics, cohen_kappa,
-    distribution_distance, fit_isotonic, isotonic_fit_points,
+    distribution_distance, drift_timeline, fit_isotonic, isotonic_fit_points,
     reliability_table,
 )
 from .operators.seq_features import (  # noqa: F401

@@ -27,6 +27,7 @@ __all__ = [
     "apply_isotonic",
     "isotonic_fit_points",
     "distribution_distance",
+    "drift_timeline",
 ]
 
 
@@ -313,3 +314,96 @@ def distribution_distance(
         "psi": psi_v, "ks": ks, "jsd": jsd, "tvd": tvd,
         "n_expected": int(ne), "n_actual": int(na),
     }
+
+
+def drift_timeline(
+    expected: DataFrame,
+    actual: DataFrame,
+    col: str,
+    period: str = "week",
+    n_bins: int = 10,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-period drift report: one row per ``period`` bucket of the
+    ACTUAL stream with ``(period_ts, n, psi, ks, jsd, tvd)`` against
+    the EXPECTED distribution — "PSI by week", the standard production
+    drift dashboard, as ONE distributed plan.
+
+    Binning follows the metrics.psi leakage-safe rule (the expected
+    side's equal-width step edges with remove_empty_bins=False; the
+    serving stream never influences the binning; 1e-10 rate floors).
+    Unlike :func:`distribution_distance` (driver math over one count
+    pair) every period's distances here are computed IN SPARK: the
+    actual stream reduces to (period, bin) counts in one map-side
+    combined groupBy, the expected side to n_bins rates broadcast onto
+    the dense period x bin grid, KS's cumulative gap is a window over
+    n_bins rows per period, and one final groupBy(period) folds the
+    rates into all four distances — the whole report is two aggregation
+    passes over the actual stream regardless of how many periods it
+    spans, and is exactly SQL-replayable (gate query `drift_timeline`).
+    NaN/NULL values share the reference's NA bin (-1) on both sides.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.binexpr import bin_expr
+    from .binning import step_edges
+
+    edges = step_edges(expected, col, n_bins, remove_empty_bins=False)
+    bexpr = bin_expr(F.col(col).try_cast("double"), edges)
+
+    e_counts = (
+        expected.select(bexpr.alias("b"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("ec"))
+    )
+    a_counts = (
+        actual.select(
+            F.date_trunc(period, F.col(ts_col)).alias("period_ts"),
+            bexpr.alias("b"),
+        )
+        .groupBy("period_ts", "b").agg(F.count(F.lit(1)).alias("ac"))
+    )
+    # dense grid: every (period, bin) — bins the NA bin included when
+    # either side ever produced it, so the two rate vectors align
+    bins = (
+        e_counts.select("b")
+        .unionByName(a_counts.select("b")).distinct()
+    )
+    periods = a_counts.groupBy("period_ts").agg(
+        F.sum("ac").cast("long").alias("n")
+    )
+    etot = expected.count() or 1
+    grid = (
+        periods.crossJoin(F.broadcast(bins))
+        .join(F.broadcast(e_counts), "b", "left")
+        .join(a_counts, ["period_ts", "b"], "left")
+        .select(
+            "period_ts", "b", "n",
+            F.greatest(
+                F.coalesce(F.col("ec"), F.lit(0)) / F.lit(float(etot)),
+                F.lit(1e-10),
+            ).alias("er"),
+            F.greatest(
+                F.coalesce(F.col("ac"), F.lit(0)) / F.col("n"),
+                F.lit(1e-10),
+            ).alias("ar"),
+        )
+    )
+    w = (
+        Window.partitionBy("period_ts").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grid = grid.withColumn(
+        "gap", F.abs(F.sum("er").over(w) - F.sum("ar").over(w))
+    )
+    m = (F.col("er") + F.col("ar")) / 2.0
+    return grid.groupBy("period_ts").agg(
+        F.max("n").alias("n"),
+        F.sum((F.col("ar") - F.col("er")) * F.log(F.col("ar") / F.col("er")))
+        .alias("psi"),
+        F.max("gap").alias("ks"),
+        F.sum(
+            0.5 * (F.col("er") * F.log(F.col("er") / m)
+                   + F.col("ar") * F.log(F.col("ar") / m))
+        ).alias("jsd"),
+        (0.5 * F.sum(F.abs(F.col("ar") - F.col("er")))).alias("tvd"),
+    )

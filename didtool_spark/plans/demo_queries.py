@@ -1788,6 +1788,71 @@ FROM c
 """
 
 
+def q_drift_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-period drift report (operators/calibration.py
+    drift_timeline): weekly PSI/KS/JSD/TVD of the odd event half
+    against the even half's distribution — the whole timeline in one
+    distributed plan (two aggregation passes over the actual stream),
+    exactly SQL-replayed including the edge fit."""
+    from ..operators.calibration import drift_timeline
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    expected = ev.where(F.col("event_id") % 2 == 0)
+    actual = ev.where(F.col("event_id") % 2 == 1)
+    out = drift_timeline(expected, actual, "value", period="week",
+                         n_bins=10, ts_col="ts")
+    return out.select(
+        (F.unix_micros("period_ts") / F.lit(1_000_000)).cast("long")
+        .alias("period_s"),
+        "n",
+        F.round("psi", 6).alias("psi"),
+        F.round("ks", 6).alias("ks"),
+        F.round("jsd", 6).alias("jsd"),
+        F.round("tvd", 6).alias("tvd"),
+    )
+
+
+SQL_DRIFT_TIMELINE = """
+WITH s AS (SELECT min(value) mn, max(value) mx FROM events
+           WHERE event_id % 2 = 0 AND value IS NOT NULL),
+eb AS (
+  SELECT CAST(least(greatest(ceil((e.value - s.mn) / ((s.mx - s.mn) / 10.0)), 1), 10) - 1 AS INT) AS b
+  FROM events e, s WHERE e.event_id % 2 = 0 AND e.value IS NOT NULL
+),
+ab AS (
+  SELECT CAST(epoch_us(date_trunc('week', e.ts)) / 1000000 AS BIGINT) AS period_s,
+         CAST(least(greatest(ceil((e.value - s.mn) / ((s.mx - s.mn) / 10.0)), 1), 10) - 1 AS INT) AS b
+  FROM events e, s WHERE e.event_id % 2 = 1 AND e.value IS NOT NULL
+),
+ec AS (SELECT b, count(*) c FROM eb GROUP BY b),
+ac AS (SELECT period_s, b, count(*) c FROM ab GROUP BY 1, 2),
+periods AS (SELECT period_s, CAST(sum(c) AS BIGINT) n FROM ac GROUP BY 1),
+keys AS (SELECT CAST(range AS INT) AS b FROM range(0, 10)),
+r AS (
+  SELECT p.period_s, p.n, k.b,
+         greatest(coalesce(ec.c, 0) * 1.0 / (SELECT sum(c) FROM ec), 1e-10) er,
+         greatest(coalesce(ac.c, 0) * 1.0 / p.n, 1e-10) ar
+  FROM periods p CROSS JOIN keys k
+  LEFT JOIN ec ON k.b = ec.b
+  LEFT JOIN ac ON ac.period_s = p.period_s AND ac.b = k.b
+),
+c AS (
+  SELECT period_s, n, er, ar,
+         abs(sum(er) OVER w - sum(ar) OVER w) AS gap
+  FROM r
+  WINDOW w AS (PARTITION BY period_s ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT period_s, n,
+       round(sum((ar - er) * ln(ar / er)), 6) AS psi,
+       round(max(gap), 6) AS ks,
+       round(sum(0.5 * (er * ln(er / ((er + ar) / 2.0))
+                      + ar * ln(ar / ((er + ar) / 2.0)))), 6) AS jsd,
+       round(0.5 * sum(abs(ar - er)), 6) AS tvd
+FROM c GROUP BY period_s, n
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -1832,6 +1897,7 @@ QUERIES = {
     "time_rollup": q_time_rollup,
     "distinct_rollup": q_distinct_rollup,
     "time_to_event": q_time_to_event,
+    "drift_timeline": q_drift_timeline,
 }
 
 ORACLES = {
@@ -1878,4 +1944,5 @@ ORACLES = {
     "time_rollup": SQL_TIME_ROLLUP,
     "distinct_rollup": SQL_DISTINCT_ROLLUP,
     "time_to_event": SQL_TIME_TO_EVENT,
+    "drift_timeline": SQL_DRIFT_TIMELINE,
 }

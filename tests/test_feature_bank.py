@@ -399,3 +399,44 @@ def test_distribution_distance_metrics(spark):
         np.histogram(av, bins=edges)[0] / len(av), 1e-10, None
     ).cumsum()
     assert abs(d["ks"] - np.abs(ce - ca).max()) < 1e-9
+
+
+def test_drift_timeline_matches_distribution_distance(spark):
+    """Each period row of the distributed timeline must equal
+    distribution_distance run on that period's slice alone (same
+    expected edges, same floors)."""
+    import datetime as _dt
+
+    from didtool_spark.operators.calibration import (
+        distribution_distance,
+        drift_timeline,
+    )
+
+    rng = np.random.default_rng(11)
+    base = _dt.datetime(2024, 1, 1)
+    exp_rows = [
+        (float(v), base) for v in rng.normal(10, 3, 400)
+    ]
+    act_rows = [
+        (float(v), base + _dt.timedelta(days=int(d)))
+        for v, d in zip(
+            rng.normal(11, 4, 600), rng.integers(0, 21, 600)
+        )
+    ]
+    expected = spark.createDataFrame(exp_rows, "value double, ts timestamp")
+    actual = spark.createDataFrame(act_rows, "value double, ts timestamp")
+    tl = {
+        r["period_ts"]: r
+        for r in drift_timeline(
+            expected, actual, "value", period="week", n_bins=8
+        ).collect()
+    }
+    assert len(tl) == 3  # days 0-20 from Monday 2024-01-01 -> 3 ISO weeks
+    for pts, row in tl.items():
+        sl = actual.where(
+            F.date_trunc("week", "ts") == F.lit(pts)
+        )
+        d = distribution_distance(expected, sl, "value", n_bins=8)
+        assert row["n"] == d["n_actual"]
+        for m in ("psi", "ks", "jsd", "tvd"):
+            assert abs(row[m] - d[m]) < 1e-9, (pts, m, row[m], d[m])
