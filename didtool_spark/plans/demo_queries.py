@@ -1853,6 +1853,81 @@ FROM c GROUP BY period_s, n
 """
 
 
+_GROUP_MODEL_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _group_model_fit_rows():
+    """Deterministic sf-independent per-group fit input (the isotonic
+    synthetic-ramp pattern): integer arithmetic only, so Spark and the
+    pure-python twin construct the identical multiset."""
+    rows = []
+    for gi, t in enumerate(_GROUP_MODEL_TYPES):
+        for i in range(240):
+            x1 = i / 240.0
+            x2 = ((i * 37) % 240) / 240.0
+            y = 1 if (i * 2654435761) % 997 < 100 + (gi + 1) * 2 * i else 0
+            rows.append((t, x1, x2, y))
+    return rows
+
+
+def q_group_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment logistic models (operators/group_models.py): one
+    model per event_type fit via the applyInPandas kernel on the
+    deterministic synthetic ramp, then applied to the events table as
+    a pure-codegen broadcast-join dot product.  The oracle inlines the
+    pure-python twin's fitted weights (fit_logistic_arrays — asserted
+    bit-identical to the kernel in tests/test_group_models.py), so a
+    value match proves fit AND apply."""
+    from ..operators.group_models import (
+        apply_group_models,
+        fit_logistic_per_group,
+    )
+
+    fitd = spark.createDataFrame(
+        _group_model_fit_rows(), "g string, x1 double, x2 double, y int"
+    )
+    models = fit_logistic_per_group(
+        fitd, ["x1", "x2"], "y", group_cols="g",
+    ).withColumnRenamed("g", "event_type")
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).select(
+        "event_id", "event_type",
+        (F.col("value") / 500.0).alias("x1"),
+        (F.pmod(F.col("user_id"), 10) / 10.0).alias("x2"),
+    )
+    out = apply_group_models(
+        ev, models, ["x1", "x2"], group_cols="event_type",
+    )
+    return out.select(
+        "event_id", "event_type", F.round("score", 6).alias("score")
+    )
+
+
+def _sql_group_models() -> str:
+    from ..operators.group_models import fit_logistic_arrays
+
+    rows = _group_model_fit_rows()
+    cases = []
+    for t in _GROUP_MODEL_TYPES:
+        X = [(r[1], r[2]) for r in rows if r[0] == t]
+        y = [r[3] for r in rows if r[0] == t]
+        w, b = fit_logistic_arrays(X, y)
+        cases.append(
+            f"WHEN event_type = '{t}' THEN {b!r} + {w[0]!r} * (value / 500.0)"
+            f" + {w[1]!r} * ((user_id % 10) / 10.0)"
+        )
+    lin = "CASE " + " ".join(cases) + " END"
+    return f"""
+SELECT event_id, event_type,
+       round(1.0 / (1.0 + exp(-({lin}))), 6) AS score
+FROM events WHERE value IS NOT NULL
+"""
+
+
+SQL_GROUP_MODELS = _sql_group_models()
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -1898,6 +1973,7 @@ QUERIES = {
     "distinct_rollup": q_distinct_rollup,
     "time_to_event": q_time_to_event,
     "drift_timeline": q_drift_timeline,
+    "group_models": q_group_models,
 }
 
 ORACLES = {
@@ -1945,4 +2021,5 @@ ORACLES = {
     "distinct_rollup": SQL_DISTINCT_ROLLUP,
     "time_to_event": SQL_TIME_TO_EVENT,
     "drift_timeline": SQL_DRIFT_TIMELINE,
+    "group_models": SQL_GROUP_MODELS,
 }
