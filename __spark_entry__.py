@@ -68,12 +68,14 @@ GATE_PRIORITY: list[str] = [
     # embedding_topk_ivf (literal-replay oracles, heavy unit suites,
     # the gate's three heaviest entries); tier 3 (session_features,
     # minhash_dedup — green r2 AND r3) rotates fully behind.  The
-    # still-never-checked low-risk remainder (feature_cross,
-    # hash_features, label_agreement, transitions, turn_novelty,
-    # embedding_pool, scale_features, impute, winsorize, resample,
-    # cv_folds, purged_folds, negative_samples, quality_checks) is
-    # round 5's window.  All queries outside the window stay guarded by
-    # scripts/check_oracle.py full-registry local replays.)
+    # still-never-checked remainder (feature_cross, hash_features,
+    # label_agreement, transitions, turn_novelty, embedding_pool,
+    # scale_features, impute, winsorize, resample, cv_folds,
+    # purged_folds, negative_samples, quality_checks, plus the
+    # session-7 additions time_rollup, distinct_rollup, time_to_event,
+    # drift_timeline, group_models) is round 5's window.  All queries
+    # outside the window stay guarded by scripts/check_oracle.py
+    # full-registry local replays.)
 ]
 
 

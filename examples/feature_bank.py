@@ -129,5 +129,50 @@ lab = scored.withColumn("a", (F.col("value") > 5.0).cast("int")).withColumn(
 )
 print("labeler agreement:", dt.cohen_kappa(lab, "a", "b").collect())
 
+
+# ------------------------------------------- 9. monitoring & rollups
+# hour/day/week aggregates from ONE base scan (coarser grains merge
+# the finer grain's partials; AQE reuses the shared shuffles)
+roll = dt.time_rollup(
+    ev, [("value", "sum"), ("value", "avg")],
+    grains=("hour", "day", "week"), keys="user_id", ts_col="ts",
+)
+print("rollup rows per grain:",
+      sorted((r["grain"], r["count"]) for r in
+             roll.groupBy("grain").count().collect()))
+# distinct users per day/week via mergeable HLL sketches
+dr = dt.distinct_rollup(ev, "user_id", grains=("day", "week"),
+                        keys=(), ts_col="ts")
+print("distinct-user weeks:",
+      dr.where(F.col("grain") == "week").orderBy("bucket_ts").limit(3).collect())
+# weekly drift of the serving stream vs a reference split
+ref = ev.where(F.col("event_id") % 2 == 0)
+live = ev.where(F.col("event_id") % 2 == 1)
+print("weekly drift:",
+      dt.drift_timeline(ref, live, "value", period="week")
+      .orderBy("period_ts").limit(3).collect())
+
+# ------------------------------------------- 10. per-segment models
+# one logistic model per event_type, applied as a codegen dot product
+seg = ev.withColumn("x1", F.col("value") / 500.0).withColumn(
+    "x2", F.pmod(F.col("user_id"), 10) / 10.0
+).withColumn("y", (F.col("value") > 50).cast("int"))
+models = dt.fit_logistic_per_group(
+    seg, ["x1", "x2"], "y", group_cols="event_type"
+)
+print("segment models:", models.orderBy("event_type").limit(2).collect())
+scored_seg = dt.apply_group_models(
+    seg, models, ["x1", "x2"], group_cols="event_type"
+)
+print("segment-scored sample:",
+      scored_seg.select("event_type", "score").limit(3).collect())
+
+# survival labels: seconds to the user's next error, censored at 24h
+tte = dt.with_time_to_event(
+    ev, F.col("event_type") == "error", 86400, keys="user_id", ts_col="ts"
+)
+print("time-to-event observed fraction:",
+      tte.agg(F.avg(F.col("tte_observed").cast("double"))).collect())
+
 spark.stop()
 print("feature-bank tour complete")
