@@ -484,13 +484,19 @@ def q_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys="user_id", ts_col="ts", name="tte",
         strategy="bucketed", bucket_seconds=86400,
     )
-    return out.select("event_id", "user_id", "tte_s", "tte_observed")
+    # tte_s is nullable (censored rows) -> double on both sides, the
+    # registry convention for nullable integer outputs (pandas would
+    # float64 a nullable BIGINT anyway)
+    return out.select(
+        "event_id", "user_id",
+        F.col("tte_s").cast("double").alias("tte_s"), "tte_observed",
+    )
 
 
 SQL_TIME_TO_EVENT = """
 SELECT event_id, user_id,
        CAST(min(CASE WHEN event_type = 'error' THEN ep END) OVER w - ep
-            AS BIGINT) AS tte_s,
+            AS DOUBLE) AS tte_s,
        min(CASE WHEN event_type = 'error' THEN ep END) OVER w IS NOT NULL
            AS tte_observed
 FROM (SELECT *, date_diff('second', TIMESTAMP '1970-01-01', ts) AS ep FROM events)
