@@ -1859,6 +1859,78 @@ FROM c GROUP BY period_s, n
 """
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (operators/funnel.py): per user, the
+    earliest in-order view -> click -> purchase completion within 7
+    days of the first view — one window cascade and the per-user
+    rollup on a single hash exchange (plan-asserted in
+    tests/test_funnel.py).  Nullable step timestamps go out as double
+    epoch seconds per the registry dtype convention."""
+    from ..operators.funnel import funnel
+
+    ev = load(spark, sf_dir, "events")
+    out = funnel(
+        ev,
+        [("view", F.col("event_type") == "view"),
+         ("click", F.col("event_type") == "click"),
+         ("purchase", F.col("event_type") == "purchase")],
+        keys="user_id", order=("ts", "event_id"), ts_col="ts",
+        horizon_s=604800,
+    )
+    sec = lambda c: (F.unix_micros(c) / F.lit(1_000_000)).cast("double")  # noqa: E731
+    return out.select(
+        "user_id",
+        sec(F.col("view_ts")).alias("view_s"),
+        sec(F.col("click_ts")).alias("click_s"),
+        sec(F.col("purchase_ts")).alias("purchase_s"),
+        F.col("depth").cast("bigint").alias("depth"),
+    )
+
+
+SQL_FUNNEL = """
+WITH b AS (
+  SELECT *, date_diff('second', TIMESTAMP '1970-01-01', ts) AS ep FROM events
+),
+r1 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'view' THEN ep END) OVER wc AS run1,
+         min(CASE WHEN event_type = 'view' THEN ep END) OVER wp AS run1p
+  FROM b
+  WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+r2 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'click' AND run1p IS NOT NULL
+                   AND ep <= run1p + 604800 THEN ep END) OVER wc AS run2,
+         min(CASE WHEN event_type = 'click' AND run1p IS NOT NULL
+                   AND ep <= run1p + 604800 THEN ep END) OVER wp AS run2p
+  FROM r1
+  WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+r3 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'purchase' AND run2p IS NOT NULL
+                   AND ep <= run1p + 604800 THEN ep END) OVER wc AS run3
+  FROM r2
+  WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       CAST(min(run1) AS DOUBLE) AS view_s,
+       CAST(min(run2) AS DOUBLE) AS click_s,
+       CAST(min(run3) AS DOUBLE) AS purchase_s,
+       CAST((min(run1) IS NOT NULL)::INT + (min(run2) IS NOT NULL)::INT
+            + (min(run3) IS NOT NULL)::INT AS BIGINT) AS depth
+FROM r3 GROUP BY user_id
+"""
+
+
 _GROUP_MODEL_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -1980,6 +2052,7 @@ QUERIES = {
     "time_to_event": q_time_to_event,
     "drift_timeline": q_drift_timeline,
     "group_models": q_group_models,
+    "funnel": q_funnel,
 }
 
 ORACLES = {
@@ -2028,4 +2101,5 @@ ORACLES = {
     "time_to_event": SQL_TIME_TO_EVENT,
     "drift_timeline": SQL_DRIFT_TIMELINE,
     "group_models": SQL_GROUP_MODELS,
+    "funnel": SQL_FUNNEL,
 }
