@@ -116,6 +116,7 @@ from .operators.resample import (  # noqa: F401
 )
 from .operators.cv import purged_kfold, rolling_origin_folds  # noqa: F401
 from .operators.negatives import negative_samples  # noqa: F401
+from .operators.cohort import cohort_retention  # noqa: F401
 from .operators.funnel import funnel  # noqa: F401
 from .operators.group_models import (  # noqa: F401
     apply_group_models, fit_logistic_arrays, fit_logistic_per_group,

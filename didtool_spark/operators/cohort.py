@@ -1,0 +1,73 @@
+"""Cohort retention analysis over per-key event streams.
+
+"Of the users first seen in week W, what fraction was still active
+N weeks later?" — the standard retention matrix, built scale-first:
+
+- the stream reduces ONCE to the distinct (key, period) activity
+  table (map-side-combined groupBy — the shuffle carries one row per
+  key-period, never events);
+- each key's cohort (first period) is a tiny groupBy over that table;
+- the join back is key-partitioned and rides the same exchange
+  lineage, and the final (cohort, age) cell count is a second small
+  aggregation.  Nothing rescans the base table.
+
+Week/day grains keep the age arithmetic exact (fixed-width periods);
+"month" ages via month arithmetic on the truncated starts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cohort_retention"]
+
+_SECONDS = {"day": 86400, "week": 604800}
+
+
+def cohort_retention(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "week",
+) -> DataFrame:
+    """One row per (cohort_ts, age) with ``n_active``, ``n_cohort``
+    and ``retention = n_active / n_cohort`` (round-trip exact: age 0
+    always has retention 1.0 — every key is active in its own first
+    period).  ``age`` counts whole periods since the key's first
+    activity; grain in {"day", "week", "month"}.
+    """
+    if grain not in ("day", "week", "month"):
+        raise ValueError(f"grain must be day/week/month, got {grain!r}")
+
+    active = (
+        df.select(
+            F.col(key).alias("k"),
+            F.date_trunc(grain, F.col(ts_col)).alias("p"),
+        )
+        .groupBy("k", "p")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    cohorts = active.groupBy("k").agg(F.min("p").alias("cohort_ts"))
+    j = active.join(cohorts, "k")
+    if grain == "month":
+        age = F.round(F.months_between("p", "cohort_ts")).cast("int")
+    else:
+        age = (
+            (F.unix_micros("p") - F.unix_micros("cohort_ts"))
+            / F.lit(_SECONDS[grain] * 1_000_000)
+        ).cast("int")
+    cells = (
+        j.groupBy("cohort_ts", age.alias("age"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = cohorts.groupBy("cohort_ts").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_ts")
+        .select(
+            "cohort_ts", "age", "n_active", "n_cohort",
+            (F.col("n_active") / F.col("n_cohort")).alias("retention"),
+        )
+    )

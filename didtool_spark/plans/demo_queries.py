@@ -1859,6 +1859,44 @@ FROM c GROUP BY period_s, n
 """
 
 
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (operators/cohort.py): weekly first-seen
+    cohorts x whole-week age, distinct-active counts and retention
+    rates — the stream reduces once to (user, week) rows, everything
+    downstream is aggregation over that table."""
+    from ..operators.cohort import cohort_retention
+
+    ev = load(spark, sf_dir, "events")
+    out = cohort_retention(ev, key="user_id", ts_col="ts", grain="week")
+    return out.select(
+        (F.unix_micros("cohort_ts") / F.lit(1_000_000)).cast("long")
+        .alias("cohort_s"),
+        "age", "n_active", "n_cohort",
+        F.round("retention", 6).alias("retention"),
+    )
+
+
+SQL_COHORT = """
+WITH act AS (
+  SELECT user_id AS k,
+         CAST(epoch_us(date_trunc('week', ts)) / 1000000 AS BIGINT) AS p
+  FROM events GROUP BY 1, 2
+),
+coh AS (SELECT k, min(p) AS c FROM act GROUP BY k),
+cells AS (
+  SELECT coh.c AS cohort_s,
+         CAST((act.p - coh.c) / 604800 AS INT) AS age,
+         count(*) AS n_active
+  FROM act JOIN coh ON act.k = coh.k
+  GROUP BY 1, 2
+),
+sizes AS (SELECT c AS cohort_s, count(*) AS n_cohort FROM coh GROUP BY c)
+SELECT cells.cohort_s, cells.age, cells.n_active, sizes.n_cohort,
+       round(cells.n_active * 1.0 / sizes.n_cohort, 6) AS retention
+FROM cells JOIN sizes USING (cohort_s)
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel (operators/funnel.py): per user, the
     earliest in-order view -> click -> purchase completion within 7
@@ -2053,6 +2091,7 @@ QUERIES = {
     "drift_timeline": q_drift_timeline,
     "group_models": q_group_models,
     "funnel": q_funnel,
+    "cohort": q_cohort,
 }
 
 ORACLES = {
@@ -2102,4 +2141,5 @@ ORACLES = {
     "drift_timeline": SQL_DRIFT_TIMELINE,
     "group_models": SQL_GROUP_MODELS,
     "funnel": SQL_FUNNEL,
+    "cohort": SQL_COHORT,
 }
