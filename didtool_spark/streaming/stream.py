@@ -417,3 +417,87 @@ def streaming_transitions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel(
+    stream: DataFrame,
+    col: str,
+    step_values: list,
+    horizon_s: int | None = None,
+):
+    """Streaming form of operators.funnel.funnel for the common
+    "ordered values of one column" case (e.g. event/role sequence
+    tool_call -> tool_result -> resolution): per conversation, emit a
+    row each time the funnel DEEPENS — ``(conv_id, ts, step, depth)``
+    — so downstream live dashboards aggregate depth transitions
+    without reprocessing history.
+
+    State per conv_id is the completed steps' epoch seconds (at most
+    ``len(step_values)`` longs).  Semantics mirror the batch operator
+    exactly: each step takes its earliest in-order completion, a
+    single row satisfies at most one step (the scan only ever tests
+    the NEXT needed step), and ``horizon_s`` bounds steps 2..k to
+    within that many seconds of the step-1 completion.  Parity with
+    batch funnel() is asserted in tests/test_streaming.py.
+
+    Ordering caveat shared with streaming_transitions: rows sort
+    (ts, turn_idx) within a micro-batch; cross-batch order relies on
+    the source being append-ordered per conversation.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StringType, StructField,
+        StructType, TimestampType,
+    )
+
+    k = len(step_values)
+    if k == 0:
+        raise ValueError("step_values must be non-empty")
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("step", StringType()),
+            StructField("depth", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("completed", ArrayType(LongType()))]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        (conv_id,) = key
+        (completed,) = state.get if state.exists else ([],)
+        completed = list(completed)
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                if len(completed) >= k:
+                    break
+                cur = getattr(row, col)
+                if pd.isna(cur):
+                    continue
+                target = step_values[len(completed)]
+                ep = int(pd.Timestamp(row.ts).value // 1_000_000_000)
+                if cur == target and (
+                    horizon_s is None
+                    or not completed
+                    or ep <= completed[0] + int(horizon_s)
+                ):
+                    completed.append(ep)
+                    out.append(
+                        (conv_id, row.ts, str(target), len(completed))
+                    )
+        state.update((completed,))
+        yield pd.DataFrame(out, columns=["conv_id", "ts", "step", "depth"])
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

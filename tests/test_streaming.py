@@ -472,3 +472,47 @@ def test_streaming_transitions_match_batch(spark, stream_dirs, tmp_path_factory)
     g = {(r["from"], r["to"]): r["n"] for r in got.collect()}
     b = {(r["from"], r["to"]): r["n"] for r in batch.collect()}
     assert g == b and sum(b.values()) > 0
+
+
+def test_streaming_funnel_matches_batch(spark, stream_dirs, tmp_path_factory):
+    """streaming_funnel: the completed-steps state must carry across
+    micro-batches and reproduce batch funnel() exactly — same depth
+    and same step timestamps per conversation."""
+    from pyspark.sql import functions as F
+
+    from didtool_spark.operators.funnel import funnel
+    from didtool_spark.streaming.stream import (
+        read_transcript_stream, run_stream_once, streaming_funnel,
+    )
+
+    src, _ = stream_dirs
+    root = str(tmp_path_factory.mktemp("funnel_stream"))
+    out, ck = os.path.join(root, "out"), os.path.join(root, "ck")
+
+    values = ["user", "assistant", "tool"]
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    run_stream_once(streaming_funnel(stream, "role", values), ck, out)
+    got_rows = spark.read.parquet(out).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["conv_id"], {})[r["depth"]] = (r["step"], r["ts"])
+
+    batch = funnel(
+        spark.read.parquet(src),
+        [(v, F.col("role") == v) for v in values],
+        keys="conv_id", order=("ts", "turn_idx"),
+    )
+    n_checked = 0
+    for r in batch.collect():
+        conv = r["conv_id"]
+        emitted = got.get(conv, {})
+        assert len(emitted) == r["depth"], (conv, emitted, r)
+        for i, v in enumerate(values[: r["depth"]], start=1):
+            step, ts = emitted[i]
+            assert step == v
+            # batch step timestamps are second-truncated epoch values
+            assert int(ts.timestamp()) == int(r[f"{v}_ts"].timestamp()), (
+                conv, v, ts, r[f"{v}_ts"],
+            )
+        n_checked += r["depth"]
+    assert n_checked > 0
