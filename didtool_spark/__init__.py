@@ -94,8 +94,8 @@ from .operators.stats_features import (  # noqa: F401
     group_quantiles, heavy_hitters,
 )
 from .operators.ts_features import (  # noqa: F401
-    with_decayed, with_recency, with_rolling_distinct, with_trend,
-    with_zscore,
+    with_cusum, with_decayed, with_recency, with_rolling_distinct,
+    with_trend, with_zscore,
 )
 from .operators.feature_hash import hash_vectorize, hashed_cross  # noqa: F401
 from .operators.calibration import (  # noqa: F401

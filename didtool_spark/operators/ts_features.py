@@ -52,6 +52,7 @@ __all__ = [
     "with_rolling_distinct",
     "with_trend",
     "with_zscore",
+    "with_cusum",
 ]
 
 LN2 = log(2.0)
@@ -460,3 +461,53 @@ def with_zscore(
     return out.withColumn(f"{value_col}_z_last{k}", z).drop(
         f"{value_col}_avg_last{k}", f"{value_col}_stddev_last{k}"
     )
+
+
+def with_cusum(
+    df: DataFrame,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+    keys: Sequence[str] | str = "conv_id",
+    order: Sequence[str] | str = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Two-sided CUSUM change-point statistics per key, point-in-time:
+    ``{col}_cusum_pos`` / ``{col}_cusum_neg`` (Page's reset-at-zero
+    recursions against a FIXED reference ``target`` — pass the
+    expected mean from training data or a spec, never fit it on the
+    serving stream) and, when ``threshold`` is set, ``{col}_cusum_alarm``.
+
+    pos_t = max(0, pos_{t-1} + (x_t - target - slack))
+    neg_t = max(0, neg_{t-1} - (x_t - target + slack))
+
+    Scale design: the reset-at-zero recursion LINEARIZES — with
+    S_t = Σ(x - target - slack), pos_t = S_t - min(0, min_{j<=t} S_j)
+    (and neg on the negated series) — so the whole statistic is four
+    running aggregates over ONE (keys, order) window sort, no Python,
+    no iteration, exactly SQL-replayable.  NULL values leave the state
+    unchanged (their increment is 0 on both sides).
+    """
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    order_l = [order] if isinstance(order, str) else list(order)
+    w = (
+        Window.partitionBy(*keys_l).orderBy(*order_l)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    x = F.col(value_col).cast("double")
+    d_pos = F.coalesce(x - F.lit(float(target)) - F.lit(float(slack)), F.lit(0.0))
+    d_neg = F.coalesce(-(x - F.lit(float(target)) + F.lit(float(slack))), F.lit(0.0))
+    s_pos = F.sum(d_pos).over(w)
+    s_neg = F.sum(d_neg).over(w)
+    pos = s_pos - F.least(F.lit(0.0), F.min(s_pos).over(w))
+    neg = s_neg - F.least(F.lit(0.0), F.min(s_neg).over(w))
+    out = df.withColumn(f"{value_col}_cusum_pos", pos).withColumn(
+        f"{value_col}_cusum_neg", neg
+    )
+    if threshold is not None:
+        out = out.withColumn(
+            f"{value_col}_cusum_alarm",
+            (F.col(f"{value_col}_cusum_pos") > F.lit(float(threshold)))
+            | (F.col(f"{value_col}_cusum_neg") > F.lit(float(threshold))),
+        )
+    return out

@@ -1859,6 +1859,52 @@ FROM c GROUP BY period_s, n
 """
 
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point statistics (operators/ts_features.py
+    with_cusum): per-user two-sided Page recursions against a fixed
+    reference mean, computed as four running window aggregates via the
+    reset-at-zero linearization — the oracle replays the same
+    cumsum-minus-running-min windows in SQL."""
+    from ..operators.ts_features import with_cusum
+
+    ev = load(spark, sf_dir, "events")
+    out = with_cusum(
+        ev, "value", target=50.0, slack=5.0, threshold=200.0,
+        keys="user_id", order=("ts", "event_id"),
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.round("value_cusum_pos", 6).alias("cusum_pos"),
+        F.round("value_cusum_neg", 6).alias("cusum_neg"),
+        F.col("value_cusum_alarm").alias("alarm"),
+    )
+
+
+SQL_CUSUM = """
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         sum(coalesce(value - 55.0, 0.0)) OVER wc AS sp,
+         sum(coalesce(-(value - 45.0), 0.0)) OVER wc AS sn
+  FROM events
+  WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT event_id, user_id,
+         sp - least(0.0, min(sp) OVER wc) AS pos,
+         sn - least(0.0, min(sn) OVER wc) AS neg
+  FROM s
+  WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       round(pos, 6) AS cusum_pos,
+       round(neg, 6) AS cusum_neg,
+       (pos > 200.0 OR neg > 200.0) AS alarm
+FROM m
+"""
+
+
 def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention (operators/cohort.py): weekly first-seen
     cohorts x whole-week age, distinct-active counts and retention
@@ -2092,6 +2138,7 @@ QUERIES = {
     "group_models": q_group_models,
     "funnel": q_funnel,
     "cohort": q_cohort,
+    "cusum": q_cusum,
 }
 
 ORACLES = {
@@ -2142,4 +2189,5 @@ ORACLES = {
     "group_models": SQL_GROUP_MODELS,
     "funnel": SQL_FUNNEL,
     "cohort": SQL_COHORT,
+    "cusum": SQL_CUSUM,
 }

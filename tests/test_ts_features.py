@@ -332,3 +332,41 @@ def test_shared_sort_plan_shape(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", plan_str(out))) == 1
+
+
+# ----------------------------------------------------------------- cusum
+
+def test_cusum_matches_recursion_twin(spark):
+    """The window linearization must equal Page's literal recursion,
+    NULLs leaving the state untouched."""
+    import datetime as dt
+    import random
+
+    from didtool_spark.operators.ts_features import with_cusum
+
+    random.seed(5)
+    rows = []
+    for k in ("a", "b"):
+        for i in range(60):
+            v = None if i % 11 == 7 else random.gauss(10 if i < 30 else 14, 2)
+            rows.append((k, i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), v))
+    df = spark.createDataFrame(rows, "k string, i int, ts timestamp, v double")
+    out = {
+        (r["k"], r["i"]): (r["v_cusum_pos"], r["v_cusum_neg"], r["v_cusum_alarm"])
+        for r in with_cusum(
+            df, "v", target=10.0, slack=0.5, threshold=8.0,
+            keys="k", order=("ts", "i"),
+        ).collect()
+    }
+    for k in ("a", "b"):
+        pos = neg = 0.0
+        for i in range(60):
+            v = next(r[3] for r in rows if r[0] == k and r[1] == i)
+            if v is not None:
+                pos = max(0.0, pos + (v - 10.0 - 0.5))
+                neg = max(0.0, neg - (v - 10.0 + 0.5))
+            gp, gn, alarm = out[(k, i)]
+            assert abs(gp - pos) < 1e-9 and abs(gn - neg) < 1e-9, (k, i)
+            assert alarm == (pos > 8.0 or neg > 8.0), (k, i)
+    # the upward shift in the second half must alarm on pos
+    assert any(out[("a", i)][2] for i in range(35, 60))
