@@ -471,6 +471,9 @@ def with_cusum(
     threshold: float | None = None,
     keys: Sequence[str] | str = "conv_id",
     order: Sequence[str] | str = ("ts", "turn_idx"),
+    strategy: str = "window",
+    ts_col: str = "ts",
+    bucket_seconds: int = 86400,
 ) -> DataFrame:
     """Two-sided CUSUM change-point statistics per key, point-in-time:
     ``{col}_cusum_pos`` / ``{col}_cusum_neg`` (Page's reset-at-zero
@@ -487,20 +490,100 @@ def with_cusum(
     running aggregates over ONE (keys, order) window sort, no Python,
     no iteration, exactly SQL-replayable.  NULL values leave the state
     unchanged (their increment is 0 on both sides).
+
+    ``strategy="bucketed"`` (hot-key safe): rows bucket on
+    ``floor(epoch(ts_col) / bucket_seconds)``; prefix sums AND prefix
+    minima both compose across buckets (global running min =
+    min(carry_min, carry_sum + local running min)), so each
+    (key, bucket) task only sorts its own bucket and the carries come
+    from a tiny per-bucket totals table.  Output equals the window
+    strategy up to float-addition regrouping (~1e-9; the equivalence
+    unit and fuzz suite pin it).
     """
     keys_l = [keys] if isinstance(keys, str) else list(keys)
     order_l = [order] if isinstance(order, str) else list(order)
-    w = (
-        Window.partitionBy(*keys_l).orderBy(*order_l)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     x = F.col(value_col).cast("double")
     d_pos = F.coalesce(x - F.lit(float(target)) - F.lit(float(slack)), F.lit(0.0))
     d_neg = F.coalesce(-(x - F.lit(float(target)) + F.lit(float(slack))), F.lit(0.0))
-    s_pos = F.sum(d_pos).over(w)
-    s_neg = F.sum(d_neg).over(w)
-    pos = s_pos - F.least(F.lit(0.0), F.min(s_pos).over(w))
-    neg = s_neg - F.least(F.lit(0.0), F.min(s_neg).over(w))
+
+    if strategy == "window":
+        w = (
+            Window.partitionBy(*keys_l).orderBy(*order_l)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        s_pos = F.sum(d_pos).over(w)
+        s_neg = F.sum(d_neg).over(w)
+        pos = s_pos - F.least(F.lit(0.0), F.min(s_pos).over(w))
+        neg = s_neg - F.least(F.lit(0.0), F.min(s_neg).over(w))
+    elif strategy == "bucketed":
+        from .temporal import epoch_seconds
+
+        b = F.floor(epoch_seconds(ts_col) / F.lit(int(bucket_seconds)))
+        base = df.withColumn("__bucket", b).withColumn(
+            "__dp", d_pos
+        ).withColumn("__dn", d_neg)
+        wl = (
+            Window.partitionBy(*keys_l, "__bucket").orderBy(*order_l)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        base = base.withColumn("__lsp", F.sum("__dp").over(wl)).withColumn(
+            "__lsn", F.sum("__dn").over(wl)
+        ).withColumn("__lmp", F.min("__lsp").over(wl)).withColumn(
+            "__lmn", F.min("__lsn").over(wl)
+        )
+        # tiny per-(key, bucket) totals: bucket sum + bucket min-prefix
+        tot = base.groupBy(*keys_l, "__bucket").agg(
+            F.sum("__dp").alias("__tp"), F.sum("__dn").alias("__tn"),
+            F.min("__lsp").alias("__bp"), F.min("__lsn").alias("__bn"),
+        )
+        wprev = (
+            Window.partitionBy(*keys_l).orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        # carry_sum(b) = exclusive prefix of bucket totals; then
+        # carry_min(b) = min over earlier buckets of
+        # (carry_sum(b') + local_min(b')) — two window passes over the
+        # SAME tiny per-bucket table (projected between them so the
+        # second window sees plain columns)
+        c1 = tot.select(
+            *keys_l, "__bucket", "__bp", "__bn",
+            F.coalesce(F.sum("__tp").over(wprev), F.lit(0.0)).alias("__cp"),
+            F.coalesce(F.sum("__tn").over(wprev), F.lit(0.0)).alias("__cn"),
+        )
+        carries = c1.select(
+            *keys_l, "__bucket", "__cp", "__cn",
+            F.min(F.col("__cp") + F.col("__bp")).over(wprev).alias("__mp"),
+            F.min(F.col("__cn") + F.col("__bn")).over(wprev).alias("__mn"),
+        )
+        j = base.join(carries, [*keys_l, "__bucket"])
+        s_pos = F.col("__cp") + F.col("__lsp")
+        s_neg = F.col("__cn") + F.col("__lsn")
+        run_min_p = F.least(
+            F.coalesce(F.col("__mp"), F.lit(float("inf"))),
+            F.col("__cp") + F.col("__lmp"),
+        )
+        run_min_n = F.least(
+            F.coalesce(F.col("__mn"), F.lit(float("inf"))),
+            F.col("__cn") + F.col("__lmn"),
+        )
+        pos = s_pos - F.least(F.lit(0.0), run_min_p)
+        neg = s_neg - F.least(F.lit(0.0), run_min_n)
+        out = j.withColumn(f"{value_col}_cusum_pos", pos).withColumn(
+            f"{value_col}_cusum_neg", neg
+        ).drop(
+            "__bucket", "__dp", "__dn", "__lsp", "__lsn", "__lmp", "__lmn",
+            "__cp", "__cn", "__mp", "__mn",
+        )
+        if threshold is not None:
+            out = out.withColumn(
+                f"{value_col}_cusum_alarm",
+                (F.col(f"{value_col}_cusum_pos") > F.lit(float(threshold)))
+                | (F.col(f"{value_col}_cusum_neg") > F.lit(float(threshold))),
+            )
+        return out
+    else:
+        raise ValueError(f"unknown with_cusum strategy {strategy!r}")
+
     out = df.withColumn(f"{value_col}_cusum_pos", pos).withColumn(
         f"{value_col}_cusum_neg", neg
     )

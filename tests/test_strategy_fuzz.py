@@ -41,6 +41,7 @@ from didtool_spark.operators.transcript import (
     truncate_conversations,
 )
 from didtool_spark.operators.ts_features import (
+    with_cusum,
     with_decayed,
     with_rolling_distinct,
     with_zscore,
@@ -232,5 +233,11 @@ def test_feature_bucketed_equals_window_fuzz(spark, rows):
         with_zscore(df, "value", k=4),
         with_zscore(df, "value", k=4, strategy="bucketed",
                     bucket_seconds=1800),
+        ["conv_id", "turn_idx"],
+    )
+    ckw = dict(value_col="value", target=1.0, slack=0.2, threshold=5.0)
+    _cmp(
+        with_cusum(df, **ckw),
+        with_cusum(df, strategy="bucketed", bucket_seconds=1800, **ckw),
         ["conv_id", "turn_idx"],
     )

@@ -370,3 +370,35 @@ def test_cusum_matches_recursion_twin(spark):
             assert alarm == (pos > 8.0 or neg > 8.0), (k, i)
     # the upward shift in the second half must alarm on pos
     assert any(out[("a", i)][2] for i in range(35, 60))
+
+
+def test_cusum_bucketed_equals_window(spark):
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from didtool_spark.operators.ts_features import with_cusum
+
+    random.seed(9)
+    rows = []
+    for k in ("a", "b", "c"):
+        t = 0.0
+        for i in range(50):
+            t += random.choice([60, 600, 1800, 3601])
+            v = None if i % 13 == 5 else random.gauss(12, 4)
+            rows.append((k, i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t), v))
+    df = spark.createDataFrame(rows, "k string, i int, ts timestamp, v double")
+    kw = dict(value_col="v", target=12.0, slack=0.3, threshold=10.0,
+              keys="k", order=("ts", "i"))
+    sel = ["k", "i", "v_cusum_pos", "v_cusum_neg", "v_cusum_alarm"]
+    a = (
+        with_cusum(df, **kw).select(*sel)
+        .toPandas().sort_values(["k", "i"]).reset_index(drop=True)
+    )
+    b = (
+        with_cusum(df, strategy="bucketed", bucket_seconds=3600, **kw)
+        .select(*sel)
+        .toPandas().sort_values(["k", "i"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-9, rtol=1e-9)
