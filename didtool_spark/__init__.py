@@ -104,7 +104,7 @@ from .operators.calibration import (  # noqa: F401
     reliability_table,
 )
 from .operators.seq_features import (  # noqa: F401
-    transition_counts, with_turn_novelty,
+    seq_ngrams, transition_counts, with_turn_novelty,
 )
 from .operators.pooling import pool_embeddings  # noqa: F401
 from .operators.scalers import (  # noqa: F401

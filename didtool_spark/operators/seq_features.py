@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from .temporal import with_lags
 
-__all__ = ["transition_counts", "with_turn_novelty"]
+__all__ = ["seq_ngrams", "transition_counts", "with_turn_novelty"]
 
 
 def _lists(x: Sequence[str] | str) -> list[str]:
@@ -120,3 +120,55 @@ def with_turn_novelty(
     return out.withColumn(f"{text_col}_jaccard_prev", jac).drop(
         "__toks", "__toks_lag1"
     )
+
+
+def seq_ngrams(
+    df: DataFrame,
+    col: str,
+    n: int = 3,
+    keys: Sequence[str] | str = "conv_id",
+    order: Sequence[str] | str = ("ts", "turn_idx"),
+    per_key: bool = False,
+    min_count: int = 1,
+    strategy: str = "window",
+    ts_col: str = "ts",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Sliding n-gram counts of ``col`` along each key's order — the
+    n-step generalization of :func:`transition_counts` ("which
+    tool-call sequences recur across conversations?"): columns
+    ``(keys...?, g1..gn, n)`` with g1 the oldest element.
+
+    Only windows fully inside one key count (the first n-1 rows of a
+    key start no gram — excluded by a lagged seen-flag, so a NULL
+    VALUE is a real level inside a gram, exactly the
+    transition_counts contract).  ``min_count`` prunes the long tail
+    before the count table leaves the aggregation.
+
+    Scale design: one lag window (n-1 lags share the single key sort;
+    ``strategy="bucketed"`` inherits with_lags' hot-key carry-in) and
+    one map-side-combined groupBy whose state is the distinct-gram
+    count — min_count bounds what survives to the driver/sink side.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    keys_l = _lists(keys)
+    base = df.withColumn("__seen", F.lit(True))
+    lagged = with_lags(
+        base, [col, "__seen"], lags=list(range(1, n)),
+        keys=keys, order=order, strategy=strategy,
+        ts_col=ts_col, bucket_seconds=bucket_seconds,
+    )
+    full = lagged.where(F.col(f"__seen_lag{n - 1}").isNotNull())
+    gram_cols = [
+        F.col(f"{col}_lag{n - 1 - i}" if i < n - 1 else col).alias(f"g{i + 1}")
+        for i in range(n)
+    ]
+    grp = [*keys_l] if per_key else []
+    out = (
+        full.groupBy(*grp, *gram_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("n") >= int(min_count))
+    return out

@@ -1859,6 +1859,34 @@ FROM c GROUP BY period_s, n
 """
 
 
+def q_seq_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence n-grams (operators/seq_features.py seq_ngrams):
+    corpus-level counts of per-user event-type 3-grams, long tail
+    pruned at min_count=2 — one lag window sharing the key sort, one
+    map-side-combined groupBy."""
+    from ..operators.seq_features import seq_ngrams
+
+    ev = load(spark, sf_dir, "events")
+    return seq_ngrams(
+        ev, "event_type", n=3, keys="user_id", order=("ts", "event_id"),
+        per_key=False, min_count=2,
+    )
+
+
+SQL_SEQ_NGRAMS = """
+WITH l AS (
+  SELECT event_type AS g3,
+         lag(event_type, 1) OVER w AS g2,
+         lag(event_type, 2) OVER w AS g1,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
+FROM l WHERE rn >= 3 GROUP BY 1, 2, 3 HAVING count(*) >= 2
+"""
+
+
 def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point statistics (operators/ts_features.py
     with_cusum): per-user two-sided Page recursions against a fixed
@@ -2139,6 +2167,7 @@ QUERIES = {
     "funnel": q_funnel,
     "cohort": q_cohort,
     "cusum": q_cusum,
+    "seq_ngrams": q_seq_ngrams,
 }
 
 ORACLES = {
@@ -2190,4 +2219,5 @@ ORACLES = {
     "funnel": SQL_FUNNEL,
     "cohort": SQL_COHORT,
     "cusum": SQL_CUSUM,
+    "seq_ngrams": SQL_SEQ_NGRAMS,
 }

@@ -81,3 +81,53 @@ def test_heavy_hitters_shuffle_carries_distinct_pairs(spark):
     p = plan_str(heavy_hitters(df, "item"))
     assert "partial_count" in p, p
     assert "WindowGroupLimit" in p, p
+
+
+# ------------------------------------------------------------- seq_ngrams
+
+def test_seq_ngrams_hand_fixture_and_bucketed(spark):
+    """3-grams along each key's order: first n-1 rows start no gram,
+    NULL values are real levels inside grams, min_count prunes, and
+    the bucketed lag strategy is output-identical."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from didtool_spark.operators.seq_features import seq_ngrams
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, None), ("c1", 3, "b"),
+        ("c2", 0, "a"), ("c2", 1, "b"), ("c2", 2, None),
+        ("c3", 0, "x"), ("c3", 1, "y"),   # too short for any 3-gram
+    ]
+    df = spark.createDataFrame(
+        [(k, i, t0 + dt.timedelta(seconds=i), v) for k, i, v in rows],
+        "conv_id string, turn_idx int, ts timestamp, v string",
+    )
+    out = {
+        (r["g1"], r["g2"], r["g3"]): r["n"]
+        for r in seq_ngrams(df, "v", n=3).collect()
+    }
+    assert out == {("a", "b", None): 2, ("b", None, "b"): 1}
+
+    pruned = {
+        (r["g1"], r["g2"], r["g3"]): r["n"]
+        for r in seq_ngrams(df, "v", n=3, min_count=2).collect()
+    }
+    assert pruned == {("a", "b", None): 2}
+
+    per_key = seq_ngrams(df, "v", n=2, per_key=True)
+    assert per_key.where(F.col("conv_id") == "c3").count() == 1
+
+    b = {
+        (r["g1"], r["g2"], r["g3"]): r["n"]
+        for r in seq_ngrams(
+            df, "v", n=3, strategy="bucketed", bucket_seconds=2
+        ).collect()
+    }
+    assert b == out
+
+    with pytest.raises(ValueError, match="n must be"):
+        seq_ngrams(df, "v", n=1)
