@@ -174,5 +174,28 @@ tte = dt.with_time_to_event(
 print("time-to-event observed fraction:",
       tte.agg(F.avg(F.col("tte_observed").cast("double"))).collect())
 
+
+# ------------------------------------------- 11. behavioral analytics
+fun = dt.funnel(
+    ev,
+    [("view", F.col("event_type") == "view"),
+     ("click", F.col("event_type") == "click"),
+     ("purchase", F.col("event_type") == "purchase")],
+    keys="user_id", order=("ts", "event_id"), horizon_s=7 * 86400,
+)
+print("funnel depth distribution:",
+      sorted((r["depth"], r["count"]) for r in
+             fun.groupBy("depth").count().collect()))
+print("weekly retention:",
+      dt.cohort_retention(ev, key="user_id", grain="week")
+      .orderBy("cohort_ts", "age").limit(4).collect())
+cu = dt.with_cusum(ev, "value", target=50.0, slack=5.0, threshold=200.0,
+                   keys="user_id", order=("ts", "event_id"))
+print("cusum alarms:", cu.where(F.col("value_cusum_alarm")).count())
+print("top event 3-grams:",
+      dt.seq_ngrams(ev, "event_type", n=3, keys="user_id",
+                    order=("ts", "event_id"), min_count=2)
+      .orderBy(F.desc("n")).limit(3).collect())
+
 spark.stop()
 print("feature-bank tour complete")
