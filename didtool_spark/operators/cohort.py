@@ -6,10 +6,12 @@ N weeks later?" — the standard retention matrix, built scale-first:
 - the stream reduces ONCE to the distinct (key, period) activity
   table (map-side-combined groupBy — the shuffle carries one row per
   key-period, never events);
-- each key's cohort (first period) is a tiny groupBy over that table;
-- the join back is key-partitioned and rides the same exchange
-  lineage, and the final (cohort, age) cell count is a second small
-  aggregation.  Nothing rescans the base table.
+- each key's cohort (first period) is a window min over that SAME
+  aggregated table — one lineage, so the base is scanned exactly once
+  (a groupBy-then-join-back shape would plan three base scans);
+- cohort sizes need no extra pass: every key is active in its own
+  first period, so the age-0 cell count IS the cohort size, broadcast
+  back onto the tiny cell table.
 
 Week/day grains keep the age arithmetic exact (fixed-width periods);
 "month" ages via month arithmetic on the truncated starts.
@@ -40,6 +42,8 @@ def cohort_retention(
     if grain not in ("day", "week", "month"):
         raise ValueError(f"grain must be day/week/month, got {grain!r}")
 
+    from pyspark.sql import Window
+
     active = (
         df.select(
             F.col(key).alias("k"),
@@ -48,8 +52,9 @@ def cohort_retention(
         .groupBy("k", "p")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    cohorts = active.groupBy("k").agg(F.min("p").alias("cohort_ts"))
-    j = active.join(cohorts, "k")
+    j = active.withColumn(
+        "cohort_ts", F.min("p").over(Window.partitionBy("k"))
+    )
     if grain == "month":
         age = F.round(F.months_between("p", "cohort_ts")).cast("int")
     else:
@@ -61,8 +66,9 @@ def cohort_retention(
         j.groupBy("cohort_ts", age.alias("age"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
-    sizes = cohorts.groupBy("cohort_ts").agg(
-        F.count(F.lit(1)).alias("n_cohort")
+    sizes = (
+        cells.where(F.col("age") == 0)
+        .select("cohort_ts", F.col("n_active").alias("n_cohort"))
     )
     return (
         cells.join(F.broadcast(sizes), "cohort_ts")

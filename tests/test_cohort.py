@@ -58,3 +58,16 @@ def test_cohort_month_grain_and_validation(spark):
     assert out[(1, 0)] == 1 and out[(1, 1)] == 1 and out[(2, 0)] == 1
     with pytest.raises(ValueError, match="grain"):
         cohort_retention(_mk(spark, rows), grain="fortnight")
+
+
+def test_cohort_single_base_scan(spark, tmp_path):
+    """The cells/sizes self-join must reuse the cells aggregate
+    exchange at runtime — everything upstream (including the base
+    scan) executes once."""
+    rows = [(f"u{i % 7}", i % 21) for i in range(200)]
+    p = str(tmp_path / "coh")
+    _mk(spark, rows).write.mode("overwrite").parquet(p)
+    out = cohort_retention(spark.read.parquet(p))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1, plan
