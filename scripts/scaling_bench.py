@@ -423,8 +423,17 @@ def write_report(series: list[dict]) -> None:
         "| series | pairs | best | median | run-quiet pairs (steal<=1%): n / best / median |\n"
         "|---|---|---|---|---|\n" + "\n".join(summary_rows)
     )
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(
+    # a hand-written headline (summary narrative + attribution
+    # experiments) may sit ABOVE this marker in BASELINE.md — preserve
+    # it; only the machine-generated body below the marker is rewritten
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    mark = "<!-- AUTOGENERATED BELOW: scaling_bench.write_report rewrites everything under this marker -->"
+    preserved = ""
+    if os.path.exists(path):
+        cur = open(path).read()
+        if mark in cur:
+            preserved = cur.split(mark)[0] + mark + "\n\n"
+    body = (
             f"""# BENCH/BASELINE — N vs 4N executor scaling evidence
 
 Per the north rule's two-cluster-size criterion (no multi-node cluster
@@ -512,7 +521,12 @@ Method notes:
   scheduler noise WITHIN a run; the tables record the BETWEEN-pair
   spread instead of hiding it.
 """
-        )
+    )
+    if preserved:
+        # drop the duplicate H1 (the preserved headline carries it)
+        body = body.split("\n", 2)[2]
+    with open(path, "w") as f:
+        f.write(preserved + body)
 
 
 def main() -> None:
