@@ -73,7 +73,7 @@ GATE_PRIORITY: list[str] = [
     # scale_features, impute, winsorize, resample, cv_folds,
     # purged_folds, negative_samples, quality_checks, plus the
     # session-7 additions time_rollup, distinct_rollup, time_to_event,
-    # drift_timeline, group_models, funnel, cohort, cusum, seq_ngrams) is round 5's window.  All queries
+    # drift_timeline, group_models, funnel, cohort, cusum, seq_ngrams, interval_join) is round 5's window.  All queries
     # outside the window stay guarded by scripts/check_oracle.py
     # full-registry local replays.)
 ]

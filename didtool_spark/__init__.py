@@ -56,8 +56,8 @@ from .operators.scoring import stacking_evaluate, with_score  # noqa: F401
 
 # temporal core (north rule; no reference counterpart)
 from .operators.temporal import (  # noqa: F401
-    FeatureTable, asof_join, build_training_set, forward_fill, sessionize,
-    with_lags, with_rolling,
+    FeatureTable, asof_join, build_training_set, forward_fill,
+    interval_join, sessionize, with_lags, with_rolling,
 )
 
 # training-data pipeline operators

@@ -36,6 +36,7 @@ __all__ = [
     "with_rolling",
     "forward_fill",
     "asof_join",
+    "interval_join",
     "FeatureTable",
     "build_training_set",
 ]
@@ -1043,3 +1044,69 @@ def build_training_set(
         *anchor_cols,
         *[F.col(f"__f_{n}_{c}").alias(f"{n}_{c}") for n, _, c in all_vals],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: Sequence[str] | str | None = "conv_id",
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+    max_buckets_per_interval: int = 10_000,
+) -> DataFrame:
+    """Containment join: each point row matched to every interval row
+    of the same ``keys`` with ``start_col <= point_ts <= end_col``
+    (inclusive both ends; a point inside k overlapping intervals
+    yields k output rows).  ``how="left"`` keeps unmatched points with
+    NULL interval columns.
+
+    Scale design — the raw predicate is a theta join Spark would plan
+    as a broadcast-nested-loop (O(|P| x |I|) per key): instead each
+    interval is EXPLODED onto the fixed-width time buckets it overlaps
+    (``sequence()`` next to the data — no driver loop) and the match
+    becomes an EQUI-join on (keys, bucket) plus a residual range
+    filter.  A point lives in exactly one bucket, so it meets exactly
+    one replica of each interval — no dedup pass.  Shuffle volume is
+    |P| + Σ ceil(len/bucket) interval replicas; pick ``bucket_seconds``
+    near the TYPICAL interval length (replication factor ~2 there).
+    ``max_buckets_per_interval`` guards against a degenerate interval
+    (or a bad bucket choice) exploding the build side — raise it
+    consciously, don't remove it.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner/left, got {how!r}")
+    keys_l = (
+        [] if keys is None else [keys] if isinstance(keys, str) else list(keys)
+    )
+    b = int(bucket_seconds)
+
+    ps = points.withColumn("__pb", F.floor(epoch_seconds(point_ts) / F.lit(b)))
+    lo = F.floor(epoch_seconds(start_col) / F.lit(b))
+    hi = F.floor(epoch_seconds(end_col) / F.lit(b))
+    guard = F.when(
+        hi - lo < F.lit(int(max_buckets_per_interval)), hi
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit("interval_join: an interval spans more than "
+                  f"{max_buckets_per_interval} buckets of {b}s — raise "
+                  "bucket_seconds or max_buckets_per_interval (interval "
+                  "start epoch: "),
+            epoch_seconds(start_col).cast("string"), F.lit(")"),
+        ))
+    )
+    iv = intervals.withColumn(
+        "__ib", F.explode(F.sequence(lo, guard))
+    )
+    cond = [ps[k] == iv[k] for k in keys_l] + [
+        ps["__pb"] == iv["__ib"],
+        epoch_seconds(ps[point_ts]) >= epoch_seconds(iv[start_col]),
+        epoch_seconds(ps[point_ts]) <= epoch_seconds(iv[end_col]),
+    ]
+    dropped = [iv[k] for k in keys_l] + [ps["__pb"], iv["__ib"]]
+    out = ps.join(iv, cond, how)
+    for c in dropped:
+        out = out.drop(c)
+    return out

@@ -1859,6 +1859,41 @@ FROM c GROUP BY period_s, n
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join (operators/temporal.py interval_join): every
+    event inside the 30-minute window after an error by the same user
+    — intervals exploded onto fixed-width buckets so the theta join
+    becomes an equi-join plus residual filter; the oracle runs the raw
+    theta join, so a value match proves the bucketing misses nothing
+    and duplicates nothing."""
+    from ..operators.temporal import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    iv = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1800 SECONDS")).alias("end_ts"),
+    )
+    out = interval_join(
+        ev.select("user_id", "event_id", "ts"), iv,
+        keys="user_id", bucket_seconds=1800,
+    )
+    return out.select("event_id", "err_id", "user_id")
+
+
+SQL_INTERVAL_JOIN = """
+SELECT p.event_id, e.err_id, p.user_id
+FROM events p
+JOIN (
+  SELECT user_id, event_id AS err_id, ts AS start_ts,
+         ts + INTERVAL 1800 SECONDS AS end_ts
+  FROM events WHERE event_type = 'error'
+) e
+ON p.user_id = e.user_id AND p.ts >= e.start_ts AND p.ts <= e.end_ts
+"""
+
+
 def q_seq_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence n-grams (operators/seq_features.py seq_ngrams):
     corpus-level counts of per-user event-type 3-grams, long tail
@@ -2168,6 +2203,7 @@ QUERIES = {
     "cohort": q_cohort,
     "cusum": q_cusum,
     "seq_ngrams": q_seq_ngrams,
+    "interval_join": q_interval_join,
 }
 
 ORACLES = {
@@ -2220,4 +2256,5 @@ ORACLES = {
     "cohort": SQL_COHORT,
     "cusum": SQL_CUSUM,
     "seq_ngrams": SQL_SEQ_NGRAMS,
+    "interval_join": SQL_INTERVAL_JOIN,
 }

@@ -481,3 +481,75 @@ def test_build_training_set_single_exchange_and_values(spark, tr, tr_pd):
     )
     assert n_exchanges(single) == 1
     assert n_exchanges(chained) == 2
+
+
+# ------------------------------------------------------------ interval_join
+
+def test_interval_join_matches_theta_join(spark):
+    """Bucketed containment join must equal the raw theta join on
+    random points/intervals, incl. overlapping intervals, inclusive
+    bounds, and points in no interval (left mode)."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from didtool_spark.operators.temporal import interval_join
+
+    random.seed(21)
+    t0 = dt.datetime(2024, 1, 1)
+    pts = [("k%d" % (i % 3), i,
+            t0 + dt.timedelta(seconds=random.randrange(0, 40000)))
+           for i in range(200)]
+    ivs = []
+    for j in range(30):
+        s = random.randrange(0, 36000)
+        ivs.append(("k%d" % (j % 3), j,
+                    t0 + dt.timedelta(seconds=s),
+                    t0 + dt.timedelta(seconds=s + random.choice([60, 3600, 7200]))))
+    p = spark.createDataFrame(pts, "conv_id string, pid int, ts timestamp")
+    iv = spark.createDataFrame(
+        ivs, "conv_id string, iid int, start_ts timestamp, end_ts timestamp"
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(p, iv, keys="conv_id",
+                               bucket_seconds=1800).collect()
+    }
+    want = {
+        (r["pid"], r["iid"])
+        for r in p.alias("p").join(
+            iv.alias("i"),
+            (F.col("p.conv_id") == F.col("i.conv_id"))
+            & (F.col("p.ts") >= F.col("i.start_ts"))
+            & (F.col("p.ts") <= F.col("i.end_ts")),
+        ).select("p.pid", "i.iid").collect()
+    }
+    assert got == want and len(want) > 20
+
+    left = interval_join(p, iv, keys="conv_id", bucket_seconds=1800,
+                         how="left")
+    matched_pids = {a for a, _ in want}
+    rows = left.collect()
+    assert len(rows) == len(want) + (200 - len(matched_pids))
+    assert all(r["iid"] is None for r in rows if r["pid"] not in matched_pids)
+
+
+def test_interval_join_guard_and_validation(spark):
+    import datetime as dt
+
+    import pytest
+
+    from didtool_spark.operators.temporal import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    p = spark.createDataFrame([("a", t0)], "conv_id string, ts timestamp")
+    iv = spark.createDataFrame(
+        [("a", t0, t0 + dt.timedelta(days=400))],
+        "conv_id string, start_ts timestamp, end_ts timestamp",
+    )
+    with pytest.raises(Exception, match="spans more than"):
+        interval_join(p, iv, bucket_seconds=60,
+                      max_buckets_per_interval=100).collect()
+    with pytest.raises(ValueError, match="how"):
+        interval_join(p, iv, how="outer")
