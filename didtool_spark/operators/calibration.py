@@ -348,6 +348,12 @@ def drift_timeline(
     from ..functions.binexpr import bin_expr
     from .binning import step_edges
 
+    if period not in ("minute", "hour", "day", "week", "month",
+                      "quarter", "year"):
+        # Spark's date_trunc returns NULL for an unknown format — a
+        # typo would silently collapse the timeline into one NULL row
+        raise ValueError(f"unknown period {period!r}")
+
     edges = step_edges(expected, col, n_bins, remove_empty_bins=False)
     bexpr = bin_expr(F.col(col).try_cast("double"), edges)
 
@@ -371,15 +377,21 @@ def drift_timeline(
     periods = a_counts.groupBy("period_ts").agg(
         F.sum("ac").cast("long").alias("n")
     )
-    etot = expected.count() or 1
+    # expected total stays IN-plan (1-row broadcast from the same
+    # count table) — a driver-side expected.count() here would cost an
+    # extra full scan of the expected stream at call time
+    etot = e_counts.agg(
+        F.greatest(F.sum("ec"), F.lit(1)).cast("double").alias("__etot")
+    )
     grid = (
         periods.crossJoin(F.broadcast(bins))
+        .crossJoin(F.broadcast(etot))
         .join(F.broadcast(e_counts), "b", "left")
         .join(a_counts, ["period_ts", "b"], "left")
         .select(
             "period_ts", "b", "n",
             F.greatest(
-                F.coalesce(F.col("ec"), F.lit(0)) / F.lit(float(etot)),
+                F.coalesce(F.col("ec"), F.lit(0)) / F.col("__etot"),
                 F.lit(1e-10),
             ).alias("er"),
             F.greatest(

@@ -13,8 +13,9 @@ N weeks later?" — the standard retention matrix, built scale-first:
   first period, so the age-0 cell count IS the cohort size, broadcast
   back onto the tiny cell table.
 
-Week/day grains keep the age arithmetic exact (fixed-width periods);
-"month" ages via month arithmetic on the truncated starts.
+Ages are calendar arithmetic on the truncated starts (datediff for
+day/week, months_between for month) — exact in ANY session timezone,
+including DST ones where date_trunc buckets are not fixed-width.
 """
 
 from __future__ import annotations
@@ -23,8 +24,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["cohort_retention"]
-
-_SECONDS = {"day": 86400, "week": 604800}
 
 
 def cohort_retention(
@@ -57,11 +56,12 @@ def cohort_retention(
     )
     if grain == "month":
         age = F.round(F.months_between("p", "cohort_ts")).cast("int")
+    elif grain == "day":
+        # calendar datediff, not epoch arithmetic: date_trunc buckets
+        # are not fixed-width under a DST session timezone
+        age = F.datediff("p", "cohort_ts").cast("int")
     else:
-        age = (
-            (F.unix_micros("p") - F.unix_micros("cohort_ts"))
-            / F.lit(_SECONDS[grain] * 1_000_000)
-        ).cast("int")
+        age = (F.datediff("p", "cohort_ts") / F.lit(7)).cast("int")
     cells = (
         j.groupBy("cohort_ts", age.alias("age"))
         .agg(F.count(F.lit(1)).alias("n_active"))

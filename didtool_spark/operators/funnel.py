@@ -89,14 +89,18 @@ def funnel(
         run_prev = F.min(F.when(cond, F.col("__ts_long"))).over(w_prev)
         out = out.withColumn(f"__run_{name}", run).withColumn(
             f"__run_{name}_prev", run_prev
+        ).withColumn(
+            # the RAW completion timestamp (conditions gate on whole
+            # seconds, but the emitted {name}_ts keeps sub-second
+            # precision — raw ts ordering refines the truncated
+            # ordering, so this is the same earliest completion row)
+            f"__runts_{name}", F.when(cond, F.col(ts_col))
         )
         prev_run_prev = F.col(f"__run_{name}_prev")
 
     aggs = []
     for name in names:
-        aggs.append(
-            F.timestamp_seconds(F.min(f"__run_{name}")).alias(f"{name}_ts")
-        )
+        aggs.append(F.min(f"__runts_{name}").alias(f"{name}_ts"))
     res = out.groupBy(*keys_l).agg(*aggs)
     # steps are monotone (step i needs i-1), so counting non-null
     # completion timestamps gives the funnel depth directly

@@ -135,10 +135,18 @@ def apply_group_models(
     default left join."""
     feats = list(features)
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    j = df.join(F.broadcast(models), groups, how)
-    lin: Column = F.col("bias")
+    # alias the model columns to internal names before joining — a
+    # caller column that happens to be named weights/bias/n must
+    # neither collide in the join nor be dropped from the output
+    m = models.select(
+        *groups,
+        F.col("weights").alias("__gm_w"),
+        F.col("bias").alias("__gm_b"),
+    )
+    j = df.join(F.broadcast(m), groups, how)
+    lin: Column = F.col("__gm_b")
     for i, c in enumerate(feats):
-        lin = lin + F.element_at("weights", i + 1) * F.col(c)
+        lin = lin + F.element_at("__gm_w", i + 1) * F.col(c)
     return j.withColumn(
         out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-lin))
-    ).drop("weights", "bias", "n")
+    ).drop("__gm_w", "__gm_b")

@@ -144,21 +144,13 @@ def time_rollup(
     At 100 TB the day/week/month rollups
     cost a shuffle over |hour buckets x keys| rows, not another corpus
     scan.  Grains that don't calendar-nest over the finest requested
-    grain (e.g. "month" when "week" is the only finer grain) fall back
-    to the finest NESTING partial, never to a base rescan.  Exact
+    grain fall back to the finest NESTING partial; the one shape with
+    no nesting partial — a grain list LED by "week" — synthesizes an
+    internal day partial so the base is still scanned only once.  Exact
     distinct is deliberately unsupported: it does not merge; use
     approx sketches for that at scale.
     """
-    grains_l = list(grains)
-    if not grains_l:
-        raise ValueError("grains must be non-empty")
-    for g in grains_l:
-        if g not in _GRAINS:
-            raise ValueError(f"unknown grain {g!r}; pick from {_GRAINS}")
-    if sorted(grains_l, key=_GRAINS.index) != grains_l or len(
-        set(grains_l)
-    ) != len(grains_l):
-        raise ValueError("grains must be unique and ordered fine -> coarse")
+    grains_l = _check_grains(grains)
     for _, a in specs:
         if a not in _ROLLUP_AGGS:
             raise ValueError(
@@ -213,6 +205,14 @@ def time_rollup(
         return partial.select(*cols)
 
     partials: dict[str, DataFrame] = {}
+    if grains_l[0] == "week" and len(grains_l) > 1:
+        # nothing calendar-nests over a week bucket, so month/quarter/
+        # year after a leading "week" would each rescan the base; an
+        # INTERNAL day partial (computed once, not emitted) lets every
+        # requested grain merge partials instead — one base scan total
+        partials["day"] = df.groupBy(
+            *keys_l, F.date_trunc("day", F.col(ts_col)).alias("__bucket")
+        ).agg(*first_aggs())
     outs = []
     for g in grains_l:
         src = None

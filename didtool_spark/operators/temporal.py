@@ -1100,10 +1100,13 @@ def interval_join(
     iv = intervals.withColumn(
         "__ib", F.explode(F.sequence(lo, guard))
     )
+    # residual on the RAW timestamps — truncated epochs only place
+    # rows into buckets; comparing truncated values here would admit a
+    # point up to 1s before the interval start (same-second collisions)
     cond = [ps[k] == iv[k] for k in keys_l] + [
         ps["__pb"] == iv["__ib"],
-        epoch_seconds(ps[point_ts]) >= epoch_seconds(iv[start_col]),
-        epoch_seconds(ps[point_ts]) <= epoch_seconds(iv[end_col]),
+        ps[point_ts] >= iv[start_col],
+        ps[point_ts] <= iv[end_col],
     ]
     dropped = [iv[k] for k in keys_l] + [ps["__pb"], iv["__ib"]]
     out = ps.join(iv, cond, how)

@@ -2024,7 +2024,11 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys="user_id", order=("ts", "event_id"), ts_col="ts",
         horizon_s=604800,
     )
-    sec = lambda c: (F.unix_micros(c) / F.lit(1_000_000)).cast("double")  # noqa: E731
+    # raw step timestamps are TIMESTAMP_NTZ (testdata convention);
+    # cast to TIMESTAMP for unix_micros — session tz is pinned UTC
+    sec = lambda c: F.round(  # noqa: E731
+        F.unix_micros(c.cast("timestamp")) / F.lit(1_000_000), 6
+    )
     return out.select(
         "user_id",
         sec(F.col("view_ts")).alias("view_s"),
@@ -2060,20 +2064,27 @@ r2 AS (
          wp AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 ),
-r3 AS (
-  SELECT *,
-         min(CASE WHEN event_type = 'purchase' AND run2p IS NOT NULL
-                   AND ep <= run1p + 604800 THEN ep END) OVER wc AS run3
-  FROM r2
-  WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-)
+r3 AS (SELECT * FROM r2)
+-- the group min of each step's qualifying raw timestamps equals the
+-- running-min's final value (raw ts ordering refines the truncated
+-- ep ordering the conditions gate on)
 SELECT user_id,
-       CAST(min(run1) AS DOUBLE) AS view_s,
-       CAST(min(run2) AS DOUBLE) AS click_s,
-       CAST(min(run3) AS DOUBLE) AS purchase_s,
-       CAST((min(run1) IS NOT NULL)::INT + (min(run2) IS NOT NULL)::INT
-            + (min(run3) IS NOT NULL)::INT AS BIGINT) AS depth
+       round(epoch_us(min(CASE WHEN event_type = 'view' THEN ts END))
+             / 1000000.0, 6) AS view_s,
+       round(epoch_us(min(CASE WHEN event_type = 'click'
+                           AND run1p IS NOT NULL
+                           AND ep <= run1p + 604800 THEN ts END))
+             / 1000000.0, 6) AS click_s,
+       round(epoch_us(min(CASE WHEN event_type = 'purchase'
+                           AND run2p IS NOT NULL
+                           AND ep <= run1p + 604800 THEN ts END))
+             / 1000000.0, 6) AS purchase_s,
+       CAST((min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL)::INT
+          + (min(CASE WHEN event_type = 'click' AND run1p IS NOT NULL
+                  AND ep <= run1p + 604800 THEN ts END) IS NOT NULL)::INT
+          + (min(CASE WHEN event_type = 'purchase' AND run2p IS NOT NULL
+                  AND ep <= run1p + 604800 THEN ts END) IS NOT NULL)::INT
+          AS BIGINT) AS depth
 FROM r3 GROUP BY user_id
 """
 

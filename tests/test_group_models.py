@@ -81,3 +81,18 @@ def test_apply_is_jvm_only_and_left_join_nulls(spark):
     got = {r["g"]: r["score"] for r in out.collect()}
     assert abs(got["a"] - 1.0 / (1.0 + math.exp(-1.5))) < 1e-12
     assert got["zz"] is None  # no model for the group
+
+
+def test_apply_preserves_caller_columns_named_like_model_columns(spark):
+    models = spark.createDataFrame(
+        [("a", [1.0], 0.0, 5)],
+        "g string, weights array<double>, bias double, n bigint",
+    )
+    df = spark.createDataFrame(
+        [("a", 2.0, 99, "keep")],
+        "g string, x1 double, n int, weights string",
+    )
+    out = apply_group_models(df, models, ["x1"], group_cols="g")
+    row = out.collect()[0]
+    assert row["n"] == 99 and row["weights"] == "keep"
+    assert abs(row["score"] - 1.0 / (1.0 + math.exp(-2.0))) < 1e-12

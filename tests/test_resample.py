@@ -271,3 +271,30 @@ def test_distinct_rollup_estimate_accuracy(spark):
     assert set(est) == set(exact)
     for k in exact:
         assert abs(est[k] - exact[k]) <= 0.05 * exact[k], (k, est[k], exact[k])
+
+
+def test_time_rollup_week_led_list_single_scan(spark, tmp_path):
+    """grains=('week','month'): the internal day partial must keep the
+    base to ONE scan (runtime ReusedExchange) and month must still
+    equal the direct aggregation."""
+    p = str(tmp_path / "ev2")
+    _rollup_fixture(spark).write.mode("overwrite").parquet(p)
+    base = spark.read.parquet(p)
+    out = time_rollup(
+        base, [("v", "sum"), ("v", "count")], grains=("week", "month"),
+        keys="k",
+    )
+    got = {
+        (r["k"], r["bucket_ts"]): (r["v_sum"], r["v_count"])
+        for r in out.where(F.col("grain") == "month").collect()
+    }
+    want = {
+        (r["k"], r["bucket_ts"]): (r["v_sum"], r["v_count"])
+        for r in _direct(base, "month").collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert abs(got[key][0] - want[key][0]) < 1e-9 and got[key][1] == want[key][1]
+    out.collect()  # finalize the adaptive plan before reading it
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1, plan

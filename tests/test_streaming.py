@@ -510,9 +510,7 @@ def test_streaming_funnel_matches_batch(spark, stream_dirs, tmp_path_factory):
         for i, v in enumerate(values[: r["depth"]], start=1):
             step, ts = emitted[i]
             assert step == v
-            # batch step timestamps are second-truncated epoch values
-            assert int(ts.timestamp()) == int(r[f"{v}_ts"].timestamp()), (
-                conv, v, ts, r[f"{v}_ts"],
-            )
+            # both paths emit the RAW completion timestamp
+            assert ts == r[f"{v}_ts"], (conv, v, ts, r[f"{v}_ts"])
         n_checked += r["depth"]
     assert n_checked > 0

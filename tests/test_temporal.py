@@ -553,3 +553,27 @@ def test_interval_join_guard_and_validation(spark):
                       max_buckets_per_interval=100).collect()
     with pytest.raises(ValueError, match="how"):
         interval_join(p, iv, how="outer")
+
+
+def test_interval_join_subsecond_boundaries(spark):
+    """A point 0.3s before a same-second interval start must NOT match
+    (the residual filter compares raw timestamps, not the truncated
+    epochs that place rows into buckets)."""
+    import datetime as dt
+
+    from didtool_spark.operators.temporal import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    p = spark.createDataFrame(
+        [("a", 1, t0 + dt.timedelta(seconds=10, microseconds=200000)),
+         ("a", 2, t0 + dt.timedelta(seconds=10, microseconds=700000))],
+        "conv_id string, pid int, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [("a", 7, t0 + dt.timedelta(seconds=10, microseconds=500000),
+          t0 + dt.timedelta(seconds=40))],
+        "conv_id string, iid int, start_ts timestamp, end_ts timestamp",
+    )
+    got = {r["pid"] for r in
+           interval_join(p, iv, keys="conv_id", bucket_seconds=60).collect()}
+    assert got == {2}
