@@ -1,0 +1,132 @@
+"""Count-min sketch: mergeable approximate frequency counting.
+
+The exact sibling (stats_features.heavy_hitters) shuffles one row per
+DISTINCT item — at 10^12 turns a high-cardinality item column (URLs,
+n-grams, tool-call names) makes even that reduction enormous.  The
+count-min sketch (Cormode & Muthukrishnan 2005) bounds the state at
+``depth x width`` counters REGARDLESS of cardinality, with one-sided
+error: est >= true, and est <= true + eps*N with probability 1-delta
+for width = ceil(e/eps), depth = ceil(ln(1/delta)).
+
+Spark mapping — the sketch is literally an aggregation:
+
+- build: each occurrence emits ``depth`` (row j, bucket H_j(item))
+  cells; ``groupBy(j, bucket).sum`` IS the sketch.  Partial
+  aggregation makes every mapper emit at most depth*width rows, so
+  the shuffle is bounded by the sketch size, not the data — the
+  mergeability of CMS is exactly Spark's map-side combine.
+- merge: union + the same groupBy (sketches add cell-wise).
+- query: explode the probe items to (j, bucket), broadcast-join the
+  depth*width-row sketch, take min over j (absent cell = 0).
+
+Hashing follows the dsir.py convention: ``xxhash64(item, j)`` —
+JVM-side, whole-stage codegen — as the engine default, ``md5_60``
+(60-bit md5 prefix, DuckDB-replayable as
+``('0x' || substr(md5(j || ':' || item), 1, 15))::BIGINT % width``)
+for oracle replay only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cms_build", "cms_merge", "cms_query"]
+
+
+def _cms_bucket(item: Column, j: int, width: int, hash_fn: str) -> Column:
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(item, F.lit(j)), F.lit(width)).cast("long")
+    if hash_fn == "md5_60":
+        key = F.concat(F.lit(str(j)), F.lit(":"), item)
+        return (
+            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+            % width
+        )
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Sketch table ``(j, bucket, n)`` — at most ``depth * width`` rows.
+    NULL items are skipped; ``weight_col`` counts each occurrence by a
+    weight instead of 1 (token counts, bytes, revenue)."""
+    item = F.col(item_col)
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    cells = df.where(item.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(item, j, width, hash_fn).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c"),
+        w.alias("__w"),
+    )
+    return cells.groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")).agg(
+        F.sum("__w").alias("n")
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of same-shape sketches (the distributive merge a
+    per-day / per-source rollup wants)."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("j", "bucket").agg(F.sum("n").alias("n"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+    est_col: str = "est",
+) -> DataFrame:
+    """``items`` + ``est_col``: the CMS frequency estimate per row's
+    ``item_col`` (min over the depth counters; absent counter = 0).
+    The sketch is broadcast — the probe never shuffles."""
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(F.col(item_col), j, width, hash_fn).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__p"),
+    )
+    probes = probes.select(
+        *items.columns,
+        F.col("__p.j").alias("__pj"),
+        F.col("__p.bucket").alias("__pb"),
+    )
+    joined = probes.join(
+        F.broadcast(sketch),
+        (F.col("__pj") == F.col("j")) & (F.col("__pb") == F.col("bucket")),
+        "left",
+    )
+    return joined.groupBy(*items.columns).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias(est_col)
+    )

@@ -100,6 +100,52 @@ def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", q)
 
 
+def with_readability(df: DataFrame, col: str = "text") -> DataFrame:
+    """Classic readability statistics — Flesch Reading Ease and
+    Flesch-Kincaid grade — from regex-countable proxies: sentences =
+    terminal-punctuation runs, words = whitespace tokens, syllables =
+    vowel-group runs (the standard cheap approximation; exact syllable
+    counting needs a dictionary no 100 TB pass wants).  Pure codegen
+    expressions (``regexp_count``), scale = scan speed; the DuckDB
+    oracle replays each count as ``len(regexp_extract_all(...))``.
+
+    Adds ``n_sentences, n_words, n_syllables, words_per_sentence,
+    syllables_per_word, long_word_ratio, flesch, fk_grade``.  All
+    denominators are floored at 1 so empty/degenerate docs yield
+    finite scores instead of NULL/inf.
+    """
+    c = F.col(col)
+    n_sent = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+    n_words = F.greatest(n_tokens_ws(col), F.lit(1))
+    n_syll = F.greatest(
+        F.regexp_count(F.lower(c), F.lit(r"[aeiouy]+")), F.lit(1)
+    )
+    long_words = F.regexp_count(c, F.lit(r"\w{7,}"))
+    out = (
+        df.withColumn("n_sentences", n_sent)
+        .withColumn("n_words", n_words)
+        .withColumn("n_syllables", n_syll)
+        .withColumn(
+            "words_per_sentence", F.col("n_words") / F.col("n_sentences")
+        )
+        .withColumn(
+            "syllables_per_word", F.col("n_syllables") / F.col("n_words")
+        )
+        .withColumn("long_word_ratio", long_words / F.col("n_words"))
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * F.col("words_per_sentence")
+        - F.lit(84.6) * F.col("syllables_per_word")
+    )
+    fk = (
+        F.lit(0.39) * F.col("words_per_sentence")
+        + F.lit(11.8) * F.col("syllables_per_word")
+        - F.lit(15.59)
+    )
+    return out.withColumn("flesch", flesch).withColumn("fk_grade", fk)
+
+
 LANGS = ("en", "de", "fr", "es")
 
 

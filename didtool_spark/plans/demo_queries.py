@@ -2163,6 +2163,412 @@ FROM events WHERE value IS NOT NULL
 
 SQL_GROUP_MODELS = _sql_group_models()
 
+# ---------------------------------------------------------------- session 8:
+# dimension builders, survival/experiment analytics, value segmentation
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (operators/scd.py scd2_compress):
+    per-user runs of identical event_type collapse to validity
+    intervals [valid_from, valid_to) — the gaps-and-islands run id is
+    one per-key window + one map-side-combined groupBy; the oracle
+    replays the same lag/cumsum/lead chain in SQL."""
+    from ..operators.scd import scd2_compress
+
+    ev = load(spark, sf_dir, "events")
+    out = scd2_compress(
+        ev, "event_type", keys="user_id", order=("ts", "event_id"),
+        ts_col="ts",
+    )
+    sec = lambda c: F.round(  # noqa: E731
+        F.unix_micros(F.col(c).cast("timestamp")) / F.lit(1_000_000), 6
+    )
+    return out.select(
+        "user_id", "event_type",
+        sec("valid_from").alias("valid_from_s"),
+        sec("valid_to").alias("valid_to_s"),
+        "n_rows",
+    )
+
+
+SQL_SCD2 = """
+WITH x AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_id) OVER w IS NULL THEN 1
+              WHEN event_type IS DISTINCT FROM lag(event_type) OVER w THEN 1
+              ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS run
+  FROM x
+),
+runs AS (
+  SELECT user_id, run, min(event_type) AS event_type,
+         min(ts) AS valid_from, count(*) AS n_rows
+  FROM r GROUP BY user_id, run
+)
+SELECT user_id, event_type,
+       round(epoch_us(valid_from) / 1000000.0, 6) AS valid_from_s,
+       round(epoch_us(lead(valid_from) OVER
+               (PARTITION BY user_id ORDER BY run)) / 1000000.0, 6)
+         AS valid_to_s,
+       n_rows
+FROM runs
+"""
+
+
+def q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot compaction (operators/scd.py snapshot_latest):
+    latest record per (user, event_type) via ONE max_by aggregation —
+    map-side combined, no per-key sort; the oracle is the textbook
+    row_number()-desc = 1."""
+    from ..operators.scd import snapshot_latest
+
+    ev = load(spark, sf_dir, "events")
+    out = snapshot_latest(
+        ev, keys=("user_id", "event_type"), order=("ts", "event_id")
+    )
+    return out.select(
+        "user_id", "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.round(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000), 6)
+        .alias("last_ts_s"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
+SQL_SNAPSHOT = """
+SELECT user_id, event_type, event_id AS last_event_id,
+       round(epoch_us(ts) / 1000000.0, 6) AS last_ts_s,
+       round(value, 6) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival (operators/survival.py): per user, hours
+    from first event to first purchase (right-censored at the last
+    event), curve per arm = user_id % 2.  The raw stream reduces once
+    to per-user durations, then once more to per-(arm, duration)
+    counts; the product-limit curve is windowed SQL on that tiny
+    table, replayed verbatim by the oracle."""
+    from ..operators.survival import kaplan_meier
+
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "ev_ts"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+    per = per.select(
+        (F.pmod(F.col("user_id"), F.lit(2))).cast("int").alias("arm"),
+        F.floor(
+            (
+                F.unix_micros(
+                    F.coalesce("ev_ts", "last_ts").cast("timestamp")
+                )
+                - F.unix_micros(F.col("first_ts").cast("timestamp"))
+            )
+            / F.lit(3_600_000_000)
+        ).cast("long").alias("duration_h"),
+        F.col("ev_ts").isNotNull().alias("observed"),
+    )
+    out = kaplan_meier(per, "duration_h", "observed", group_cols="arm")
+    return out.select(
+        "arm", F.col("duration").alias("duration_h"),
+        "n_risk", "n_event", "n_censor",
+        F.round("survival", 6).alias("survival"),
+        F.round("std_err", 6).alias("std_err"),
+    )
+
+
+SQL_KAPLAN_MEIER = """
+WITH per AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm,
+         CAST(floor((epoch_us(coalesce(
+                 min(CASE WHEN event_type = 'purchase' THEN ts END),
+                 max(ts)))
+               - epoch_us(min(ts))) / 3600000000.0) AS BIGINT) AS duration_h,
+         (min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL)
+           AS observed
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT arm, duration_h AS duration,
+         sum(CASE WHEN observed THEN 1 ELSE 0 END) AS n_event,
+         sum(CASE WHEN observed THEN 0 ELSE 1 END) AS n_censor
+  FROM per GROUP BY arm, duration_h
+),
+risk AS (
+  SELECT *,
+         sum(n_event + n_censor) OVER (PARTITION BY arm)
+         - (sum(n_event + n_censor) OVER wc - n_event - n_censor) AS n_risk
+  FROM cells
+  WINDOW wc AS (PARTITION BY arm ORDER BY duration
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+curve AS (
+  SELECT *,
+         min(1.0 - n_event * 1.0 / n_risk) OVER wc <= 0.0 AS hit_zero,
+         sum(CASE WHEN n_event > 0 AND n_risk > n_event
+                  THEN ln(1.0 - n_event * 1.0 / n_risk)
+                  ELSE 0.0 END) OVER wc AS log_surv,
+         sum(CASE WHEN n_event > 0 AND n_risk > n_event
+                  THEN n_event * 1.0 / (n_risk * (n_risk - n_event))
+                  ELSE 0.0 END) OVER wc AS green
+  FROM risk
+  WINDOW wc AS (PARTITION BY arm ORDER BY duration
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT arm, duration AS duration_h, n_risk, n_event, n_censor,
+       round(CASE WHEN hit_zero THEN 0.0 ELSE exp(log_surv) END, 6)
+         AS survival,
+       round(CASE WHEN hit_zero THEN NULL
+                  ELSE exp(log_surv) * sqrt(green) END, 6) AS std_err
+FROM curve
+"""
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED adjustment (operators/causal.py cuped_adjust): per-user
+    post-period outcome adjusted by the pre-period covariate, split at
+    the corpus time midpoint.  Fit = one tiny aggregation (theta,
+    mean); transform = broadcast arithmetic; the oracle inlines the
+    same covar_pop/var_pop fit in SQL."""
+    from ..operators.causal import cuped_adjust
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "__us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    # midpoint in integer epoch micros on BOTH engines — a timestamp
+    # round-trip would differ by 1us between float/int conversions
+    bounds = ev.agg(
+        F.floor((F.min("__us") + F.max("__us")) / 2).cast("long").alias("mid")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__us") < F.col("mid"), F.col("value"))),
+                F.lit(0.0),
+            ).alias("x_pre"),
+            F.coalesce(
+                F.sum(F.when(F.col("__us") >= F.col("mid"), F.col("value"))),
+                F.lit(0.0),
+            ).alias("y_post"),
+        )
+    )
+    out = cuped_adjust(per, "y_post", "x_pre")
+    return out.select(
+        "user_id",
+        F.round("x_pre", 6).alias("x_pre"),
+        F.round("y_post", 6).alias("y_post"),
+        F.round("theta", 6).alias("theta"),
+        F.round("y_post_cuped", 6).alias("y_cuped"),
+    )
+
+
+SQL_CUPED = """
+WITH mid AS (
+  SELECT CAST(floor((epoch_us(min(ts)) + epoch_us(max(ts))) / 2) AS BIGINT)
+           AS m
+  FROM events
+),
+per AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN epoch_us(ts) < mid.m THEN value END), 0.0)
+           AS x_pre,
+         coalesce(sum(CASE WHEN epoch_us(ts) >= mid.m THEN value END), 0.0)
+           AS y_post
+  FROM events CROSS JOIN mid GROUP BY user_id
+),
+fit AS (
+  SELECT CASE WHEN var_pop(x_pre) > 0
+              THEN covar_pop(x_pre, y_post) / var_pop(x_pre)
+              ELSE 0.0 END AS theta,
+         avg(x_pre) AS mx
+  FROM per
+)
+SELECT user_id, round(x_pre, 6) AS x_pre, round(y_post, 6) AS y_post,
+       round(theta, 6) AS theta,
+       round(y_post - theta * (x_pre - mx), 6) AS y_cuped
+FROM per CROSS JOIN fit
+"""
+
+
+def q_ate_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified treatment effect (operators/causal.py
+    ate_strata): md5-deterministic arm assignment, activity-bucket
+    strata, per-stratum arm means + the size-weighted overall ATE in
+    one aggregation over the per-user table."""
+    from ..operators.causal import ate_strata
+
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("value").alias("y"),
+    )
+    per = per.select(
+        "y",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16, 10,
+            ).cast("long") % 2 == 0
+        ).alias("treat"),
+        F.floor(F.col("n_events") / 20).cast("int").alias("bucket"),
+    )
+    out = ate_strata(per, "treat", "y", "bucket")
+    return out.select(
+        "stratum", "n", "n_treat",
+        F.round("p_treat", 6).alias("p_treat"),
+        F.round("mean_t", 6).alias("mean_t"),
+        F.round("mean_c", 6).alias("mean_c"),
+        F.round("effect", 6).alias("effect"),
+    )
+
+
+SQL_ATE_STRATA = """
+WITH per AS (
+  SELECT avg(value) AS y,
+         (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+            % 2 = 0) AS treat,
+         CAST(floor(count(*) / 20.0) AS INT) AS bucket
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT CAST(bucket AS VARCHAR) AS stratum,
+         count(*) AS n,
+         sum(CASE WHEN treat THEN 1 ELSE 0 END) AS n_treat,
+         avg(CASE WHEN treat THEN y END) AS mean_t,
+         avg(CASE WHEN NOT treat THEN y END) AS mean_c
+  FROM per GROUP BY bucket
+),
+full_cells AS (
+  SELECT stratum, n, n_treat, n_treat * 1.0 / n AS p_treat,
+         mean_t, mean_c, mean_t - mean_c AS effect
+  FROM cells
+),
+overall AS (
+  SELECT '__all__' AS stratum, sum(n) AS n, sum(n_treat) AS n_treat,
+         sum(n_treat) * 1.0 / sum(n) AS p_treat,
+         sum(mean_t * n) / sum(n) AS mean_t,
+         sum(mean_c * n) / sum(n) AS mean_c,
+         sum(effect * n) / sum(n) AS effect
+  FROM full_cells WHERE effect IS NOT NULL
+)
+SELECT stratum, n, n_treat, round(p_treat, 6) AS p_treat,
+       round(mean_t, 6) AS mean_t, round(mean_c, 6) AS mean_c,
+       round(effect, 6) AS effect
+FROM full_cells
+UNION ALL
+SELECT stratum, n, n_treat, round(p_treat, 6), round(mean_t, 6),
+       round(mean_c, 6), round(effect, 6)
+FROM overall
+"""
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators/segments.py rfm_segments): NTILE(5)
+    scores over the per-customer recency/frequency/monetary table —
+    global ranks via the bucketed decomposition (no single-partition
+    sort), exactly replicating the oracle's NTILE windows."""
+    from ..operators.segments import rfm_segments
+
+    orders = load(spark, sf_dir, "orders")
+    out = rfm_segments(
+        orders, key="o_custkey", ts_col="o_orderdate",
+        amount_col="o_totalprice", n=5,
+    )
+    return out.select(
+        F.col("key").alias("custkey"), "recency_days", "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        "r_score", "f_score", "m_score", "segment",
+    )
+
+
+SQL_RFM = """
+WITH ao AS (SELECT max(o_orderdate) AS a FROM orders),
+per AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   CAST(ao.a AS DATE)) AS recency_days,
+         count(*) AS frequency,
+         sum(o_totalprice) AS monetary
+  FROM orders CROSS JOIN ao GROUP BY o_custkey, ao.a
+),
+scored AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency, custkey) AS f_score,
+         ntile(5) OVER (ORDER BY CAST(floor(monetary * 100 + 0.5) AS BIGINT),
+                        custkey) AS m_score
+  FROM per
+)
+SELECT custkey, recency_days, frequency, round(monetary, 6) AS monetary,
+       r_score, f_score, m_score,
+       CASE
+         WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+         WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+         WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+         WHEN f_score >= 4 THEN 'loyal'
+         WHEN m_score >= 4 THEN 'big_spender'
+         WHEN r_score >= 4 THEN 'recent'
+         ELSE 'regular'
+       END AS segment
+FROM scored
+"""
+
+
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (operators/segments.py pareto_curve):
+    per-customer revenue, global rank DESC and cumulative share —
+    rank + running sum from the bucketed decomposition; the oracle
+    runs the plain global window DuckDB can afford."""
+    from ..operators.segments import pareto_curve
+
+    orders = load(spark, sf_dir, "orders")
+    out = pareto_curve(orders, "o_custkey", "o_totalprice")
+    return out.select(
+        F.col("key").alias("custkey"),
+        F.round("amount", 6).alias("amount"),
+        "rank",
+        F.round("cum_share", 6).alias("cum_share"),
+        F.round("frac_keys", 6).alias("frac_keys"),
+    )
+
+
+SQL_PARETO = """
+WITH per AS (
+  SELECT o_custkey AS custkey, sum(o_totalprice) AS amount
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER w AS rank,
+         sum(amount) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+                           CURRENT ROW) AS cum
+  FROM per
+  WINDOW w AS (ORDER BY CAST(floor(amount * 100 + 0.5) AS BIGINT) DESC,
+               custkey)
+)
+SELECT custkey, round(amount, 6) AS amount, rank,
+       round(cum / (SELECT sum(amount) FROM per), 6) AS cum_share,
+       round(rank * 1.0 / (SELECT count(*) FROM per), 6) AS frac_keys
+FROM ranked
+"""
+
 
 QUERIES = {
     "sessionize": q_sessionize,
@@ -2215,6 +2621,13 @@ QUERIES = {
     "cusum": q_cusum,
     "seq_ngrams": q_seq_ngrams,
     "interval_join": q_interval_join,
+    "scd2": q_scd2,
+    "snapshot": q_snapshot,
+    "kaplan_meier": q_kaplan_meier,
+    "cuped": q_cuped,
+    "ate_strata": q_ate_strata,
+    "rfm": q_rfm,
+    "pareto": q_pareto,
 }
 
 ORACLES = {
@@ -2268,4 +2681,11 @@ ORACLES = {
     "cusum": SQL_CUSUM,
     "seq_ngrams": SQL_SEQ_NGRAMS,
     "interval_join": SQL_INTERVAL_JOIN,
+    "scd2": SQL_SCD2,
+    "snapshot": SQL_SNAPSHOT,
+    "kaplan_meier": SQL_KAPLAN_MEIER,
+    "cuped": SQL_CUPED,
+    "ate_strata": SQL_ATE_STRATA,
+    "rfm": SQL_RFM,
+    "pareto": SQL_PARETO,
 }

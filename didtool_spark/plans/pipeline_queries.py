@@ -2821,6 +2821,110 @@ ORDER BY cnt DESC, "key" ASC LIMIT 20
 """
 
 
+# ---------------------------------------------------------------- session 8
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation (operators/sketches.py):
+    build a 4x512 sketch over document tokens (ONE bounded-shuffle
+    aggregation — mergeability IS Spark's map-side combine), probe the
+    distinct tokens against it, and emit the top 25 by estimate next
+    to the exact count (CMS guarantee: est >= exact).  md5_60 hashing
+    for oracle replay; the engine default is xxhash64.  Top-k via
+    orderBy+limit = TakeOrdered, never a single-partition sort."""
+    from ..operators.sketches import cms_build, cms_query
+    from ..operators.text import tokens_expr
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens_expr("text")).alias("token")
+    ).where(F.col("token") != "")
+    sketch = cms_build(toks, "token", width=512, depth=4, hash_fn="md5_60")
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = cms_query(sketch, exact, "token", width=512, depth=4,
+                    hash_fn="md5_60")
+    return (
+        est.orderBy(F.col("est").desc(), F.col("token"))
+        .limit(25)
+        .select("token", "n_exact", "est")
+    )
+
+
+SQL_CMS_TOPK = """
+WITH tok AS (
+  SELECT u AS token
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u
+        FROM documents)
+  WHERE u <> ''
+),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+cells AS (
+  SELECT j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15))
+           ::BIGINT % 512 AS bucket,
+         count(*) AS n
+  FROM tok CROSS JOIN js
+  GROUP BY 1, 2
+),
+exact AS (SELECT token, count(*) AS n_exact FROM tok GROUP BY token),
+probe AS (
+  SELECT exact.token, exact.n_exact, min(cells.n) AS est
+  FROM exact
+  CROSS JOIN js
+  JOIN cells
+    ON cells.j = js.j
+   AND cells.bucket = ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':'
+                        || exact.token), 1, 15))::BIGINT % 512
+  GROUP BY exact.token, exact.n_exact
+)
+SELECT token, n_exact, est
+FROM probe
+ORDER BY est DESC, token
+LIMIT 25
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability statistics (operators/text.py with_readability):
+    Flesch / Flesch-Kincaid from regex-countable proxies — pure
+    codegen, scale = scan speed."""
+    from ..operators.text import with_readability
+
+    docs = load(spark, sf_dir, "documents")
+    out = with_readability(docs, "text")
+    return out.select(
+        "doc_id", "n_sentences", "n_words", "n_syllables",
+        F.round("words_per_sentence", 6).alias("words_per_sentence"),
+        F.round("syllables_per_word", 6).alias("syllables_per_word"),
+        F.round("long_word_ratio", 6).alias("long_word_ratio"),
+        F.round("flesch", 6).alias("flesch"),
+        F.round("fk_grade", 6).alias("fk_grade"),
+    )
+
+
+SQL_READABILITY = """
+WITH f AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)
+           AS n_words,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS n_syllables,
+         len(regexp_extract_all(text, '\\w{7,}')) AS n_long
+  FROM documents
+)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       round(n_words * 1.0 / n_sentences, 6) AS words_per_sentence,
+       round(n_syllables * 1.0 / n_words, 6) AS syllables_per_word,
+       round(n_long * 1.0 / n_words, 6) AS long_word_ratio,
+       round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+             - 84.6 * (n_syllables * 1.0 / n_words), 6) AS flesch,
+       round(0.39 * (n_words * 1.0 / n_sentences)
+             + 11.8 * (n_syllables * 1.0 / n_words) - 15.59, 6) AS fk_grade
+FROM f
+"""
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -2872,6 +2976,8 @@ PIPELINE_QUERIES = {
     "profile_table": q_profile_table,
     "group_sample": q_group_sample,
     "skew_stats": q_skew_stats,
+    "cms_topk": q_cms_topk,
+    "readability": q_readability,
 }
 
 PIPELINE_ORACLES = {
@@ -2927,4 +3033,6 @@ PIPELINE_ORACLES = {
     "profile_table": SQL_PROFILE_TABLE,
     "group_sample": SQL_GROUP_SAMPLE,
     "skew_stats": SQL_SKEW_STATS,
+    "cms_topk": SQL_CMS_TOPK,
+    "readability": SQL_READABILITY,
 }
