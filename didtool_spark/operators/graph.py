@@ -1,0 +1,93 @@
+"""Graph analytics over edge tables: PageRank by iterative
+message-passing joins.
+
+The dedup family already ships alternating-star connected components
+(dedup.py); PageRank is the other graph primitive a curation pipeline
+reaches for (authority weighting of domains/URLs by their link graph,
+influence scoring of entities by co-occurrence).
+
+Distributed shape per iteration (the standard Pregel-as-joins plan):
+
+    contribs = edges JOIN ranks ON src   (shuffle on src)
+               -> (dst, rank/out_degree)
+    sums     = contribs.groupBy(dst)     (shuffle on dst; map-side
+                                          combined — the message sum
+                                          never materializes per edge
+                                          at the reducer)
+    ranks    = nodes LEFT JOIN sums      + teleport & dangling mass
+
+Ranks/nodes are one row per node; edges are the only big table and
+are scanned once per iteration from cache.  Dangling mass (nodes with
+no out-edges) is redistributed uniformly — the textbook correction,
+one tiny agg per round.  The loop localCheckpoints every few rounds
+to truncate lineage (the dedup_clusters convergence-loop pattern,
+dedup.py:721).  Fixed iteration count: deterministic, and exactly
+replayable by the DuckDB oracle as a chain of per-iteration CTEs
+(plans/pipeline_queries._pagerank_oracle_sql).
+
+At 10^12 edges: partition edges by src (the join key both shuffles
+reuse), broadcast nothing (ranks are |V| rows — co-partitioned joins),
+AQE handles the skewed high-degree hubs; hub fan-IN is absorbed by
+the map-side combine on dst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 8,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """One row per node with its PageRank after ``iterations`` rounds
+    (fixed count, uniform 1/N start, uniform teleport, dangling mass
+    redistributed uniformly).  Ranks over all nodes sum to 1."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ej = e.join(deg, "src").persist()
+    dangling = nodes.join(
+        deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+
+    d = float(damping)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(int(iterations)):
+        dm = (
+            dangling.join(ranks, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+        )
+        contribs = (
+            ej.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("m") / n)
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

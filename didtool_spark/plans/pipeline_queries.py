@@ -2925,6 +2925,150 @@ FROM f
 """
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (operators/pca.py
+    random_project): 64-dim embeddings onto 4 fixed seeded directions
+    as pure literal-weight fold expressions — no fit pass, no Python
+    in the row path.  The exact-PCA fit (pca_fit: per-partition Gram
+    partials + driver eigh) is iterative-free but eigensolver-backed,
+    so like the IVF split it stays unit-tested (tests/test_pca.py)
+    while the projection mechanics are gate-checked here over the same
+    literal matrix the oracle inlines."""
+    from ..operators.pca import gate_projection_matrix, random_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = random_project(
+        emb, "embedding", gate_projection_matrix(4, 64), prefix="rp"
+    )
+    return out.select(
+        "vec_id", *[F.round(f"rp{j}", 6).alias(f"rp{j}") for j in range(4)]
+    )
+
+
+def _random_projection_oracle_sql() -> str:
+    from ..operators.pca import gate_projection_matrix
+
+    mat = gate_projection_matrix(4, 64)
+    cols = ",\n       ".join(
+        "round(list_sum(list_transform(list_zip(embedding, "
+        f"[{', '.join(repr(v) for v in row)}]), "
+        f"x -> x[1]::DOUBLE * x[2])) * 0.5, 6) AS rp{j}"
+        for j, row in enumerate(mat)
+    )
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings"
+
+
+SQL_RANDOM_PROJECTION = _random_projection_oracle_sql()
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (operators/linkage.py fuzzy_pairs):
+    near-duplicate customer names at levenshtein <= 2, compared only
+    inside (prefix, length-bucket) blocks with the map-side hot-block
+    bound — never the O(n^2) cross join.  Pure JVM levenshtein."""
+    from ..operators.linkage import fuzzy_pairs
+
+    cust = load(spark, sf_dir, "customer")
+    out = fuzzy_pairs(
+        cust, "c_custkey", "c_name", max_dist=2, prefix_len=16,
+        length_bucket=4,
+    )
+    return out.select("id_a", "id_b", "dist")
+
+
+SQL_FUZZY_PAIRS = """
+WITH b AS (
+  SELECT c_custkey AS id,
+         regexp_replace(trim(lower(c_name)), '\\s+', ' ', 'g') AS nrm
+  FROM customer
+),
+k AS (
+  SELECT *, substr(nrm, 1, 16) AS pfx,
+         CAST(floor(length(nrm) / 4.0) AS INT) AS lb
+  FROM b
+),
+sizes AS (SELECT pfx, lb, count(*) AS bn FROM k GROUP BY pfx, lb),
+kk AS (
+  SELECT k.* FROM k JOIN sizes USING (pfx, lb) WHERE sizes.bn <= 10000
+)
+SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.nrm, b.nrm) AS dist
+FROM kk a JOIN kk b ON a.pfx = b.pfx AND a.lb = b.lb AND a.id < b.id
+WHERE levenshtein(a.nrm, b.nrm) <= 2
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py): six message-passing rounds over
+    the parts-co-ordered-together graph (distinct part pairs sharing a
+    lineitem order).  Each round is one src-join + one map-side-
+    combined dst-aggregation; the oracle replays the identical rounds
+    as a chain of per-iteration CTEs.  rank_ppm = rank x 10^6 so the
+    round-6 convention keeps nine significant digits."""
+    from ..operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pr = pagerank(edges, damping=0.85, iterations=6)
+    return pr.select(
+        F.col("node").alias("partkey"),
+        F.round(F.col("rank") * 1_000_000, 6).alias("rank_ppm"),
+    )
+
+
+def _pagerank_oracle_sql(damping: float = 0.85, iterations: int = 6) -> str:
+    """Chained-CTE replay of the fixed-round PageRank — one CTE per
+    round, teleport/damping literals written with full double repr so
+    both engines run the identical IEEE arithmetic."""
+    d, tele = repr(float(damping)), repr(1.0 - float(damping))
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg ON e0.src = deg.src),
+r0 AS (SELECT node, 1.0 / cnt.n AS rank FROM nodes CROSS JOIN cnt)"""
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes.append(
+            f"""r{i} AS (
+  SELECT nodes.node,
+         {tele} / cnt.n + {d} * (coalesce(s.c, 0.0) + dm.m / cnt.n) AS rank
+  FROM nodes
+  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / e.deg) AS c
+             FROM e JOIN r{p} r ON r.node = e.src GROUP BY e.dst) s
+    ON nodes.node = s.node
+  CROSS JOIN (SELECT coalesce(sum(rank), 0.0) AS m FROM r{p}
+              WHERE node NOT IN (SELECT src FROM deg)) dm
+  CROSS JOIN cnt
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS partkey, round(rank * 1000000, 6) AS rank_ppm"
+        f"\nFROM r{iterations}"
+    )
+
+
+SQL_PAGERANK = _pagerank_oracle_sql()
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -2978,6 +3122,9 @@ PIPELINE_QUERIES = {
     "skew_stats": q_skew_stats,
     "cms_topk": q_cms_topk,
     "readability": q_readability,
+    "random_projection": q_random_projection,
+    "fuzzy_pairs": q_fuzzy_pairs,
+    "pagerank": q_pagerank,
 }
 
 PIPELINE_ORACLES = {
@@ -3035,4 +3182,7 @@ PIPELINE_ORACLES = {
     "skew_stats": SQL_SKEW_STATS,
     "cms_topk": SQL_CMS_TOPK,
     "readability": SQL_READABILITY,
+    "random_projection": SQL_RANDOM_PROJECTION,
+    "fuzzy_pairs": SQL_FUZZY_PAIRS,
+    "pagerank": SQL_PAGERANK,
 }

@@ -1,0 +1,68 @@
+"""fuzzy_pairs units: typo pairs found inside blocks, blocking misses
+documented, hot-block bound drops degenerate keys, multi-pass
+block_exprs override."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from didtool_spark.operators.linkage import fuzzy_pairs, normalize_name
+
+NAMES = [
+    (1, "Acme Corp"),
+    (2, "Acme Corp."),       # dist 1
+    (3, "ACME  corp"),       # normalizes to acme corp -> dist 0 vs 1
+    (4, "Acme Group"),       # dist 4 from acme corp -> filtered
+    (5, "Zenith Ltd"),
+    (6, "Zenith Ltd"),       # exact dup
+    (7, "Bcme Corp"),        # first-char typo: SAME length bucket but
+                             # different prefix block -> documented miss
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(NAMES, columns=["id", "name"])
+    )
+
+
+def test_fuzzy_pairs_finds_typos(spark):
+    out = fuzzy_pairs(
+        _df(spark), "id", "name", max_dist=2, prefix_len=3, length_bucket=4
+    ).toPandas()
+    pairs = set(zip(out.id_a, out.id_b))
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs
+    assert (5, 6) in pairs
+    assert all(a < b for a, b in pairs)
+    # distance values are the real edit distances
+    d = {(r.id_a, r.id_b): r.dist for r in out.itertuples()}
+    assert d[(1, 3)] == 0 and d[(1, 2)] == 1
+    # beyond threshold, and cross-block, pairs are absent
+    assert (1, 4) not in pairs
+    assert (1, 7) not in pairs  # blocking miss: prefix differs
+
+
+def test_fuzzy_pairs_hot_block_bound(spark):
+    rows = [(i, "same prefix name") for i in range(30)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "name"]))
+    # every row identical -> one block of 30; cap at 10 drops it all
+    out = fuzzy_pairs(
+        df, "id", "name", max_dist=2, prefix_len=3, max_block=10
+    ).toPandas()
+    assert len(out) == 0
+    out2 = fuzzy_pairs(
+        df, "id", "name", max_dist=2, prefix_len=3, max_block=100
+    ).toPandas()
+    assert len(out2) == 30 * 29 / 2
+
+
+def test_fuzzy_pairs_custom_blocking(spark):
+    # block on length only: the first-char typo pair becomes reachable
+    out = fuzzy_pairs(
+        _df(spark), "id", "name", max_dist=2,
+        block_exprs=[F.length(normalize_name("name"))],
+    ).toPandas()
+    pairs = set(zip(out.id_a, out.id_b))
+    assert (1, 7) in pairs
