@@ -71,11 +71,14 @@ GATE_PRIORITY: list[str] = [
     # still-never-checked remainder (feature_cross, hash_features,
     # label_agreement, transitions, turn_novelty, embedding_pool,
     # scale_features, impute, winsorize, resample, cv_folds,
-    # purged_folds, negative_samples, quality_checks, plus the
-    # session-7 additions time_rollup, distinct_rollup, time_to_event,
-    # drift_timeline, group_models, funnel, cohort, cusum, seq_ngrams, interval_join) is round 5's window.  All queries
-    # outside the window stay guarded by scripts/check_oracle.py
-    # full-registry local replays.)
+    # purged_folds, negative_samples, quality_checks, the session-7
+    # additions time_rollup, distinct_rollup, time_to_event,
+    # drift_timeline, group_models, funnel, cohort, cusum, seq_ngrams,
+    # interval_join, plus the session-8 additions scd2, snapshot,
+    # kaplan_meier, cuped, ate_strata, rfm, pareto, cms_topk,
+    # readability, random_projection, fuzzy_pairs, pagerank,
+    # weighted_sample, attribution) is round 5's window.  All queries outside the window stay guarded by
+    # scripts/check_oracle.py full-registry local replays.)
 ]
 
 

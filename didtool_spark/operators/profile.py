@@ -120,6 +120,54 @@ def group_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+    weight_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per
+    group (Efraimidis-Spirakis A-ES, IPL 2006): each row draws a
+    reproducible uniform u from md5(id + seed) and ranks by
+    ln(u) / w — the top-k under that key is exactly a w-proportional
+    without-replacement draw.  Same determinism story as group_sample
+    (partition-layout independent; any cluster size reproduces the
+    sample) and the same WindowGroupLimit bound: a hot group ships at
+    most k rows per map task.
+
+    Rows with NULL or non-positive weight are excluded (they have no
+    defined inclusion probability).  ln(u)/w keeps the key in a
+    numerically safe range where the textbook u^(1/w) underflows for
+    tiny weights; the ordering is identical (ln is monotone, w > 0).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"), F.lit(f"#{int(seed)}")
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**60 + 1))
+    key = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(
+        key.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(k))
+        .drop("__rk")
+    )
+
+
 def skew_stats(
     df: DataFrame,
     key_col: str,

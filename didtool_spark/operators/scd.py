@@ -194,11 +194,16 @@ def snapshot_latest(
 ) -> DataFrame:
     """CDC snapshot compaction: the latest record per ``keys`` under
     the total order ``order`` — one ``max_by(struct(*), struct(order))``
-    aggregation (map-side combined partial keeps the shuffle at one
-    row per key per mapper; contrast a row_number window, which must
-    SORT every key's full history).  With ``delete_col`` (boolean),
-    keys whose latest record is a tombstone are dropped — upsert+delete
-    merge semantics.  Column order of the input is preserved.
+    aggregation.  The map-side combined partial keeps the shuffle at
+    one row per key per mapper; a row_number window would ship every
+    key's FULL history through the exchange and sort it by (keys +
+    order).  (Catalyst plans struct-ordered max_by as SortAggregate,
+    but that sort is on the grouping keys only — never on the history
+    order — and runs over the already-compressed rows after the
+    exchange; asserted in tests/test_plan_shape.py.)  With
+    ``delete_col`` (boolean), keys whose latest record is a tombstone
+    are dropped — upsert+delete merge semantics.  Column order of the
+    input is preserved.
     """
     keys_l, order_l = _lst(keys), _lst(order)
     cols = df.columns

@@ -2224,7 +2224,8 @@ FROM runs
 def q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC snapshot compaction (operators/scd.py snapshot_latest):
     latest record per (user, event_type) via ONE max_by aggregation —
-    map-side combined, no per-key sort; the oracle is the textbook
+    map-side combined, so the exchange carries one row per key per
+    mapper instead of full history; the oracle is the textbook
     row_number()-desc = 1."""
     from ..operators.scd import snapshot_latest
 

@@ -3069,6 +3069,93 @@ r0 AS (SELECT node, 1.0 / cnt.n AS rank FROM nodes CROSS JOIN cnt)"""
 SQL_PAGERANK = _pagerank_oracle_sql()
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted without-replacement sampling (operators/profile.py
+    weighted_sample, Efraimidis-Spirakis): 3 orders per customer
+    drawn proportionally to order value, reproducible on any cluster
+    size via md5-derived uniforms; WindowGroupLimit bounds a hot
+    group's shuffle at k rows per task.  The oracle replays the exact
+    ln(u)/w ranking."""
+    from ..operators.profile import weighted_sample
+
+    orders = load(spark, sf_dir, "orders")
+    out = weighted_sample(
+        orders, group_col="o_custkey", k=3, id_col="o_orderkey",
+        weight_col="o_totalprice", seed=0,
+    )
+    return out.select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 6).alias("weight"),
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#0'),
+                             1, 15))::BIGINT + 1.0)
+            / 1152921504606846977.0) / o_totalprice AS k
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS weight
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY k DESC, o_orderkey) AS rk
+  FROM w
+) WHERE rk <= 3
+"""
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (operators/attribution.py): view/click
+    touches credited linearly to the first purchase within 7 days —
+    the conditional-min future window assigns journeys, a second
+    journey-keyed window positions and credits them; per-journey
+    credits sum to 1 (property-tested)."""
+    from ..operators.attribution import attribute_touches
+
+    ev = load(spark, sf_dir, "events")
+    out = attribute_touches(
+        ev,
+        touch=F.col("event_type").isin("view", "click"),
+        conversion=F.col("event_type") == "purchase",
+        keys="user_id", ts_col="ts", order=("ts", "event_id"),
+        lookback_s=604800, model="linear",
+    )
+    return out.select(
+        "event_id", "user_id", "conv_ts_s", "n_touches", "position",
+        F.round("credit", 6).alias("credit"),
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH b AS (
+  SELECT *, date_diff('second', TIMESTAMP '1970-01-01', ts) AS ep
+  FROM events
+),
+a AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' THEN ep END) OVER
+    (PARTITION BY user_id ORDER BY ep
+     RANGE BETWEEN 1 FOLLOWING AND 604800 FOLLOWING) AS cep
+  FROM b
+),
+t AS (SELECT * FROM a WHERE event_type IN ('view', 'click')),
+j AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, cep
+                            ORDER BY ts, event_id) AS pos,
+         count(*) OVER (PARTITION BY user_id, cep) AS n
+  FROM t
+)
+SELECT event_id, user_id,
+       CAST(cep AS DOUBLE) AS conv_ts_s,
+       CASE WHEN cep IS NOT NULL THEN n END AS n_touches,
+       CASE WHEN cep IS NOT NULL THEN pos END AS position,
+       round(CASE WHEN cep IS NULL THEN 0.0 ELSE 1.0 / n END, 6) AS credit
+FROM j
+"""
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -3125,6 +3212,8 @@ PIPELINE_QUERIES = {
     "random_projection": q_random_projection,
     "fuzzy_pairs": q_fuzzy_pairs,
     "pagerank": q_pagerank,
+    "weighted_sample": q_weighted_sample,
+    "attribution": q_attribution,
 }
 
 PIPELINE_ORACLES = {
@@ -3185,4 +3274,6 @@ PIPELINE_ORACLES = {
     "random_projection": SQL_RANDOM_PROJECTION,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "pagerank": SQL_PAGERANK,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "attribution": SQL_ATTRIBUTION,
 }

@@ -285,3 +285,46 @@ def test_feature_bank_plan_shapes(spark):
         pool_embeddings(emb, "embedding", keys="label", long=True)
     )
     assert n == 1 and "partial_avg" in p, p[:2500]
+
+
+def test_session8_plan_shapes(spark):
+    """Scale contracts of the session-8 operators: snapshot compaction
+    aggregates without sorting, SCD2 never collapses to a single
+    partition, and the segment ranks run under per-bucket hash
+    partitioning (the only SinglePartition exchanges feed the bounded
+    <= n_buckets stats tables)."""
+    import re
+
+    from didtool_spark.operators.scd import scd2_compress, snapshot_latest
+    from didtool_spark.operators.segments import pareto_curve
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+
+    # snapshot_latest: ONE exchange, map-side combined partial_max_by
+    # (the shuffle carries one row per key per mapper, never history),
+    # and every Sort orders by the grouping keys only — the history
+    # order (ts) never reaches a sort, unlike a row_number window
+    p = plan_str(
+        snapshot_latest(ev, keys=("user_id", "event_type"),
+                        order=("ts", "event_id"))
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:2500]
+    assert "partial_max_by" in p, p[:2500]
+    for m in re.finditer(r"\(\d+\) Sort\n.*\nArguments: (.*)", p):
+        assert "ts#" not in m.group(1), m.group(1)
+
+    # scd2 window strategy: every exchange is hash-partitioned on the
+    # entity key; nothing falls back to a single partition
+    p = plan_str(
+        scd2_compress(ev, "event_type", keys="user_id",
+                      order=("ts", "event_id"))
+    )
+    assert "SinglePartition" not in p, p[:2500]
+    assert "hashpartitioning(user_id" in p, p[:2500]
+
+    # pareto rank: per-entity rows are ranked under __bk hash
+    # partitioning; SinglePartition appears only for the bounded
+    # bucket-stats window and the grand-total scalar
+    p = plan_str(pareto_curve(orders, "o_custkey", "o_totalprice"))
+    assert "hashpartitioning(__bk" in p, p[:2500]

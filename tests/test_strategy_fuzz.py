@@ -241,3 +241,25 @@ def test_feature_bucketed_equals_window_fuzz(spark, rows):
         with_cusum(df, strategy="bucketed", bucket_seconds=1800, **ckw),
         ["conv_id", "turn_idx"],
     )
+
+
+@FUZZ
+@given(rows=transcripts())
+def test_scd2_bucketed_equals_window_fuzz(spark, rows):
+    """SCD2 run compression: the bucketed carry-in run numbering must
+    reproduce the window strategy on ragged, tie-heavy, NULL-valued
+    streams — tiny buckets force empty-bucket carries."""
+    from didtool_spark.operators.scd import scd2_compress
+
+    df = spark.createDataFrame(rows, SCHEMA)
+    w = scd2_compress(
+        df, ["role", "tool"], keys="conv_id", order=("ts", "turn_idx"),
+        ts_col="ts", strategy="window",
+    )
+    b = scd2_compress(
+        df, ["role", "tool"], keys="conv_id", order=("ts", "turn_idx"),
+        ts_col="ts", strategy="bucketed", bucket_seconds=60,
+    )
+    # two runs can share a valid_from under zero gaps — sort on every
+    # column so the compare is unambiguous
+    _cmp(w, b, sorted(w.columns))
