@@ -50,7 +50,10 @@ def pagerank(
     """One row per node with its PageRank after ``iterations`` rounds
     (fixed count, uniform 1/N start, uniform teleport, dangling mass
     redistributed uniformly).  Ranks over all nodes sum to 1."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # persist the edge table FIRST: it feeds nodes, degrees, the join
+    # relation and the dangling set — without this the caller's edge
+    # construction (often a self-join + distinct) re-executes for each
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -63,31 +66,52 @@ def pagerank(
     dangling = nodes.join(
         deg.select(F.col("src").alias("node")), "node", "left_anti"
     ).persist()
+    # a graph with no dangling nodes (every co-occurrence graph, any
+    # symmetrized graph) skips the per-round dangling-mass subplan
+    # entirely — one fit-time count saves an agg + crossJoin stage in
+    # every iteration
+    has_dangling = dangling.limit(1).count() > 0
+    # nodes nobody links to: their new rank has no contribution term,
+    # so each round UNIONS them in (exchange-free) instead of
+    # left-joining the full node table against the contributions —
+    # one exchange per round saved
+    zero_in = nodes.join(
+        e.select(F.col("dst").alias("node")).distinct(), "node", "left_anti"
+    ).persist()
 
     d = float(damping)
+    tele = (1.0 - d) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(int(iterations)):
-        dm = (
-            dangling.join(ranks, "node")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-        )
         contribs = (
             ej.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dm))
-            .select(
+        if has_dangling:
+            dm = (
+                dangling.join(ranks, "node")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            )
+            linked = contribs.crossJoin(F.broadcast(dm)).select(
                 "node",
                 (
-                    F.lit((1.0 - d) / n)
-                    + F.lit(d)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("m") / n)
+                    F.lit(tele)
+                    + F.lit(d) * (F.col("c") + F.col("m") / n)
                 ).alias("rank"),
             )
-        )
+            isolated = zero_in.crossJoin(F.broadcast(dm)).select(
+                "node",
+                (F.lit(tele) + F.lit(d) * (F.col("m") / n)).alias("rank"),
+            )
+        else:
+            linked = contribs.select(
+                "node", (F.lit(tele) + F.lit(d) * F.col("c")).alias("rank")
+            )
+            isolated = zero_in.select(
+                "node", F.lit(tele).alias("rank")
+            )
+        ranks = linked.unionByName(isolated)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

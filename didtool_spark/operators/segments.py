@@ -80,31 +80,123 @@ def _global_rank(
             ),
         )
 
-    stats = b.groupBy("__bk").agg(
-        F.count(F.lit(1)).alias("__bn"),
-        *([F.sum(sum_col).alias("__bs")] if sum_col is not None else []),
-    )
-    # exclusive running offsets over the <= n_buckets-row stats table:
-    # a single-partition window over a bounded-by-construction input
-    woff = (
-        Window.partitionBy(F.lit(1))
-        .orderBy("__bk")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    stats = stats.withColumn("__on", F.sum("__bn").over(woff) - F.col("__bn"))
-    if sum_col is not None:
-        stats = stats.withColumn(
-            "__os", F.sum("__bs").over(woff) - F.col("__bs")
+    # exclusive running offsets over the <= n_buckets bucket stats:
+    # collected to the driver (it is fit-sized state, like the edges)
+    # and inlined as a literal bucket -> offset map — one pure
+    # expression instead of a single-partition window + broadcast
+    # join, which cost two extra exchanges per rank pass
+    stats = (
+        b.groupBy("__bk")
+        .agg(
+            F.count(F.lit(1)).alias("__bn"),
+            *([F.sum(sum_col).alias("__bs")] if sum_col is not None else []),
         )
-    keep = ["__bk", "__on"] + (["__os"] if sum_col is not None else [])
-    b = b.join(F.broadcast(stats.select(*keep)), "__bk")
-    b = b.withColumn(rank_name, F.col("__on") + F.col("__rn"))
-    if sum_col is not None:
-        b = b.withColumn(cum_name, F.col("__os") + F.col("__cs"))
-    drop = ["__v", "__bk", "__rn", "__on"] + (
-        ["__cs", "__os"] if sum_col is not None else []
+        .collect()
     )
+    stats.sort(key=lambda r: r["__bk"])
+    off_n: dict[int, int] = {}
+    off_s: dict[int, float] = {}
+    cn, cs = 0, 0.0
+    for r in stats:
+        off_n[r["__bk"]] = cn
+        cn += r["__bn"]
+        if sum_col is not None:
+            off_s[r["__bk"]] = cs
+            cs += r["__bs"]
+
+    def lit_map(d, cast_t):
+        pairs = []
+        for kk, vv in d.items():
+            pairs += [F.lit(int(kk)), F.lit(vv).cast(cast_t)]
+        return F.create_map(*pairs) if pairs else F.create_map()
+
+    b = b.withColumn(
+        rank_name,
+        F.element_at(lit_map(off_n, "long"), F.col("__bk"))
+        + F.col("__rn"),
+    )
+    if sum_col is not None:
+        b = b.withColumn(
+            cum_name,
+            F.element_at(lit_map(off_s, "double"), F.col("__bk"))
+            + F.col("__cs"),
+        )
+    drop = ["__v", "__bk", "__rn"] + (["__cs"] if sum_col is not None else [])
     return b.drop(*drop), total
+
+
+def _global_ranks(
+    per: DataFrame,
+    specs: Sequence[tuple[str, bool, str]],
+    tiebreak: Sequence[str],
+    n_buckets: int = 64,
+) -> tuple[DataFrame, int]:
+    """Several dense global ranks over one table in TWO driver actions
+    total (one combined percentile fit, one combined bucket-stat
+    collect via a metric-exploded groupBy) — the multi-metric form of
+    ``_global_rank`` for callers like RFM that rank the same rows
+    three ways; per-metric actions would pay the job overhead 2x per
+    metric."""
+    vs = []
+    for i, (col, desc, _name) in enumerate(specs):
+        v = F.col(col).cast("double")
+        per = per.withColumn(f"__v{i}", (-v) if desc else v)
+        vs.append(f"__v{i}")
+
+    probs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    row = per.agg(
+        *[
+            F.expr(f"percentile({v}, array({probs}))").alias(f"__e{i}")
+            for i, v in enumerate(vs)
+        ],
+        F.count(F.lit(1)).alias("__n"),
+    ).first()
+    total = int(row["__n"])
+    for i, v in enumerate(vs):
+        edges = sorted(
+            {float(e) for e in (row[f"__e{i}"] or []) if e is not None}
+        )
+        per = per.withColumn(
+            f"__bk{i}",
+            bin_expr(F.col(v), [-math.inf, *edges, math.inf], nan_value=0),
+        )
+
+    stats = (
+        per.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("m"), F.col(f"__bk{i}").alias("bk")
+                        )
+                        for i in range(len(specs))
+                    ]
+                )
+            ).alias("s")
+        )
+        .groupBy(F.col("s.m").alias("m"), F.col("s.bk").alias("bk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    offs: list[dict[int, int]] = [dict() for _ in specs]
+    for i in range(len(specs)):
+        rows = sorted((r for r in stats if r["m"] == i), key=lambda r: r["bk"])
+        c = 0
+        for r in rows:
+            offs[i][r["bk"]] = c
+            c += r["n"]
+
+    for i, (_col, _desc, name) in enumerate(specs):
+        w = Window.partitionBy(f"__bk{i}").orderBy(f"__v{i}", *tiebreak)
+        pairs = []
+        for kk, vv in offs[i].items():
+            pairs += [F.lit(int(kk)), F.lit(vv).cast("long")]
+        omap = F.create_map(*pairs) if pairs else F.create_map()
+        per = per.withColumn(
+            name,
+            F.element_at(omap, F.col(f"__bk{i}")) + F.row_number().over(w),
+        )
+    return per.drop(*vs, *[f"__bk{i}" for i in range(len(specs))]), total
 
 
 def _ntile_from_rank(rank: Column, total: int, n: int) -> Column:
@@ -157,6 +249,10 @@ def rfm_segments(
             F.datediff(F.lit(asof).cast("timestamp"), F.col("__last")),
         )
     per = per.drop("__last")
+    # the per-entity table feeds three rank fits (each an eager
+    # percentile action) plus the final plan — persist or the raw
+    # stream re-aggregates for every pass
+    per = per.persist()
 
     # rank monetary on whole cents: a float SUM's partial-aggregation
     # order differs between engines (and between runs at different
@@ -166,11 +262,15 @@ def rfm_segments(
         "__mon_q",
         F.floor(F.col("monetary") * 100 + F.lit(0.5)).cast("long"),
     )
-    per, total = _global_rank(
-        per, "recency_days", ["key"], descending=True, rank_name="__rk_r"
+    per, total = _global_ranks(
+        per,
+        [
+            ("recency_days", True, "__rk_r"),
+            ("frequency", False, "__rk_f"),
+            ("__mon_q", False, "__rk_m"),
+        ],
+        tiebreak=["key"],
     )
-    per, _ = _global_rank(per, "frequency", ["key"], rank_name="__rk_f")
-    per, _ = _global_rank(per, "__mon_q", ["key"], rank_name="__rk_m")
     per = per.drop("__mon_q")
     per = (
         per.withColumn("r_score", _ntile_from_rank(F.col("__rk_r"), total, n))
@@ -216,7 +316,7 @@ def pareto_curve(
     """
     per = df.groupBy(F.col(key).alias("key")).agg(
         F.sum(amount_col).alias("amount")
-    )
+    ).persist()  # feeds the rank fit action + the final plan twice
     # rank on whole cents (see rfm_segments) so engine-order float
     # summation cannot reorder near-equal entities
     per = per.withColumn(
