@@ -134,10 +134,43 @@ from .operators.text import (  # noqa: F401
 # ad-hoc BM25 keyword retrieval (zero-shuffle single-query scoring)
 from .operators.retrieval import bm25_topk  # noqa: F401
 
-# table profiling, deterministic per-group sampling, key-skew report
+# table profiling, deterministic per-group sampling (uniform +
+# Efraimidis-Spirakis weighted), key-skew report
 from .operators.profile import (  # noqa: F401
-    group_sample, profile_table, skew_stats,
+    group_sample, profile_table, skew_stats, weighted_sample,
 )
+
+# SCD type-2 dimension build + CDC snapshot compaction
+from .operators.scd import scd2_compress, snapshot_latest  # noqa: F401
+
+# Kaplan-Meier survival curves over censored durations
+from .operators.survival import kaplan_meier  # noqa: F401
+
+# experiment analytics: CUPED adjustment, post-stratified ATE
+from .operators.causal import ate_strata, cuped_adjust  # noqa: F401
+
+# entity-value segmentation: RFM NTILE scores, Pareto concentration
+from .operators.segments import pareto_curve, rfm_segments  # noqa: F401
+
+# count-min sketch: mergeable approximate frequency counting
+from .operators.sketches import cms_build, cms_merge, cms_query  # noqa: F401
+
+# exact PCA + Johnson-Lindenstrauss random projection over embeddings
+from .operators.pca import (  # noqa: F401
+    pca_fit, pca_project, random_project,
+)
+
+# blocked fuzzy record linkage (levenshtein within blocking keys)
+from .operators.linkage import fuzzy_pairs, normalize_name  # noqa: F401
+
+# PageRank over edge tables (fixed-round message-passing joins)
+from .operators.graph import pagerank  # noqa: F401
+
+# multi-touch conversion attribution over per-key event streams
+from .operators.attribution import attribute_touches  # noqa: F401
+
+# Flesch readability statistics (pure codegen expressions)
+from .operators.text import with_readability  # noqa: F401
 
 # training-data curation (PII scrub, chunking, sampling, packing)
 from .operators.curate import (  # noqa: F401

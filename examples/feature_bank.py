@@ -197,5 +197,98 @@ print("top event 3-grams:",
                     order=("ts", "event_id"), min_count=2)
       .orderBy(F.desc("n")).limit(3).collect())
 
+# ------------------------------------------- 12. dimensions & experiments
+# SCD2: collapse each user's event_type change stream into validity
+# intervals a point-in-time join can consume
+dim = dt.scd2_compress(ev, "event_type", keys="user_id",
+                       order=("ts", "event_id"))
+print("scd2 runs per user (mean):",
+      dim.groupBy("user_id").count().agg(F.avg("count")).collect())
+# CDC compaction: the latest record per (user, event_type)
+snap = dt.snapshot_latest(ev, keys=("user_id", "event_type"),
+                          order=("ts", "event_id"))
+print("snapshot rows:", snap.count())
+
+# Kaplan-Meier: time from first event to first purchase, censored
+per_u = ev.groupBy("user_id").agg(
+    F.min("ts").alias("t0"),
+    F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    F.max("ts").alias("tl"),
+)
+dur = per_u.select(
+    ((F.unix_micros(F.coalesce("tp", "tl").cast("timestamp"))
+      - F.unix_micros(F.col("t0").cast("timestamp"))) / 3.6e9)
+    .cast("long").alias("hours"),
+    F.col("tp").isNotNull().alias("obs"),
+)
+km = dt.kaplan_meier(dur, "hours", "obs")
+print("KM tail survival:",
+      km.orderBy(F.desc("duration")).limit(1).collect())
+
+# CUPED + stratified ATE on per-user outcomes
+per_y = ev.groupBy("user_id").agg(
+    F.sum(F.when(F.col("event_type") == "view", F.col("value"))).alias("x"),
+    F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("y"),
+).fillna(0.0)
+adj = dt.cuped_adjust(per_y, "y", "x")
+print("CUPED theta:", adj.select("theta").first())
+strat = per_y.withColumn("treat", F.pmod("user_id", F.lit(2)) == 0) \
+             .withColumn("s", F.pmod("user_id", F.lit(3)))
+print("stratified ATE:",
+      dt.ate_strata(strat, "treat", "y", "s")
+      .where(F.col("stratum") == "__all__").collect())
+
+# ------------------------------------------- 13. value & graph analytics
+orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+rfm = dt.rfm_segments(orders, key="o_custkey", ts_col="o_orderdate",
+                      amount_col="o_totalprice")
+print("RFM segments:",
+      sorted((r["segment"], r["count"]) for r in
+             rfm.groupBy("segment").count().collect()))
+par = dt.pareto_curve(orders, "o_custkey", "o_totalprice")
+half = par.where(F.col("frac_keys") <= 0.2).orderBy(F.desc("rank")).limit(1)
+print("top-20% customers hold:", half.select("cum_share").collect())
+
+# weighted sampling: 2 orders per customer, value-proportional
+ws = dt.weighted_sample(orders, "o_custkey", 2, "o_orderkey",
+                        "o_totalprice")
+print("weighted sample rows:", ws.count())
+
+# CMS over document tokens: bounded state at any cardinality
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+toks = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+sk = dt.cms_build(toks, "t", width=256, depth=4)
+print("sketch cells:", sk.count())
+
+# blocked record linkage on customer names
+cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+fp = dt.fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=2,
+                    prefix_len=16)
+print("fuzzy name pairs:", fp.count())
+
+# PageRank over the parts-co-ordered graph
+li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+edges = a.join(b, "ok").where(F.col("src") != F.col("dst")) \
+         .select("src", "dst").distinct()
+pr = dt.pagerank(edges, iterations=4)
+print("top parts by PageRank:",
+      pr.orderBy(F.desc("rank")).limit(3).collect())
+
+# attribution: which touches get credit for each purchase
+att = dt.attribute_touches(
+    ev, touch=F.col("event_type").isin("view", "click"),
+    conversion=F.col("event_type") == "purchase", model="position_based",
+)
+print("credited touches:",
+      att.where(F.col("credit") > 0).count())
+
+# embeddings: JL projection to 8 dims + exact PCA explained variance
+emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+model = dt.pca_fit(emb, "embedding", k=4)
+print("PCA explained-variance ratio:",
+      [round(r, 4) for r in model.explained_variance_ratio])
+
 spark.stop()
 print("feature-bank tour complete")
