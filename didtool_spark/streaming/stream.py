@@ -501,3 +501,126 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_snapshot(stream: DataFrame):
+    """Streaming CDC snapshot compaction — the live form of
+    operators.scd.snapshot_latest: per (conv_id, role), keep the
+    record that is latest under (ts, turn_idx) and emit it whenever it
+    CHANGES.  The output is an upsert change stream; the most recent
+    emission per key (max by (ts, turn_idx) of the emitted rows) is
+    exactly the batch snapshot at drain time (asserted in
+    tests/test_streaming.py).
+
+    State per key is ONE row — the current latest — so state size is
+    bounded by key cardinality, never by stream length; out-of-order
+    arrivals older than the held latest emit nothing (the batch
+    operator would have discarded them too).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("role", StringType()),
+            StructField("turn_idx", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ts_us", LongType()),
+            StructField("turn_idx", LongType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        conv_id, role = key
+        if state.exists:
+            best_us, best_idx, best_text, best_tool = state.get
+        else:
+            best_us, best_idx, best_text, best_tool = None, None, None, None
+        changed = False
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            row = pdf.iloc[-1]
+            us = int(pd.Timestamp(row["ts"]).value // 1_000)
+            idx = int(row["turn_idx"])
+            if best_us is None or (us, idx) > (best_us, best_idx):
+                best_us, best_idx = us, idx
+                best_text = None if pd.isna(row["text"]) else str(row["text"])
+                best_tool = None if pd.isna(row["tool"]) else str(row["tool"])
+                changed = True
+        state.update((best_us, best_idx, best_text, best_tool))
+        if changed:
+            yield pd.DataFrame(
+                [
+                    (
+                        conv_id,
+                        role,
+                        best_idx,
+                        pd.Timestamp(best_us * 1_000),
+                        best_text,
+                        best_tool,
+                    )
+                ],
+                columns=["conv_id", "role", "turn_idx", "ts", "text", "tool"],
+            )
+        else:
+            yield pd.DataFrame(
+                columns=["conv_id", "role", "turn_idx", "ts", "text", "tool"]
+            )
+
+    return stream.groupBy("conv_id", "role").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_cms(
+    stream: DataFrame,
+    item_col: str,
+    width: int = 256,
+    depth: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Count-min sketch over a stream — LITERALLY the batch build
+    (operators.sketches.cms_build) applied to a streaming frame: the
+    sketch is a groupBy(j, bucket) aggregation, and CMS mergeability
+    is exactly what Spark's incremental streaming aggregation state
+    does between micro-batches.  Run it with outputMode
+    complete/update; the state is bounded at depth x width counters
+    regardless of item cardinality — no watermark needed.
+    """
+    from ..operators.sketches import _cms_bucket
+
+    item = F.col(item_col)
+    cells = stream.where(item.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(item, j, width, hash_fn).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(
+        F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -3,6 +3,7 @@ checkpointed incremental re-runs; session stats vs the batch engine."""
 
 import os
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -514,3 +515,71 @@ def test_streaming_funnel_matches_batch(spark, stream_dirs, tmp_path_factory):
             assert ts == r[f"{v}_ts"], (conv, v, ts, r[f"{v}_ts"])
         n_checked += r["depth"]
     assert n_checked > 0
+
+
+def test_streaming_snapshot_matches_batch(spark, stream_dirs, tmp_path_factory):
+    """streaming_snapshot: the one-row-per-key state must carry across
+    micro-batches; the newest emission per (conv_id, role) equals the
+    batch snapshot_latest at drain time."""
+    from didtool_spark.operators.scd import snapshot_latest
+    from didtool_spark.streaming.stream import (
+        read_transcript_stream, run_stream_once, streaming_snapshot,
+    )
+
+    src, _ = stream_dirs
+    root = str(tmp_path_factory.mktemp("snap_stream"))
+    out, ck = os.path.join(root, "out"), os.path.join(root, "ck")
+
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    run_stream_once(streaming_snapshot(stream), ck, out)
+
+    got = snapshot_latest(
+        spark.read.parquet(out),
+        keys=("conv_id", "role"), order=("ts", "turn_idx"),
+    ).toPandas()
+    exp = (
+        snapshot_latest(
+            spark.read.parquet(src),
+            keys=("conv_id", "role"), order=("ts", "turn_idx"),
+        )
+        .select("conv_id", "role", "turn_idx", "ts", "text", "tool")
+        .toPandas()
+    )
+    key = ["conv_id", "role"]
+    got = got[exp.columns].sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    # the stream schema widens turn_idx to long; values must match
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(exp) > 0
+
+
+def test_streaming_cms_matches_batch(spark, stream_dirs):
+    """streaming_cms: the incremental streaming aggregation state IS
+    the sketch — after a full drain in complete mode the cells equal
+    the batch cms_build on the same rows."""
+    from didtool_spark.operators.sketches import cms_build
+    from didtool_spark.streaming.stream import (
+        read_transcript_stream, streaming_cms,
+    )
+
+    src, _ = stream_dirs
+    stream = read_transcript_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        streaming_cms(stream, "role", width=64, depth=3)
+        .writeStream.format("memory")
+        .queryName("cms_live")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("cms_live").toPandas()
+        .sort_values(["j", "bucket"]).reset_index(drop=True)
+    )
+    exp = (
+        cms_build(spark.read.parquet(src), "role", width=64, depth=3)
+        .toPandas().sort_values(["j", "bucket"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    assert got.n.sum() > 0
