@@ -31,7 +31,45 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cuped_adjust", "ate_strata"]
+__all__ = ["cuped_adjust", "ate_strata", "welch_t"]
+
+
+def welch_t(
+    df: DataFrame,
+    treat_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic for the
+    treated-vs-control outcome difference — the significance companion
+    to ``ate_strata``'s effect size.  ONE aggregation pass; output is
+    a single row: per-arm n/mean/var (sample variance), the mean
+    difference, its standard error, the t statistic, and the
+    Welch-Satterthwaite degrees of freedom.  The p-value needs the
+    t CDF — left to the caller (scipy when available); at the df this
+    produces on real data, |t| > 1.96 reads as p < 0.05.
+    """
+    t_ = F.col(treat_col)
+    agg = df.agg(
+        F.sum(t_.cast("long")).alias("n_t"),
+        F.sum((~t_).cast("long")).alias("n_c"),
+        F.avg(F.when(t_, F.col(y_col))).alias("mean_t"),
+        F.avg(F.when(~t_, F.col(y_col))).alias("mean_c"),
+        F.var_samp(F.when(t_, F.col(y_col))).alias("var_t"),
+        F.var_samp(F.when(~t_, F.col(y_col))).alias("var_c"),
+    )
+    vt_n = F.col("var_t") / F.col("n_t")
+    vc_n = F.col("var_c") / F.col("n_c")
+    se = F.sqrt(vt_n + vc_n)
+    dof = (vt_n + vc_n) * (vt_n + vc_n) / (
+        vt_n * vt_n / (F.col("n_t") - 1) + vc_n * vc_n / (F.col("n_c") - 1)
+    )
+    return agg.select(
+        "n_t", "n_c", "mean_t", "mean_c", "var_t", "var_c",
+        (F.col("mean_t") - F.col("mean_c")).alias("diff"),
+        se.alias("std_err"),
+        ((F.col("mean_t") - F.col("mean_c")) / se).alias("t_stat"),
+        dof.alias("dof"),
+    )
 
 
 def cuped_adjust(

@@ -594,3 +594,73 @@ def with_cusum(
             | (F.col(f"{value_col}_cusum_neg") > F.lit(float(threshold))),
         )
     return out
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    keys: Sequence[str] | str = (),
+    grain: str = "hour",
+    period: int = 24,
+) -> DataFrame:
+    """Classical additive decomposition y = trend + seasonal + residual
+    over the ``grain``-bucketed series (avg of ``value_col`` per
+    bucket), optionally per key.
+
+    - trend: symmetric moving average over ``2*(period//2) + 1``
+      buckets (the simplified odd-window form of the textbook 2xm MA;
+      partial windows at the series edges average what exists);
+    - seasonal: per season-index mean of the detrended series
+      (index = bucket ordinal mod period), centered so the seasonal
+      components sum to ~0 — the additive identity holds exactly:
+      residual = y - trend - seasonal;
+    - residual: what is left — the anomaly signal.
+
+    Scale note: every window here runs over the AGGREGATED bucket
+    series — bounded by time-range / granularity (8,760 rows per
+    key-year at hourly), never by event count; the same
+    small-after-reduction argument as survival.kaplan_meier.  The raw
+    stream is touched exactly once (the bucket groupBy, map-side
+    combined).
+    """
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    m = int(period) // 2
+
+    series = (
+        df.groupBy(
+            *keys_l, F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts")
+        )
+        .agg(F.avg(value_col).alias("y"))
+    )
+    part = (
+        Window.partitionBy(*keys_l)
+        if keys_l
+        else Window.partitionBy(F.lit(1))
+    )
+    w_ord = part.orderBy("bucket_ts")
+    series = series.withColumn(
+        "__ord", F.row_number().over(w_ord) - 1
+    ).withColumn("season_idx", F.pmod(F.col("__ord"), F.lit(int(period))))
+    trend = F.avg("y").over(w_ord.rowsBetween(-m, m))
+    series = series.withColumn("trend", trend).withColumn(
+        "__det", F.col("y") - F.col("trend")
+    )
+    w_season = (
+        Window.partitionBy(*keys_l, "season_idx")
+        if keys_l
+        else Window.partitionBy("season_idx")
+    )
+    raw_seasonal = F.avg("__det").over(w_season)
+    series = series.withColumn("__rs", raw_seasonal)
+    grand = F.avg("__rs").over(part)
+    return (
+        series.withColumn("seasonal", F.col("__rs") - grand)
+        .withColumn(
+            "residual", F.col("y") - F.col("trend") - F.col("seasonal")
+        )
+        .select(
+            *keys_l, "bucket_ts", "season_idx", "y", "trend", "seasonal",
+            "residual",
+        )
+    )

@@ -2571,6 +2571,116 @@ FROM ranked
 """
 
 
+def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (operators/ts_features.py
+    seasonal_decompose): hourly value series into trend (25-bucket
+    symmetric MA), hour-of-series seasonal component and residual —
+    every window over the aggregated bucket series (bounded by time
+    range, not event count); the oracle replays the identical window
+    chain."""
+    from ..operators.ts_features import seasonal_decompose
+
+    ev = load(spark, sf_dir, "events")
+    out = seasonal_decompose(
+        ev, "value", ts_col="ts", grain="hour", period=24
+    )
+    return out.select(
+        (F.unix_micros(F.col("bucket_ts").cast("timestamp"))
+         / F.lit(1_000_000)).cast("long").alias("bucket_s"),
+        "season_idx",
+        F.round("y", 6).alias("y"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("residual", 6).alias("residual"),
+    )
+
+
+SQL_SEASONAL = """
+WITH s AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, avg(value) AS y
+  FROM events GROUP BY 1
+),
+o AS (
+  SELECT *, row_number() OVER (ORDER BY bucket_ts) - 1 AS ord FROM s
+),
+t AS (
+  SELECT *, CAST(ord % 24 AS INT) AS season_idx,
+         avg(y) OVER (ORDER BY bucket_ts
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+  FROM o
+),
+r AS (SELECT *, avg(y - trend) OVER (PARTITION BY season_idx) AS rs FROM t),
+g AS (SELECT *, avg(rs) OVER () AS grand FROM r)
+SELECT CAST(epoch_us(bucket_ts) / 1000000 AS BIGINT) AS bucket_s,
+       season_idx,
+       round(y, 6) AS y,
+       round(trend, 6) AS trend,
+       round(rs - grand, 6) AS seasonal,
+       round(y - trend - (rs - grand), 6) AS residual
+FROM g
+"""
+
+
+def q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic (operators/causal.py welch_t) on per-user
+    outcomes under the md5-deterministic arm assignment — one
+    aggregation pass, single-row output."""
+    from ..operators.causal import welch_t
+
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.avg("value").alias("y"))
+    per = per.select(
+        "y",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16, 10,
+            ).cast("long") % 2 == 0
+        ).alias("treat"),
+    )
+    out = welch_t(per, "treat", "y")
+    return out.select(
+        "n_t", "n_c",
+        F.round("mean_t", 6).alias("mean_t"),
+        F.round("mean_c", 6).alias("mean_c"),
+        F.round("var_t", 6).alias("var_t"),
+        F.round("var_c", 6).alias("var_c"),
+        F.round("diff", 6).alias("diff"),
+        F.round("std_err", 6).alias("std_err"),
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("dof", 6).alias("dof"),
+    )
+
+
+SQL_WELCH_T = """
+WITH per AS (
+  SELECT avg(value) AS y,
+         (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+            % 2 = 0) AS treat
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT sum(CASE WHEN treat THEN 1 ELSE 0 END) AS n_t,
+         sum(CASE WHEN treat THEN 0 ELSE 1 END) AS n_c,
+         avg(CASE WHEN treat THEN y END) AS mean_t,
+         avg(CASE WHEN NOT treat THEN y END) AS mean_c,
+         var_samp(CASE WHEN treat THEN y END) AS var_t,
+         var_samp(CASE WHEN NOT treat THEN y END) AS var_c
+  FROM per
+)
+SELECT n_t, n_c, round(mean_t, 6) AS mean_t, round(mean_c, 6) AS mean_c,
+       round(var_t, 6) AS var_t, round(var_c, 6) AS var_c,
+       round(mean_t - mean_c, 6) AS diff,
+       round(sqrt(var_t / n_t + var_c / n_c), 6) AS std_err,
+       round((mean_t - mean_c) / sqrt(var_t / n_t + var_c / n_c), 6)
+         AS t_stat,
+       round(pow(var_t / n_t + var_c / n_c, 2)
+             / (pow(var_t / n_t, 2) / (n_t - 1)
+                + pow(var_c / n_c, 2) / (n_c - 1)), 6) AS dof
+FROM a
+"""
+
+
 QUERIES = {
     "sessionize": q_sessionize,
     "user_rollup": q_user_rollup,
@@ -2629,6 +2739,8 @@ QUERIES = {
     "ate_strata": q_ate_strata,
     "rfm": q_rfm,
     "pareto": q_pareto,
+    "seasonal": q_seasonal,
+    "welch_t": q_welch_t,
 }
 
 ORACLES = {
@@ -2689,4 +2801,6 @@ ORACLES = {
     "ate_strata": SQL_ATE_STRATA,
     "rfm": SQL_RFM,
     "pareto": SQL_PARETO,
+    "seasonal": SQL_SEASONAL,
+    "welch_t": SQL_WELCH_T,
 }

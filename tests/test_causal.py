@@ -126,3 +126,27 @@ def test_ate_strata_empty_arm_excluded(spark):
     overall = out[out.stratum == "__all__"].iloc[0]
     assert overall.n == 2  # only the identified stratum
     assert abs(overall.effect - 1.0) < 1e-12
+
+
+def test_welch_t_matches_numpy(spark):
+    n_t, n_c = 120, 80
+    yt = RNG.normal(1.0, 2.0, n_t)
+    yc = RNG.normal(0.2, 1.0, n_c)
+    pdf = pd.DataFrame(
+        {"t": [True] * n_t + [False] * n_c, "y": np.r_[yt, yc]}
+    )
+    from didtool_spark.operators.causal import welch_t
+
+    out = welch_t(spark.createDataFrame(pdf), "t", "y").toPandas().iloc[0]
+    vt, vc = yt.var(ddof=1), yc.var(ddof=1)
+    se = np.sqrt(vt / n_t + vc / n_c)
+    t_ref = (yt.mean() - yc.mean()) / se
+    dof_ref = (vt / n_t + vc / n_c) ** 2 / (
+        (vt / n_t) ** 2 / (n_t - 1) + (vc / n_c) ** 2 / (n_c - 1)
+    )
+    assert out.n_t == n_t and out.n_c == n_c
+    assert abs(out.t_stat - t_ref) < 1e-9
+    assert abs(out.dof - dof_ref) < 1e-6
+    assert abs(out["diff"] - (yt.mean() - yc.mean())) < 1e-9
+    # a real 0.8-sigma effect at n=200 is highly significant
+    assert out.t_stat > 2.5

@@ -402,3 +402,65 @@ def test_cusum_bucketed_equals_window(spark):
         .toPandas().sort_values(["k", "i"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-9, rtol=1e-9)
+
+
+def test_seasonal_decompose_identity_and_signal(spark):
+    """Additive identity holds exactly; a planted hour-of-day signal is
+    recovered in the seasonal component; trend tracks a linear drift."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from didtool_spark.operators.ts_features import seasonal_decompose
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(24 * 20):  # 20 days of hourly values
+        season = 10.0 * np.sin(2 * np.pi * (h % 24) / 24)
+        trend = 0.05 * h
+        rows.append((t0 + dt.timedelta(hours=h), trend + season))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "value"]))
+    out = (
+        seasonal_decompose(df, "value", ts_col="ts", grain="hour", period=24)
+        .toPandas()
+        .sort_values("bucket_ts")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 24 * 20
+    # exact additive identity
+    np.testing.assert_allclose(
+        out.y, out.trend + out.seasonal + out.residual, atol=1e-9
+    )
+    # seasonal component recovers the sine shape (interior hours)
+    mid = out.iloc[48:-48]
+    by_idx = mid.groupby("season_idx").seasonal.mean()
+    expect = 10.0 * np.sin(2 * np.pi * np.arange(24) / 24)
+    assert np.corrcoef(by_idx.reindex(range(24)), expect)[0, 1] > 0.99
+    # residuals are tiny for a noise-free series (away from the edges)
+    assert mid.residual.abs().median() < 0.5
+    # trend is increasing overall
+    assert out.trend.iloc[-13] > out.trend.iloc[12]
+
+
+def test_seasonal_decompose_per_key(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from didtool_spark.operators.ts_features import seasonal_decompose
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for k, level in (("a", 0.0), ("b", 100.0)):
+        for h in range(48):
+            rows.append((k, t0 + dt.timedelta(hours=h), level + h % 24))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "ts", "value"])
+    )
+    out = seasonal_decompose(
+        df, "value", ts_col="ts", keys="k", grain="hour", period=24
+    ).toPandas()
+    assert set(out.k) == {"a", "b"}
+    # levels stay separated per key in the trend
+    assert out[out.k == "b"].trend.min() > out[out.k == "a"].trend.max()
