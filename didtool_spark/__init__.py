@@ -146,8 +146,11 @@ from .operators.scd import scd2_compress, snapshot_latest  # noqa: F401
 # Kaplan-Meier survival curves over censored durations
 from .operators.survival import kaplan_meier  # noqa: F401
 
-# experiment analytics: CUPED adjustment, post-stratified ATE
-from .operators.causal import ate_strata, cuped_adjust  # noqa: F401
+# experiment analytics: CUPED adjustment, post-stratified ATE, Welch t
+from .operators.causal import ate_strata, cuped_adjust, welch_t  # noqa: F401
+
+# additive seasonal decomposition over bucketed series
+from .operators.ts_features import seasonal_decompose  # noqa: F401
 
 # entity-value segmentation: RFM NTILE scores, Pareto concentration
 from .operators.segments import pareto_curve, rfm_segments  # noqa: F401
