@@ -77,8 +77,8 @@ GATE_PRIORITY: list[str] = [
     # interval_join, plus the session-8 additions scd2, snapshot,
     # kaplan_meier, cuped, ate_strata, rfm, pareto, cms_topk,
     # readability, random_projection, fuzzy_pairs, pagerank,
-    # weighted_sample, attribution, seasonal, welch_t) is round 5's
-    # window.  All queries outside the window stay guarded by
+    # weighted_sample, attribution, seasonal, welch_t,
+    # entity_resolution) is round 5's window.  All queries outside the window stay guarded by
     # scripts/check_oracle.py full-registry local replays.)
 ]
 

@@ -3156,6 +3156,82 @@ FROM j
 """
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy pairs
+    (operators/linkage.py) -> connected components (operators/dedup.py
+    — the same alternating-star/driver-union-find machinery the
+    near-dup clusters use) -> one golden row per entity (min-id
+    canonical, min_by name).  The composition a real master-data
+    pipeline runs; the oracle replays blocking + levenshtein + a
+    recursive-CTE closure + arg_min."""
+    from ..operators.dedup import connected_components
+    from ..operators.linkage import fuzzy_pairs
+
+    cust = load(spark, sf_dir, "customer")
+    pairs = fuzzy_pairs(
+        cust, "c_custkey", "c_name", max_dist=2, prefix_len=16,
+        length_bucket=4,
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    ent = (
+        cust.join(cc, cust["c_custkey"] == cc["id"], "left")
+        .select(
+            F.coalesce(F.col("component"), F.col("c_custkey")).alias(
+                "entity_id"
+            ),
+            F.col("c_custkey").alias("member_id"),
+            "c_name",
+        )
+    )
+    return ent.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min_by("c_name", "member_id").alias("canonical_name"),
+    )
+
+
+SQL_ENTITY_RESOLUTION = """
+WITH RECURSIVE b AS (
+  SELECT c_custkey AS id, c_name,
+         regexp_replace(trim(lower(c_name)), '\\s+', ' ', 'g') AS nrm
+  FROM customer
+),
+k AS (
+  SELECT *, substr(nrm, 1, 16) AS pfx,
+         CAST(floor(length(nrm) / 4.0) AS INT) AS lb
+  FROM b
+),
+sizes AS (SELECT pfx, lb, count(*) AS bn FROM k GROUP BY pfx, lb),
+kk AS (
+  SELECT k.* FROM k JOIN sizes USING (pfx, lb) WHERE sizes.bn <= 10000
+),
+pairs AS (
+  SELECT a.id AS id_a, b2.id AS id_b
+  FROM kk a JOIN kk b2
+    ON a.pfx = b2.pfx AND a.lb = b2.lb AND a.id < b2.id
+  WHERE levenshtein(a.nrm, b2.nrm) <= 2
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(id, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+),
+cc AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+ent AS (
+  SELECT coalesce(cc.component, b.id) AS entity_id, b.id AS member_id,
+         b.c_name
+  FROM b LEFT JOIN cc ON cc.id = b.id
+)
+SELECT entity_id, count(*) AS n_members,
+       arg_min(c_name, member_id) AS canonical_name
+FROM ent GROUP BY entity_id
+"""
+
+
 PIPELINE_QUERIES = {
     "text_features": q_text_features,
     "lang_id": q_lang_id,
@@ -3214,6 +3290,7 @@ PIPELINE_QUERIES = {
     "pagerank": q_pagerank,
     "weighted_sample": q_weighted_sample,
     "attribution": q_attribution,
+    "entity_resolution": q_entity_resolution,
 }
 
 PIPELINE_ORACLES = {
@@ -3276,4 +3353,5 @@ PIPELINE_ORACLES = {
     "pagerank": SQL_PAGERANK,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "attribution": SQL_ATTRIBUTION,
+    "entity_resolution": SQL_ENTITY_RESOLUTION,
 }

@@ -66,3 +66,38 @@ def test_fuzzy_pairs_custom_blocking(spark):
     ).toPandas()
     pairs = set(zip(out.id_a, out.id_b))
     assert (1, 7) in pairs
+
+
+def test_entity_resolution_composition(spark):
+    """fuzzy_pairs -> connected_components -> golden record: typo
+    variants collapse to one entity with the min-id canonical name;
+    untouched records stay singletons."""
+    import pandas as pd
+
+    from didtool_spark.operators.dedup import connected_components
+
+    rows = [
+        (1, "Acme Corp"), (2, "Acme Corp."), (3, "ACME  corp"),
+        (4, "Zenith Ltd"), (5, "Wholly Different Name"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "name"]))
+    pairs = fuzzy_pairs(
+        df, "id", "name", max_dist=2, prefix_len=3
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    ent = (
+        df.join(cc, df["id"] == cc["id"], "left")
+        .select(
+            F.coalesce(F.col("component"), df["id"]).alias("e"),
+            df["id"].alias("m"), "name",
+        )
+    )
+    got = (
+        ent.groupBy("e")
+        .agg(F.count(F.lit(1)).alias("n"), F.min_by("name", "m").alias("c"))
+        .toPandas()
+        .set_index("e")
+        .sort_index()
+    )
+    assert got.loc[1, "n"] == 3 and got.loc[1, "c"] == "Acme Corp"
+    assert got.loc[4, "n"] == 1 and got.loc[5, "n"] == 1
