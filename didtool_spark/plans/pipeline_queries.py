@@ -3168,10 +3168,13 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.linkage import fuzzy_pairs
 
     cust = load(spark, sf_dir, "customer")
+    # persist the candidate pairs: connected_components executes its
+    # input for the edge count AND the collect/iteration — without the
+    # cache the blocked levenshtein join would run three times
     pairs = fuzzy_pairs(
         cust, "c_custkey", "c_name", max_dist=2, prefix_len=16,
         length_bucket=4,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     cc = connected_components(pairs)
     ent = (
         cust.join(cc, cust["c_custkey"] == cc["id"], "left")
