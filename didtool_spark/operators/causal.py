@@ -99,11 +99,21 @@ def cuped_adjust(
     ).otherwise(F.lit(0.0))
     stats = stats.select(*kl, theta.alias("theta"), "__mx")
 
-    joined = (
-        df.join(F.broadcast(stats), kl)
-        if kl
-        else df.crossJoin(F.broadcast(stats))
-    )
+    if kl:
+        # null-safe equi-join: a NULL key slice is a real slice (it got
+        # its own stats row from the groupBy) and must not be dropped
+        stats_r = stats.select(
+            *[F.col(k).alias(f"__k_{k}") for k in kl], "theta", "__mx"
+        )
+        cond = None
+        for k in kl:
+            c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(stats_r), cond).drop(
+            *[f"__k_{k}" for k in kl]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
     adj = F.when(
         F.col(x_col).isNotNull(),
         F.col(y_col) - F.col("theta") * (F.col(x_col) - F.col("__mx")),
@@ -125,7 +135,9 @@ def ate_strata(
     empty — an empty-arm stratum has no identified effect and is
     excluded from the overall weighting).  The ``all_label`` row
     carries the stratum-size-weighted overall ATE over identified
-    strata and the pooled counts.
+    strata and the pooled counts; the boolean ``is_overall`` column is
+    the unambiguous marker (a data stratum could legitimately be the
+    string ``__all__`` — filter on ``is_overall``, not the label).
     """
     cells = df.groupBy(F.col(stratum_col).cast("string").alias("stratum")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -135,6 +147,7 @@ def ate_strata(
     )
     cells = cells.select(
         "stratum",
+        F.lit(False).alias("is_overall"),
         "n",
         "n_treat",
         (F.col("n_treat") / F.col("n")).alias("p_treat"),
@@ -156,6 +169,7 @@ def ate_strata(
         )
         .select(
             F.lit(all_label).alias("stratum"),
+            F.lit(True).alias("is_overall"),
             "n", "n_treat", "p_treat", "mean_t", "mean_c", "effect",
         )
     )

@@ -114,4 +114,11 @@ def pagerank(
         ranks = linked.unionByName(isolated)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+    # one final eager checkpoint makes the result independent of the
+    # cached helper tables, so they can be released immediately — a
+    # long-lived session calling pagerank repeatedly must not
+    # accumulate five cached relations per call
+    ranks = ranks.localCheckpoint(eager=True)
+    for cached in (e, nodes, ej, dangling, zero_in):
+        cached.unpersist()
     return ranks

@@ -50,29 +50,51 @@ def fuzzy_pairs(
 ) -> DataFrame:
     """Pairs ``(id_a, id_b, text_a, text_b, dist)`` with
     ``levenshtein(norm_a, norm_b) <= max_dist``, compared only inside
-    blocks.  Default blocking key: (normalized prefix, floor(len /
-    length_bucket)) — records whose lengths differ by more than
-    ``max_dist`` can never match, so coarse length bucketing is a
-    near-free pair cut.  ``block_exprs`` overrides the key entirely
-    (pass several calls' unions for multi-pass blocking).
+    blocks.  Default blocking key: (normalized prefix, length bucket).
+    Length bucketing is LOSS-FREE for the edit-distance bound: each
+    record is emitted under its own bucket AND the next one, and a
+    pair is kept at the greater of the two buckets — since
+    ``length_bucket >= max_dist`` is enforced, two strings within
+    ``max_dist`` edits differ by at most one bucket and always meet.
+    (Prefix blocking remains the recall trade: early-character typos
+    land in different prefix blocks; ``block_exprs`` overrides the key
+    entirely — pass several calls' unions for multi-pass blocking.)
     """
+    if length_bucket and block_exprs is None and length_bucket < max_dist:
+        raise ValueError(
+            "length_bucket must be >= max_dist (buckets could otherwise "
+            f"differ by more than one): {length_bucket} < {max_dist}"
+        )
     # the key is computed BEFORE the narrowing select so custom
     # block_exprs may reference any input column (or "__norm")
     base = df.withColumn("__norm", normalize_name(text_col))
+    use_lb = block_exprs is None and bool(length_bucket)
     if block_exprs is not None:
-        key = F.struct(*block_exprs)
+        base = base.withColumn("__bk", F.struct(*block_exprs))
     else:
-        parts = [F.substring("__norm", 1, prefix_len)]
-        if length_bucket:
-            parts.append(
-                F.floor(F.length("__norm") / F.lit(length_bucket)).cast("int")
+        base = base.withColumn(
+            "__pfx", F.substring("__norm", 1, prefix_len)
+        )
+        if use_lb:
+            base = base.withColumn(
+                "__lb",
+                F.floor(F.length("__norm") / F.lit(length_bucket)).cast("int"),
+            ).withColumn(
+                # emit under own bucket and the next: the boundary-
+                # straddling pair meets at the greater bucket
+                "__jk",
+                F.explode(F.array(F.col("__lb"), F.col("__lb") + 1)),
             )
-        key = F.struct(*parts)
-    blocked = base.withColumn("__bk", key).select(
+            base = base.withColumn("__bk", F.struct("__pfx", "__jk"))
+        else:
+            base = base.withColumn("__bk", F.struct("__pfx"))
+    lb_cols = ["__lb"] if use_lb else []
+    blocked = base.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
         "__norm",
         "__bk",
+        *lb_cols,
     )
 
     # map-side hot-block bound: count once, drop degenerate blocks
@@ -86,17 +108,25 @@ def fuzzy_pairs(
         F.col("id").alias("id_a"),
         F.col("text").alias("text_a"),
         F.col("__norm").alias("__na"),
+        *[F.col(c).alias(f"{c}_a") for c in lb_cols],
     )
     b = blocked.select(
         F.col("__bk"),
         F.col("id").alias("id_b"),
         F.col("text").alias("text_b"),
         F.col("__norm").alias("__nb"),
+        *[F.col(c).alias(f"{c}_b") for c in lb_cols],
     )
+    out = a.join(b, "__bk").where(F.col("id_a") < F.col("id_b"))
+    if use_lb:
+        # dedupe the double emission: keep each pair only at the
+        # greater of its two buckets
+        out = out.where(
+            F.col("__bk.__jk")
+            == F.greatest(F.col("__lb_a"), F.col("__lb_b"))
+        )
     return (
-        a.join(b, "__bk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("__na", "__nb"))
+        out.withColumn("dist", F.levenshtein("__na", "__nb"))
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "text_a", "text_b", "dist")
     )

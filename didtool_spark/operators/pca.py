@@ -52,7 +52,14 @@ def pca_fit(df: DataFrame, col: str, k: int) -> PCAModel:
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.stack(pdf[col].to_numpy()).astype(np.float64)
+            try:
+                x = np.stack(pdf[col].to_numpy()).astype(np.float64)
+            except ValueError as e:  # ragged lengths -> clear message
+                lens = sorted({len(v) for v in pdf[col]})
+                raise ValueError(
+                    f"pca_fit: embedding lengths are ragged ({lens}); "
+                    "all vectors must share one dimension"
+                ) from e
             n += x.shape[0]
             s = x.sum(0) if s is None else s + x.sum(0)
             gg = x.T @ x
@@ -62,9 +69,14 @@ def pca_fit(df: DataFrame, col: str, k: int) -> PCAModel:
                 {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
-    parts = df.select(F.col(col).cast("array<double>").alias(col)).mapInPandas(
-        partials, "n long, s array<double>, g array<double>"
-    ).collect()
+    # NULL embeddings carry no information for the moments — drop them
+    # BEFORE the Arrow boundary (np.stack would die opaquely on None)
+    parts = (
+        df.select(F.col(col).cast("array<double>").alias(col))
+        .where(F.col(col).isNotNull())
+        .mapInPandas(partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )
     if not parts:
         raise ValueError("pca_fit: empty input")
     n = sum(r["n"] for r in parts)

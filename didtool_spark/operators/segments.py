@@ -39,90 +39,11 @@ from ..functions.binexpr import bin_expr
 __all__ = ["rfm_segments", "pareto_curve"]
 
 
-def _global_rank(
-    per: DataFrame,
-    value_col: str,
-    tiebreak: Sequence[str],
-    descending: bool = False,
-    n_buckets: int = 64,
-    sum_col: str | None = None,
-    rank_name: str = "__rank",
-    cum_name: str = "__cum",
-) -> tuple[DataFrame, int]:
-    """Dense global ``row_number`` over (value, *tiebreak) without a
-    single-partition sort.  Returns (df + rank [+ cumulative sum of
-    ``sum_col``], total row count)."""
-    v = F.col(value_col).cast("double")
-    v = (-v) if descending else v
-    per = per.withColumn("__v", v)
-
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    aggs = [
-        F.expr(
-            f"percentile(__v, array({', '.join(str(p) for p in probs)}))"
-        ).alias("__edges"),
-        F.count(F.lit(1)).alias("__n"),
-    ]
-    row = per.agg(*aggs).first()
-    edges = sorted({float(e) for e in (row["__edges"] or []) if e is not None})
-    total = int(row["__n"])
-
-    b = per.withColumn(
-        "__bk", bin_expr(F.col("__v"), [-math.inf, *edges, math.inf], nan_value=0)
-    )
-    w_in = Window.partitionBy("__bk").orderBy("__v", *tiebreak)
-    b = b.withColumn("__rn", F.row_number().over(w_in))
-    if sum_col is not None:
-        b = b.withColumn(
-            "__cs",
-            F.sum(sum_col).over(
-                w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-
-    # exclusive running offsets over the <= n_buckets bucket stats:
-    # collected to the driver (it is fit-sized state, like the edges)
-    # and inlined as a literal bucket -> offset map — one pure
-    # expression instead of a single-partition window + broadcast
-    # join, which cost two extra exchanges per rank pass
-    stats = (
-        b.groupBy("__bk")
-        .agg(
-            F.count(F.lit(1)).alias("__bn"),
-            *([F.sum(sum_col).alias("__bs")] if sum_col is not None else []),
-        )
-        .collect()
-    )
-    stats.sort(key=lambda r: r["__bk"])
-    off_n: dict[int, int] = {}
-    off_s: dict[int, float] = {}
-    cn, cs = 0, 0.0
-    for r in stats:
-        off_n[r["__bk"]] = cn
-        cn += r["__bn"]
-        if sum_col is not None:
-            off_s[r["__bk"]] = cs
-            cs += r["__bs"]
-
-    def lit_map(d, cast_t):
-        pairs = []
-        for kk, vv in d.items():
-            pairs += [F.lit(int(kk)), F.lit(vv).cast(cast_t)]
-        return F.create_map(*pairs) if pairs else F.create_map()
-
-    b = b.withColumn(
-        rank_name,
-        F.element_at(lit_map(off_n, "long"), F.col("__bk"))
-        + F.col("__rn"),
-    )
-    if sum_col is not None:
-        b = b.withColumn(
-            cum_name,
-            F.element_at(lit_map(off_s, "double"), F.col("__bk"))
-            + F.col("__cs"),
-        )
-    drop = ["__v", "__bk", "__rn"] + (["__cs"] if sum_col is not None else [])
-    return b.drop(*drop), total
+def _lit_map(d: dict, cast_t: str):
+    pairs = []
+    for kk, vv in d.items():
+        pairs += [F.lit(int(kk)), F.lit(vv).cast(cast_t)]
+    return F.create_map(*pairs) if pairs else F.create_map()
 
 
 def _global_ranks(
@@ -130,13 +51,28 @@ def _global_ranks(
     specs: Sequence[tuple[str, bool, str]],
     tiebreak: Sequence[str],
     n_buckets: int = 64,
+    approx: bool = False,
+    sum_col: str | None = None,
+    cum_name: str = "__cum",
 ) -> tuple[DataFrame, int]:
-    """Several dense global ranks over one table in TWO driver actions
-    total (one combined percentile fit, one combined bucket-stat
-    collect via a metric-exploded groupBy) — the multi-metric form of
-    ``_global_rank`` for callers like RFM that rank the same rows
-    three ways; per-metric actions would pay the job overhead 2x per
-    metric."""
+    """Dense global ranks (one per spec ``(value_col, descending,
+    rank_name)``) over one table in TWO driver actions total: one
+    combined percentile fit, one combined bucket-stat collect via a
+    metric-exploded groupBy.  NULL/NaN values rank LAST in either
+    direction (both engines' SQL default): they take a dedicated
+    bucket after every value bucket, ordered by the tiebreak alone.
+
+    ``approx=True`` swaps the exact ``percentile`` fit for
+    ``percentile_approx`` — the 100 TB path: exact percentile buffers
+    every distinct value in the aggregation state, approx is
+    fixed-memory; edges only PLACE the buckets (ranks are re-based by
+    real per-bucket counts), so approximation costs balance, never
+    correctness.  ``sum_col`` (single-spec callers like pareto_curve)
+    additionally emits ``cum_name`` = the running sum down the first
+    spec's ranking.
+    """
+    if sum_col is not None and len(specs) != 1:
+        raise ValueError("sum_col requires exactly one spec")
     vs = []
     for i, (col, desc, _name) in enumerate(specs):
         v = F.col(col).cast("double")
@@ -144,9 +80,11 @@ def _global_ranks(
         vs.append(f"__v{i}")
 
     probs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    fit_fn = "percentile_approx" if approx else "percentile"
+    fit_extra = ", 10000" if approx else ""
     row = per.agg(
         *[
-            F.expr(f"percentile({v}, array({probs}))").alias(f"__e{i}")
+            F.expr(f"{fit_fn}({v}, array({probs}){fit_extra})").alias(f"__e{i}")
             for i, v in enumerate(vs)
         ],
         F.count(F.lit(1)).alias("__n"),
@@ -158,9 +96,19 @@ def _global_ranks(
         )
         per = per.withColumn(
             f"__bk{i}",
-            bin_expr(F.col(v), [-math.inf, *edges, math.inf], nan_value=0),
+            # NULLS LAST: dedicated bucket after every value bucket
+            bin_expr(
+                F.col(v),
+                [-math.inf, *edges, math.inf],
+                nan_value=len(edges) + 1,
+            ),
         )
 
+    sval = (
+        F.coalesce(F.col(sum_col).cast("double"), F.lit(0.0))
+        if sum_col is not None
+        else F.lit(0.0)
+    )
     stats = (
         per.select(
             F.explode(
@@ -172,31 +120,66 @@ def _global_ranks(
                         for i in range(len(specs))
                     ]
                 )
-            ).alias("s")
+            ).alias("s"),
+            sval.alias("__sv"),
         )
         .groupBy(F.col("s.m").alias("m"), F.col("s.bk").alias("bk"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__sv").alias("sv"))
         .collect()
     )
     offs: list[dict[int, int]] = [dict() for _ in specs]
+    soffs: dict[int, float] = {}
     for i in range(len(specs)):
         rows = sorted((r for r in stats if r["m"] == i), key=lambda r: r["bk"])
-        c = 0
+        c, cs = 0, 0.0
         for r in rows:
             offs[i][r["bk"]] = c
             c += r["n"]
+            if sum_col is not None and i == 0:
+                soffs[r["bk"]] = cs
+                cs += r["sv"]
 
     for i, (_col, _desc, name) in enumerate(specs):
         w = Window.partitionBy(f"__bk{i}").orderBy(f"__v{i}", *tiebreak)
-        pairs = []
-        for kk, vv in offs[i].items():
-            pairs += [F.lit(int(kk)), F.lit(vv).cast("long")]
-        omap = F.create_map(*pairs) if pairs else F.create_map()
         per = per.withColumn(
             name,
-            F.element_at(omap, F.col(f"__bk{i}")) + F.row_number().over(w),
+            F.element_at(_lit_map(offs[i], "long"), F.col(f"__bk{i}"))
+            + F.row_number().over(w),
         )
+        if sum_col is not None and i == 0:
+            per = per.withColumn(
+                cum_name,
+                F.element_at(_lit_map(soffs, "double"), F.col("__bk0"))
+                + F.sum(sum_col).over(
+                    w.rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ),
+            )
     return per.drop(*vs, *[f"__bk{i}" for i in range(len(specs))]), total
+
+
+def _global_rank(
+    per: DataFrame,
+    value_col: str,
+    tiebreak: Sequence[str],
+    descending: bool = False,
+    n_buckets: int = 64,
+    sum_col: str | None = None,
+    rank_name: str = "__rank",
+    cum_name: str = "__cum",
+    approx: bool = False,
+) -> tuple[DataFrame, int]:
+    """Single-metric convenience wrapper over ``_global_ranks``."""
+    return _global_ranks(
+        per,
+        [(value_col, descending, rank_name)],
+        tiebreak,
+        n_buckets=n_buckets,
+        approx=approx,
+        sum_col=sum_col,
+        cum_name=cum_name,
+    )
 
 
 def _ntile_from_rank(rank: Column, total: int, n: int) -> Column:
@@ -220,6 +203,7 @@ def rfm_segments(
     amount_col: str = "o_totalprice",
     n: int = 5,
     asof: str | None = None,
+    approx: bool = False,
 ) -> DataFrame:
     """Per-entity RFM table: ``recency_days`` (days from last activity
     to ``asof``, default the corpus max date), ``frequency`` (rows),
@@ -230,6 +214,11 @@ def rfm_segments(
     Scores replicate ``NTILE(n) OVER (ORDER BY recency_days DESC, key)``
     (resp. frequency/monetary ASC) — deterministic under ties via the
     key tiebreak, and exactly what the SQL oracle runs.
+
+    The per-entity table is persisted for the duration of the plan
+    (one row per entity — bounded; it feeds the rank fit actions and
+    the final plan).  Long-lived sessions can release it by
+    unpersisting through ``spark.catalog.clearCache`` between calls.
     """
     per = df.groupBy(F.col(key).alias("key")).agg(
         F.max(ts_col).alias("__last"),
@@ -270,6 +259,7 @@ def rfm_segments(
             ("__mon_q", False, "__rk_m"),
         ],
         tiebreak=["key"],
+        approx=approx,
     )
     per = per.drop("__mon_q")
     per = (
@@ -308,6 +298,7 @@ def pareto_curve(
     key: str,
     amount_col: str,
     n_buckets: int = 64,
+    approx: bool = False,
 ) -> DataFrame:
     """Revenue-concentration curve: per entity, its total, global rank
     by total DESC (key ASC tie-break), and the cumulative share of the
@@ -331,6 +322,7 @@ def pareto_curve(
         sum_col="amount",
         rank_name="rank",
         cum_name="__cum",
+        approx=approx,
     )
     per = per.drop("__amt_q")
     grand = per.agg(F.sum("amount").alias("__g"))

@@ -100,33 +100,53 @@ def cms_query(
 ) -> DataFrame:
     """``items`` + ``est_col``: the CMS frequency estimate per row's
     ``item_col`` (min over the depth counters; absent counter = 0).
-    The sketch is broadcast — the probe never shuffles."""
-    probes = items.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _cms_bucket(F.col(item_col), j, width, hash_fn).alias(
-                            "bucket"
-                        ),
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ).alias("__p"),
+    Estimates are computed once per DISTINCT item value and joined
+    back, so duplicate probe rows and arbitrary extra columns
+    (including ones named j/bucket/n) pass through untouched; rows
+    with a NULL item get a NULL estimate (the sketch never counted
+    them).  The sketch is broadcast — the probe never shuffles beyond
+    the distinct."""
+    if est_col in items.columns:
+        raise ValueError(f"items already has a column named {est_col!r}")
+    sk = sketch.select(
+        F.col("j").alias("__cms_j"),
+        F.col("bucket").alias("__cms_b"),
+        F.col("n").alias("__cms_n"),
     )
-    probes = probes.select(
-        *items.columns,
-        F.col("__p.j").alias("__pj"),
-        F.col("__p.bucket").alias("__pb"),
+    probes = (
+        items.select(F.col(item_col).alias("__cms_item"))
+        .where(F.col("__cms_item").isNotNull())
+        .distinct()
+        .select(
+            "__cms_item",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _cms_bucket(
+                                F.col("__cms_item"), j, width, hash_fn
+                            ).alias("bucket"),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("__p"),
+        )
     )
-    joined = probes.join(
-        F.broadcast(sketch),
-        (F.col("__pj") == F.col("j")) & (F.col("__pb") == F.col("bucket")),
-        "left",
+    est = (
+        probes.join(
+            F.broadcast(sk),
+            (F.col("__p.j") == F.col("__cms_j"))
+            & (F.col("__p.bucket") == F.col("__cms_b")),
+            "left",
+        )
+        .groupBy("__cms_item")
+        .agg(F.min(F.coalesce(F.col("__cms_n"), F.lit(0))).alias(est_col))
     )
-    return joined.groupBy(*items.columns).agg(
-        F.min(F.coalesce(F.col("n"), F.lit(0))).alias(est_col)
-    )
+    # plain equi-join (NULL items match nothing -> NULL estimate); the
+    # est table is one row per distinct item, so it is NOT broadcast —
+    # only the depth x width sketch was
+    return items.join(
+        est, F.col(item_col) == F.col("__cms_item"), "left"
+    ).drop("__cms_item")

@@ -611,10 +611,12 @@ def seasonal_decompose(
     - trend: symmetric moving average over ``2*(period//2) + 1``
       buckets (the simplified odd-window form of the textbook 2xm MA;
       partial windows at the series edges average what exists);
-    - seasonal: per season-index mean of the detrended series
-      (index = bucket ordinal mod period), centered so the seasonal
-      components sum to ~0 — the additive identity holds exactly:
-      residual = y - trend - seasonal;
+    - seasonal: per season-index mean of the detrended series — the
+      index is CALENDAR-derived (floor(epoch / grain_seconds) mod
+      period), so a missing bucket (an empty hour) cannot shift every
+      later bucket's season assignment the way an ordinal index would;
+      centered so the seasonal components sum to ~0 — the additive
+      identity holds exactly: residual = y - trend - seasonal;
     - residual: what is left — the anomaly signal.
 
     Scale note: every window here runs over the AGGREGATED bucket
@@ -626,6 +628,11 @@ def seasonal_decompose(
     """
     keys_l = [keys] if isinstance(keys, str) else list(keys)
     m = int(period) // 2
+    grain_s = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    if grain not in grain_s:
+        raise ValueError(
+            f"grain must be one of {sorted(grain_s)}, got {grain!r}"
+        )
 
     series = (
         df.groupBy(
@@ -640,8 +647,15 @@ def seasonal_decompose(
     )
     w_ord = part.orderBy("bucket_ts")
     series = series.withColumn(
-        "__ord", F.row_number().over(w_ord) - 1
-    ).withColumn("season_idx", F.pmod(F.col("__ord"), F.lit(int(period))))
+        "season_idx",
+        F.pmod(
+            F.floor(
+                F.unix_micros(F.col("bucket_ts").cast("timestamp"))
+                / F.lit(grain_s[grain] * 1_000_000)
+            ),
+            F.lit(int(period)),
+        ).cast("int"),
+    )
     trend = F.avg("y").over(w_ord.rowsBetween(-m, m))
     series = series.withColumn("trend", trend).withColumn(
         "__det", F.col("y") - F.col("trend")

@@ -2432,7 +2432,7 @@ def q_ate_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ate_strata(per, "treat", "y", "bucket")
     return out.select(
-        "stratum", "n", "n_treat",
+        "stratum", "is_overall", "n", "n_treat",
         F.round("p_treat", 6).alias("p_treat"),
         F.round("mean_t", 6).alias("mean_t"),
         F.round("mean_c", 6).alias("mean_c"),
@@ -2469,12 +2469,13 @@ overall AS (
          sum(effect * n) / sum(n) AS effect
   FROM full_cells WHERE effect IS NOT NULL
 )
-SELECT stratum, n, n_treat, round(p_treat, 6) AS p_treat,
+SELECT stratum, FALSE AS is_overall, n, n_treat,
+       round(p_treat, 6) AS p_treat,
        round(mean_t, 6) AS mean_t, round(mean_c, 6) AS mean_c,
        round(effect, 6) AS effect
 FROM full_cells
 UNION ALL
-SELECT stratum, n, n_treat, round(p_treat, 6), round(mean_t, 6),
+SELECT stratum, TRUE, n, n_treat, round(p_treat, 6), round(mean_t, 6),
        round(mean_c, 6), round(effect, 6)
 FROM overall
 """
@@ -2600,14 +2601,13 @@ WITH s AS (
   SELECT date_trunc('hour', ts) AS bucket_ts, avg(value) AS y
   FROM events GROUP BY 1
 ),
-o AS (
-  SELECT *, row_number() OVER (ORDER BY bucket_ts) - 1 AS ord FROM s
-),
 t AS (
-  SELECT *, CAST(ord % 24 AS INT) AS season_idx,
+  SELECT *,
+         CAST(CAST(floor(epoch_us(bucket_ts) / 3600000000.0) AS BIGINT) % 24
+              AS INT) AS season_idx,
          avg(y) OVER (ORDER BY bucket_ts
                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
-  FROM o
+  FROM s
 ),
 r AS (SELECT *, avg(y - trend) OVER (PARTITION BY season_idx) AS rs FROM t),
 g AS (SELECT *, avg(rs) OVER () AS grand FROM r)

@@ -2987,13 +2987,22 @@ k AS (
          CAST(floor(length(nrm) / 4.0) AS INT) AS lb
   FROM b
 ),
-sizes AS (SELECT pfx, lb, count(*) AS bn FROM k GROUP BY pfx, lb),
+-- boundary-safe double emission: each record under lb and lb + 1,
+-- pairs kept at the greater bucket (mirrors the engine exactly)
+em AS (
+  SELECT *, lb AS jk FROM k
+  UNION ALL
+  SELECT *, lb + 1 AS jk FROM k
+),
+sizes AS (SELECT pfx, jk, count(*) AS bn FROM em GROUP BY pfx, jk),
 kk AS (
-  SELECT k.* FROM k JOIN sizes USING (pfx, lb) WHERE sizes.bn <= 10000
+  SELECT em.* FROM em JOIN sizes USING (pfx, jk) WHERE sizes.bn <= 10000
 )
 SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.nrm, b.nrm) AS dist
-FROM kk a JOIN kk b ON a.pfx = b.pfx AND a.lb = b.lb AND a.id < b.id
-WHERE levenshtein(a.nrm, b.nrm) <= 2
+FROM kk a JOIN kk b
+  ON a.pfx = b.pfx AND a.jk = b.jk AND a.id < b.id
+WHERE a.jk = greatest(a.lb, b.lb)
+  AND levenshtein(a.nrm, b.nrm) <= 2
 """
 
 
@@ -3203,15 +3212,21 @@ k AS (
          CAST(floor(length(nrm) / 4.0) AS INT) AS lb
   FROM b
 ),
-sizes AS (SELECT pfx, lb, count(*) AS bn FROM k GROUP BY pfx, lb),
+em AS (
+  SELECT *, lb AS jk FROM k
+  UNION ALL
+  SELECT *, lb + 1 AS jk FROM k
+),
+sizes AS (SELECT pfx, jk, count(*) AS bn FROM em GROUP BY pfx, jk),
 kk AS (
-  SELECT k.* FROM k JOIN sizes USING (pfx, lb) WHERE sizes.bn <= 10000
+  SELECT em.* FROM em JOIN sizes USING (pfx, jk) WHERE sizes.bn <= 10000
 ),
 pairs AS (
   SELECT a.id AS id_a, b2.id AS id_b
   FROM kk a JOIN kk b2
-    ON a.pfx = b2.pfx AND a.lb = b2.lb AND a.id < b2.id
-  WHERE levenshtein(a.nrm, b2.nrm) <= 2
+    ON a.pfx = b2.pfx AND a.jk = b2.jk AND a.id < b2.id
+  WHERE a.jk = greatest(a.lb, b2.lb)
+    AND levenshtein(a.nrm, b2.nrm) <= 2
 ),
 edges AS (
   SELECT id_a AS u, id_b AS v FROM pairs

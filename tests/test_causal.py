@@ -105,7 +105,7 @@ def test_ate_strata_matches_pandas(spark):
     out = ate_strata(
         spark.createDataFrame(pdf), "t", "y", "s"
     ).toPandas()
-    overall = out[out.stratum == "__all__"].iloc[0]
+    overall = out[out.is_overall].iloc[0]
     assert abs(overall.effect - _pandas_ate(pdf)) < 1e-9
     assert overall.n == n
     # one row per stratum + the overall row
@@ -123,7 +123,7 @@ def test_ate_strata_empty_arm_excluded(spark):
     out = ate_strata(spark.createDataFrame(pdf), "t", "y", "s").toPandas()
     s1 = out[out.stratum == "1"].iloc[0]
     assert pd.isna(s1.effect) and pd.isna(s1.mean_c)
-    overall = out[out.stratum == "__all__"].iloc[0]
+    overall = out[out.is_overall].iloc[0]
     assert overall.n == 2  # only the identified stratum
     assert abs(overall.effect - 1.0) < 1e-12
 
@@ -150,3 +150,21 @@ def test_welch_t_matches_numpy(spark):
     assert abs(out["diff"] - (yt.mean() - yc.mean())) < 1e-9
     # a real 0.8-sigma effect at n=200 is highly significant
     assert out.t_stat > 2.5
+
+
+def test_cuped_null_key_slice_kept(spark):
+    """A NULL key value is a real slice: rows must survive the stats
+    join and get their own theta."""
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", None, None, None],
+            "x": [1.0, 2.0, 3.0, 1.0, 2.0, 3.0],
+            "y": [2.0, 4.0, 6.0, -1.0, -2.0, -3.0],
+        }
+    )
+    out = cuped_adjust(spark.createDataFrame(pdf), "y", "x", keys="k").toPandas()
+    assert len(out) == 6
+    null_rows = out[out.k.isna()]
+    assert len(null_rows) == 3
+    assert abs(null_rows.theta.iloc[0] + 1.0) < 1e-9  # slope of its own slice
+    assert abs(out[out.k == "a"].theta.iloc[0] - 2.0) < 1e-9

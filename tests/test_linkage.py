@@ -101,3 +101,31 @@ def test_entity_resolution_composition(spark):
     )
     assert got.loc[1, "n"] == 3 and got.loc[1, "c"] == "Acme Corp"
     assert got.loc[4, "n"] == 1 and got.loc[5, "n"] == 1
+
+
+def test_fuzzy_pairs_length_boundary_pair_found(spark):
+    """A true near-dup pair whose lengths straddle a bucket boundary
+    must still be compared (double-emission blocking)."""
+    rows = [(1, "abcdefg"), (2, "abcdefgh")]  # len 7 (bucket 1) / 8 (bucket 2)
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "name"]))
+    out = fuzzy_pairs(
+        df, "id", "name", max_dist=2, prefix_len=3, length_bucket=4
+    ).toPandas()
+    assert set(zip(out.id_a, out.id_b)) == {(1, 2)}
+    assert out.dist.iloc[0] == 1
+    # and no duplicate emission of a same-bucket pair
+    rows2 = [(1, "abcd"), (2, "abce")]
+    df2 = spark.createDataFrame(pd.DataFrame(rows2, columns=["id", "name"]))
+    out2 = fuzzy_pairs(
+        df2, "id", "name", max_dist=2, prefix_len=3, length_bucket=4
+    ).toPandas()
+    assert len(out2) == 1
+
+
+def test_fuzzy_pairs_rejects_narrow_length_bucket(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fuzzy_pairs(
+            _df(spark), "id", "name", max_dist=4, length_bucket=2
+        )

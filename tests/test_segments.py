@@ -124,3 +124,41 @@ def test_pareto_invariants(spark):
     # concentration: the top half holds more than half the value
     half = out.iloc[: len(out) // 2]
     assert half.cum_share.iloc[-1] > 0.5
+
+
+def test_global_rank_nulls_last(spark):
+    """NULL values rank LAST in either direction — matching both
+    engines' SQL default and the oracle's NULLS LAST."""
+    pdf = pd.DataFrame(
+        {"k": list("abcd"), "v": [3.0, None, 1.0, None]}
+    )
+    df = spark.createDataFrame(pdf)
+    for descending in (False, True):
+        got, total = _global_rank(
+            df, "v", ["k"], descending=descending, n_buckets=4
+        )
+        out = got.toPandas().set_index("k")["__rank"]
+        assert total == 4
+        # the two NULL rows take the last two ranks, tiebreak by key
+        assert out["b"] == 3 and out["d"] == 4
+        if descending:
+            assert out["a"] == 1 and out["c"] == 2
+        else:
+            assert out["c"] == 1 and out["a"] == 2
+
+
+def test_global_rank_approx_fit_still_exact_ranks(spark):
+    """approx=True changes only bucket PLACEMENT — ranks stay the
+    exact global row_number (re-based by real counts)."""
+    n = 400
+    pdf = pd.DataFrame(
+        {"k": [f"e{i:04d}" for i in range(n)],
+         "v": RNG.normal(0, 1, n)}
+    )
+    df = spark.createDataFrame(pdf)
+    got, total = _global_rank(df, "v", ["k"], n_buckets=16, approx=True)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("v").asc(), "k")
+    ref = df.withColumn("__ref", F.row_number().over(w))
+    j = got.join(ref, ["k", "v"]).toPandas()
+    assert total == n
+    assert (j["__rank"] == j["__ref"]).all()

@@ -107,3 +107,23 @@ def test_readability_degenerate_doc(spark):
     out = with_readability(df, "text").toPandas()
     assert np.isfinite(out.flesch).all()
     assert (out.n_sentences == 1).all()
+
+
+def test_cms_query_preserves_duplicates_and_odd_columns(spark):
+    df = _items(spark, {"a": 3, "b": 1})
+    sketch = cms_build(df, "item", width=128, depth=3)
+    # duplicate probe rows + columns named like the sketch's internals
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {"item": ["a", "a", "b", None], "n": [9, 9, 9, 9],
+             "j": [0, 0, 0, 0]}
+        )
+    )
+    est = cms_query(sketch, probe, "item", width=128, depth=3).toPandas()
+    assert len(est) == 4  # duplicates preserved
+    assert set(est.columns) == {"item", "n", "j", "est"}
+    a = est[est.item == "a"]
+    assert len(a) == 2 and (a.est == 3).all()
+    assert est[est.item.isna()].est.isna().all()
+    with pytest.raises(ValueError):
+        cms_query(sketch, probe.withColumnRenamed("n", "est"), "item")

@@ -464,3 +464,40 @@ def test_seasonal_decompose_per_key(spark):
     assert set(out.k) == {"a", "b"}
     # levels stay separated per key in the trend
     assert out[out.k == "b"].trend.min() > out[out.k == "a"].trend.max()
+
+
+def test_seasonal_decompose_gap_robust_index(spark):
+    """A missing bucket must NOT shift later buckets' season indices —
+    the index is calendar-derived, not ordinal."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from didtool_spark.operators.ts_features import seasonal_decompose
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(hours=h), float(h))
+        for h in range(72)
+        if h != 3  # one empty hour
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["ts", "value"]))
+    out = seasonal_decompose(
+        df, "value", ts_col="ts", grain="hour", period=24
+    ).toPandas()
+    got = dict(zip(out.bucket_ts, out.season_idx))
+    for ts_, idx in got.items():
+        assert idx == ts_.hour, (ts_, idx)
+
+
+def test_seasonal_decompose_rejects_unknown_grain(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from didtool_spark.operators.ts_features import seasonal_decompose
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": [pd.Timestamp("2024-01-01")], "value": [1.0]})
+    )
+    with _pytest.raises(ValueError):
+        seasonal_decompose(df, "value", grain="month")
