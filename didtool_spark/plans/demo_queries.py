@@ -2306,14 +2306,17 @@ WITH per AS (
 ),
 cells AS (
   SELECT arm, duration_h AS duration,
-         sum(CASE WHEN observed THEN 1 ELSE 0 END) AS n_event,
-         sum(CASE WHEN observed THEN 0 ELSE 1 END) AS n_censor
+         CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_event,
+         CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_censor
   FROM per GROUP BY arm, duration_h
 ),
 risk AS (
   SELECT *,
-         sum(n_event + n_censor) OVER (PARTITION BY arm)
-         - (sum(n_event + n_censor) OVER wc - n_event - n_censor) AS n_risk
+         CAST(sum(n_event + n_censor) OVER (PARTITION BY arm)
+              - (sum(n_event + n_censor) OVER wc - n_event - n_censor)
+              AS BIGINT) AS n_risk
   FROM cells
   WINDOW wc AS (PARTITION BY arm ORDER BY duration
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -2451,7 +2454,7 @@ WITH per AS (
 cells AS (
   SELECT CAST(bucket AS VARCHAR) AS stratum,
          count(*) AS n,
-         sum(CASE WHEN treat THEN 1 ELSE 0 END) AS n_treat,
+         CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
          avg(CASE WHEN treat THEN y END) AS mean_t,
          avg(CASE WHEN NOT treat THEN y END) AS mean_c
   FROM per GROUP BY bucket
@@ -2462,7 +2465,8 @@ full_cells AS (
   FROM cells
 ),
 overall AS (
-  SELECT '__all__' AS stratum, sum(n) AS n, sum(n_treat) AS n_treat,
+  SELECT '__all__' AS stratum, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(n_treat) AS BIGINT) AS n_treat,
          sum(n_treat) * 1.0 / sum(n) AS p_treat,
          sum(mean_t * n) / sum(n) AS mean_t,
          sum(mean_c * n) / sum(n) AS mean_c,
@@ -2660,8 +2664,8 @@ WITH per AS (
   FROM events GROUP BY user_id
 ),
 a AS (
-  SELECT sum(CASE WHEN treat THEN 1 ELSE 0 END) AS n_t,
-         sum(CASE WHEN treat THEN 0 ELSE 1 END) AS n_c,
+  SELECT CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN treat THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
          avg(CASE WHEN treat THEN y END) AS mean_t,
          avg(CASE WHEN NOT treat THEN y END) AS mean_c,
          var_samp(CASE WHEN treat THEN y END) AS var_t,

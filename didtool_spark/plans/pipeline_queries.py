@@ -3131,8 +3131,12 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys="user_id", ts_col="ts", order=("ts", "event_id"),
         lookback_s=604800, model="linear",
     )
+    # nullable counters go out as double per the registry dtype
+    # convention (NULL-able BIGINT reaches pandas as float anyway)
     return out.select(
-        "event_id", "user_id", "conv_ts_s", "n_touches", "position",
+        "event_id", "user_id", "conv_ts_s",
+        F.col("n_touches").cast("double").alias("n_touches"),
+        F.col("position").cast("double").alias("position"),
         F.round("credit", 6).alias("credit"),
     )
 
@@ -3158,8 +3162,8 @@ j AS (
 )
 SELECT event_id, user_id,
        CAST(cep AS DOUBLE) AS conv_ts_s,
-       CASE WHEN cep IS NOT NULL THEN n END AS n_touches,
-       CASE WHEN cep IS NOT NULL THEN pos END AS position,
+       CAST(CASE WHEN cep IS NOT NULL THEN n END AS DOUBLE) AS n_touches,
+       CAST(CASE WHEN cep IS NOT NULL THEN pos END AS DOUBLE) AS position,
        round(CASE WHEN cep IS NULL THEN 0.0 ELSE 1.0 / n END, 6) AS credit
 FROM j
 """
