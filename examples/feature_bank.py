@@ -236,7 +236,7 @@ strat = per_y.withColumn("treat", F.pmod("user_id", F.lit(2)) == 0) \
              .withColumn("s", F.pmod("user_id", F.lit(3)))
 print("stratified ATE:",
       dt.ate_strata(strat, "treat", "y", "s")
-      .where(F.col("stratum") == "__all__").collect())
+      .where(F.col("is_overall")).collect())
 
 # ------------------------------------------- 13. value & graph analytics
 orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
