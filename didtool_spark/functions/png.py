@@ -3,11 +3,13 @@
 PNG is lossless and its compression is stdlib ``zlib``, so unlike JPEG
 nothing here is approximate:
 
-- ``decode_png``: 8-bit-depth, non-interlaced PNG — color types 0
-  (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five
-  scanline filters (None/Sub/Up/Average/Paeth); multiple IDAT chunks.
-  Returns (h, w, 3) uint8 RGB (alpha dropped, gray replicated).
-  NOT supported (raises ValueError): bit depths != 8, Adam7 interlace.
+- ``decode_png``: 8- and 16-bit-depth, non-interlaced PNG — color
+  types 0 (gray), 2 (RGB), 3 (palette, 8-bit only per spec), 4
+  (gray+alpha), 6 (RGBA); all five scanline filters
+  (None/Sub/Up/Average/Paeth — byte-wise at every depth, left offset
+  = nch*sample_bytes); multiple IDAT chunks.  Returns (h, w, 3) uint8
+  RGB (alpha dropped, gray replicated, 16-bit reduced via MSB).
+  NOT supported (raises ValueError): depths < 8, Adam7 interlace.
 - ``encode_rgb_png``: RGB, filter 0, zlib level 0 (STORED deflate
   blocks) — decode(encode(px)) == px bit-for-bit, and the payload size
   is a CLOSED FORM of (w, h): stored blocks add exactly 5 bytes per
@@ -41,9 +43,14 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _unfilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
-    """Reverse per-scanline filtering -> (h, w*nch) uint8."""
-    stride = w * nch
+def _unfilter(raw: bytes, h: int, w: int, nch: int, sb: int = 1) -> np.ndarray:
+    """Reverse per-scanline filtering -> (h, w*nch*sb) uint8.
+
+    ``sb`` is bytes per sample (1 for 8-bit, 2 for 16-bit).  PNG
+    filtering is BYTE-wise at every depth; only the left-neighbor
+    offset changes: ``bpp = nch * sb`` bytes back (spec 4.5.2)."""
+    stride = w * nch * sb
+    bpp = nch * sb
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
     for y in range(h):
@@ -56,18 +63,18 @@ def _unfilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
             out[y] = line
         elif ft == 1:  # Sub
             for x in range(stride):
-                left = out[y, x - nch] if x >= nch else 0
+                left = out[y, x - bpp] if x >= bpp else 0
                 out[y, x] = (int(line[x]) + int(left)) & 0xFF
         elif ft == 2:  # Up
             out[y] = line + prev  # uint8 wraps mod 256
         elif ft == 3:  # Average
             for x in range(stride):
-                left = int(out[y, x - nch]) if x >= nch else 0
+                left = int(out[y, x - bpp]) if x >= bpp else 0
                 out[y, x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
         elif ft == 4:  # Paeth
             for x in range(stride):
-                a = int(out[y, x - nch]) if x >= nch else 0
-                c = int(prev[x - nch]) if x >= nch else 0
+                a = int(out[y, x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 out[y, x] = (int(line[x]) + _paeth(a, int(prev[x]), c)) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
@@ -91,8 +98,11 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8:
+            if depth not in (8, 16):
                 raise ValueError(f"unsupported PNG bit depth {depth}")
+            if depth == 16 and color == 3:
+                # the spec only defines palette images at depths <= 8
+                raise ValueError("16-bit palette PNG is not valid")
             if interlace:
                 raise ValueError("Adam7 interlace not supported")
             if color not in _CHANNELS:
@@ -106,10 +116,18 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     nch = _CHANNELS[color]
+    sb = depth // 8
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (1 + w * nch):
+    if len(raw) != h * (1 + w * nch * sb):
         raise ValueError("PNG pixel data size mismatch")
-    px = _unfilter(raw, h, w, nch).reshape(h, w, nch)
+    px = _unfilter(raw, h, w, nch, sb)
+    if sb == 2:
+        # 16-bit samples are big-endian; reduce to 8-bit by the MSB
+        # (= v >> 8 — the standard fast scale-down; max error vs the
+        # rounded 255/65535 rescale is 1 LSB)
+        px = px.reshape(h, w, nch, 2)[:, :, :, 0]
+    else:
+        px = px.reshape(h, w, nch)
     if color == 2:
         return px
     if color == 6:

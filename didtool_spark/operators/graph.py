@@ -46,10 +46,20 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 8,
     checkpoint_every: int = 3,
+    tol: float | None = 1e-6,
 ) -> DataFrame:
-    """One row per node with its PageRank after ``iterations`` rounds
-    (fixed count, uniform 1/N start, uniform teleport, dangling mass
-    redistributed uniformly).  Ranks over all nodes sum to 1."""
+    """One row per node with its PageRank (uniform 1/N start, uniform
+    teleport, dangling mass redistributed uniformly).  Ranks over all
+    nodes sum to 1.
+
+    ``tol`` (default 1e-6) enables convergence early-stop: the loop
+    ends as soon as max\\|Δrank\\| < tol between consecutive
+    checkpoints, with ``iterations`` as the cap.  The delta check
+    piggy-backs on the eager ``checkpoint_every`` materialization (one
+    small co-partitioned join + max agg per checkpoint, never per
+    round).  Pass ``tol=None`` for a fixed, deterministic round count
+    (what the oracle-checked gate query does — the DuckDB oracle
+    replays exactly ``iterations`` CTE rounds)."""
     # persist the edge table FIRST: it feeds nodes, degrees, the join
     # relation and the dangling set — without this the caller's edge
     # construction (often a self-join + distinct) re-executes for each
@@ -60,65 +70,104 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n = nodes.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ej = e.join(deg, "src").persist()
-    dangling = nodes.join(
-        deg.select(F.col("src").alias("node")), "node", "left_anti"
-    ).persist()
-    # a graph with no dangling nodes (every co-occurrence graph, any
-    # symmetrized graph) skips the per-round dangling-mass subplan
-    # entirely — one fit-time count saves an agg + crossJoin stage in
-    # every iteration
-    has_dangling = dangling.limit(1).count() > 0
-    # nodes nobody links to: their new rank has no contribution term,
-    # so each round UNIONS them in (exchange-free) instead of
-    # left-joining the full node table against the contributions —
-    # one exchange per round saved
-    zero_in = nodes.join(
-        e.select(F.col("dst").alias("node")).distinct(), "node", "left_anti"
-    ).persist()
+    ej = dangling = zero_in = None
+    try:
+        n = nodes.count()
+        if n == 0:
+            # empty edge table: no nodes, no ranks — return the empty
+            # (node, rank) frame instead of dividing by zero below
+            return nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(
+                eager=True
+            )
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        ej = e.join(deg, "src").persist()
+        dangling = nodes.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).persist()
+        # a graph with no dangling nodes (every co-occurrence graph,
+        # any symmetrized graph) skips the per-round dangling-mass
+        # subplan entirely — one fit-time count saves an agg +
+        # crossJoin stage in every iteration
+        has_dangling = dangling.limit(1).count() > 0
+        # nodes nobody links to: their new rank has no contribution
+        # term, so each round UNIONS them in (exchange-free) instead
+        # of left-joining the full node table against the
+        # contributions — one exchange per round saved
+        zero_in = nodes.join(
+            e.select(F.col("dst").alias("node")).distinct(),
+            "node", "left_anti",
+        ).persist()
 
-    d = float(damping)
-    tele = (1.0 - d) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for i in range(int(iterations)):
-        contribs = (
-            ej.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
-        )
-        if has_dangling:
-            dm = (
-                dangling.join(ranks, "node")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+        d = float(damping)
+        tele = (1.0 - d) / n
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        prev_checkpoint = ranks if tol is not None else None
+        for i in range(int(iterations)):
+            contribs = (
+                ej.join(ranks.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
             )
-            linked = contribs.crossJoin(F.broadcast(dm)).select(
-                "node",
-                (
-                    F.lit(tele)
-                    + F.lit(d) * (F.col("c") + F.col("m") / n)
-                ).alias("rank"),
-            )
-            isolated = zero_in.crossJoin(F.broadcast(dm)).select(
-                "node",
-                (F.lit(tele) + F.lit(d) * (F.col("m") / n)).alias("rank"),
-            )
-        else:
-            linked = contribs.select(
-                "node", (F.lit(tele) + F.lit(d) * F.col("c")).alias("rank")
-            )
-            isolated = zero_in.select(
-                "node", F.lit(tele).alias("rank")
-            )
-        ranks = linked.unionByName(isolated)
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
-    # one final eager checkpoint makes the result independent of the
-    # cached helper tables, so they can be released immediately — a
-    # long-lived session calling pagerank repeatedly must not
-    # accumulate five cached relations per call
-    ranks = ranks.localCheckpoint(eager=True)
-    for cached in (e, nodes, ej, dangling, zero_in):
-        cached.unpersist()
-    return ranks
+            if has_dangling:
+                dm = (
+                    dangling.join(ranks, "node")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+                )
+                linked = contribs.crossJoin(F.broadcast(dm)).select(
+                    "node",
+                    (
+                        F.lit(tele)
+                        + F.lit(d) * (F.col("c") + F.col("m") / n)
+                    ).alias("rank"),
+                )
+                isolated = zero_in.crossJoin(F.broadcast(dm)).select(
+                    "node",
+                    (F.lit(tele) + F.lit(d) * (F.col("m") / n)).alias(
+                        "rank"
+                    ),
+                )
+            else:
+                linked = contribs.select(
+                    "node",
+                    (F.lit(tele) + F.lit(d) * F.col("c")).alias("rank"),
+                )
+                isolated = zero_in.select(
+                    "node", F.lit(tele).alias("rank")
+                )
+            ranks = linked.unionByName(isolated)
+            if checkpoint_every and (i + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+                if tol is not None:
+                    delta = (
+                        ranks.withColumnRenamed("rank", "r_new")
+                        .join(
+                            prev_checkpoint.withColumnRenamed(
+                                "rank", "r_old"
+                            ),
+                            "node",
+                        )
+                        .agg(
+                            F.max(
+                                F.abs(F.col("r_new") - F.col("r_old"))
+                            ).alias("d")
+                        )
+                        .collect()[0]["d"]
+                    )
+                    prev_checkpoint = ranks
+                    # delta is across checkpoint_every rounds; the
+                    # per-round delta is smaller still, so this is a
+                    # conservative (never-premature) stop
+                    if delta is not None and delta < tol:
+                        break
+        # one final eager checkpoint makes the result independent of
+        # the cached helper tables, so they can be released
+        # immediately — a long-lived session calling pagerank
+        # repeatedly must not accumulate five cached relations per
+        # call
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        # unpersist unconditionally — an exception mid-iteration must
+        # not leak five cached relations into a long-lived session
+        for cached in (e, nodes, ej, dangling, zero_in):
+            if cached is not None:
+                cached.unpersist()

@@ -53,13 +53,29 @@ def pca_fit(df: DataFrame, col: str, k: int) -> PCAModel:
             if not len(pdf):
                 continue
             try:
-                x = np.stack(pdf[col].to_numpy()).astype(np.float64)
+                x = np.stack(pdf[col].to_numpy())
             except ValueError as e:  # ragged lengths -> clear message
                 lens = sorted({len(v) for v in pdf[col]})
                 raise ValueError(
                     f"pca_fit: embedding lengths are ragged ({lens}); "
                     "all vectors must share one dimension"
                 ) from e
+            x = x.astype(np.float64)
+            if np.isnan(x).any():
+                # Arrow maps a NULL array element to NaN at the
+                # pandas boundary, so NULL-element and NaN-element
+                # vectors are indistinguishable here — and both
+                # poison every moment (the NaNs then round-trip back
+                # through Arrow as nulls and used to surface as an
+                # opaque driver-side TypeError in the partial
+                # reduction; ADVICE r4).  One vectorized isnan pass
+                # per batch, negligible next to the Gram matmul.
+                raise ValueError(
+                    f"pca_fit: {col!r} contains vectors with NULL or "
+                    "NaN elements; filter them first, e.g. "
+                    f".where(~exists({col}, x -> x IS NULL OR "
+                    "isnan(x)))"
+                )
             n += x.shape[0]
             s = x.sum(0) if s is None else s + x.sum(0)
             gg = x.T @ x

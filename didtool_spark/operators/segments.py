@@ -204,6 +204,7 @@ def rfm_segments(
     n: int = 5,
     asof: str | None = None,
     approx: bool = False,
+    eager_release: bool = True,
 ) -> DataFrame:
     """Per-entity RFM table: ``recency_days`` (days from last activity
     to ``asof``, default the corpus max date), ``frequency`` (rows),
@@ -215,10 +216,12 @@ def rfm_segments(
     (resp. frequency/monetary ASC) — deterministic under ties via the
     key tiebreak, and exactly what the SQL oracle runs.
 
-    The per-entity table is persisted for the duration of the plan
-    (one row per entity — bounded; it feeds the rank fit actions and
-    the final plan).  Long-lived sessions can release it by
-    unpersisting through ``spark.catalog.clearCache`` between calls.
+    The per-entity table is persisted while the ranks are fitted (one
+    row per entity — bounded; it feeds the rank fit actions and the
+    final plan), then released before return: the result is eagerly
+    localCheckpoint()ed so it no longer depends on the cache, and the
+    per-entity cache is unpersisted — repeated calls in a long-lived
+    session do not accumulate cached relations (the pagerank pattern).
     """
     per = df.groupBy(F.col(key).alias("key")).agg(
         F.max(ts_col).alias("__last"),
@@ -287,10 +290,18 @@ def rfm_segments(
         .when(F.col("r_score") >= hi, "recent")
         .otherwise("regular")
     )
-    return per.select(
+    out = per.select(
         "key", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score", seg.alias("segment"),
     )
+    if eager_release:
+        # eager checkpoint + unpersist: the result stops depending on
+        # the per-entity cache, which is released immediately (ADVICE
+        # r4).  eager_release=False keeps the lazy plan (composition /
+        # plan inspection) — the caller owns the cache lifetime then.
+        out = out.localCheckpoint(eager=True)
+        per.unpersist()
+    return out
 
 
 def pareto_curve(
@@ -299,6 +310,7 @@ def pareto_curve(
     amount_col: str,
     n_buckets: int = 64,
     approx: bool = False,
+    eager_release: bool = True,
 ) -> DataFrame:
     """Revenue-concentration curve: per entity, its total, global rank
     by total DESC (key ASC tie-break), and the cumulative share of the
@@ -326,7 +338,7 @@ def pareto_curve(
     )
     per = per.drop("__amt_q")
     grand = per.agg(F.sum("amount").alias("__g"))
-    return (
+    out = (
         per.crossJoin(F.broadcast(grand))
         .select(
             "key",
@@ -336,3 +348,8 @@ def pareto_curve(
             (F.col("rank") / F.lit(float(total))).alias("frac_keys"),
         )
     )
+    if eager_release:
+        # see rfm_segments: release the per-entity cache before return
+        out = out.localCheckpoint(eager=True)
+        per.unpersist()
+    return out

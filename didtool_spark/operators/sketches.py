@@ -46,6 +46,17 @@ def _cms_bucket(item: Column, j: int, width: int, hash_fn: str) -> Column:
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
+def _cms_params_meta(width: int, depth: int, hash_fn: str) -> dict:
+    return {"cms_width": width, "cms_depth": depth, "cms_hash_fn": hash_fn}
+
+
+def _cms_read_meta(sketch: DataFrame) -> dict:
+    for f in sketch.schema.fields:
+        if f.name == "n" and f.metadata and "cms_width" in f.metadata:
+            return dict(f.metadata)
+    return {}
+
+
 def cms_build(
     df: DataFrame,
     item_col: str,
@@ -56,7 +67,13 @@ def cms_build(
 ) -> DataFrame:
     """Sketch table ``(j, bucket, n)`` — at most ``depth * width`` rows.
     NULL items are skipped; ``weight_col`` counts each occurrence by a
-    weight instead of 1 (token counts, bytes, revenue)."""
+    weight instead of 1 (token counts, bytes, revenue).
+
+    The build parameters ride along as column metadata on ``n``, so
+    ``cms_query``/``cms_merge`` can reject a probe or merge whose
+    width/depth/hash_fn disagree with the sketch — a silent mismatch
+    hashes probes into the wrong cells and can UNDER-estimate,
+    breaking the est >= true guarantee."""
     item = F.col(item_col)
     w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
     cells = df.where(item.isNotNull()).select(
@@ -74,19 +91,34 @@ def cms_build(
         w.alias("__w"),
     )
     return cells.groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")).agg(
-        F.sum("__w").alias("n")
+        F.sum("__w").alias(
+            "n", metadata=_cms_params_meta(width, depth, hash_fn)
+        )
     )
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Cell-wise sum of same-shape sketches (the distributive merge a
-    per-day / per-source rollup wants)."""
+    per-day / per-source rollup wants).  Sketches carrying build
+    metadata must agree on (width, depth, hash_fn) — adding cells from
+    differently-hashed sketches is meaningless."""
     if not sketches:
         raise ValueError("cms_merge needs at least one sketch")
+    metas = [_cms_read_meta(s) for s in sketches]
+    known = [m for m in metas if m]
+    if known and any(m != known[0] for m in known[1:]):
+        raise ValueError(
+            f"cms_merge: sketches disagree on build parameters: {known}"
+        )
     u = sketches[0]
     for s in sketches[1:]:
         u = u.unionByName(s)
-    return u.groupBy("j", "bucket").agg(F.sum("n").alias("n"))
+    merged = u.groupBy("j", "bucket").agg(F.sum("n").alias("n"))
+    if known:
+        merged = merged.withColumn(
+            "n", F.col("n").alias("n", metadata=known[0])
+        )
+    return merged
 
 
 def cms_query(
@@ -105,9 +137,21 @@ def cms_query(
     (including ones named j/bucket/n) pass through untouched; rows
     with a NULL item get a NULL estimate (the sketch never counted
     them).  The sketch is broadcast — the probe never shuffles beyond
-    the distinct."""
+    the distinct.
+
+    If the sketch carries cms_build metadata, the probe parameters are
+    validated against it (a mismatch re-hashes probes into the wrong
+    cells and silently breaks est >= true)."""
     if est_col in items.columns:
         raise ValueError(f"items already has a column named {est_col!r}")
+    meta = _cms_read_meta(sketch)
+    if meta:
+        want = _cms_params_meta(width, depth, hash_fn)
+        if want != meta:
+            raise ValueError(
+                "cms_query probe parameters disagree with the sketch's "
+                f"build parameters: probe={want} sketch={meta}"
+            )
     sk = sketch.select(
         F.col("j").alias("__cms_j"),
         F.col("bucket").alias("__cms_b"),

@@ -646,15 +646,26 @@ def seasonal_decompose(
         else Window.partitionBy(F.lit(1))
     )
     w_ord = part.orderBy("bucket_ts")
+    # season index: calendar-derived, so a missing bucket can't shift
+    # later assignments.  day/week use date arithmetic rather than
+    # epoch division — in a DST session timezone a local day is 23 or
+    # 25 hours, so floor(epoch/86400) would repeat or skip an index at
+    # each transition while datediff counts calendar days exactly
+    # (1970-01-05 is a Monday, matching date_trunc('week')'s week
+    # start; in a UTC session the two formulas coincide bit-for-bit).
+    if grain == "day":
+        idx_base = F.datediff(F.col("bucket_ts"), F.lit("1970-01-01"))
+    elif grain == "week":
+        idx_base = F.floor(
+            F.datediff(F.col("bucket_ts"), F.lit("1970-01-05")) / 7
+        )
+    else:
+        idx_base = F.floor(
+            F.unix_micros(F.col("bucket_ts").cast("timestamp"))
+            / F.lit(grain_s[grain] * 1_000_000)
+        )
     series = series.withColumn(
-        "season_idx",
-        F.pmod(
-            F.floor(
-                F.unix_micros(F.col("bucket_ts").cast("timestamp"))
-                / F.lit(grain_s[grain] * 1_000_000)
-            ),
-            F.lit(int(period)),
-        ).cast("int"),
+        "season_idx", F.pmod(idx_base, F.lit(int(period))).cast("int")
     )
     trend = F.avg("y").over(w_ord.rowsBetween(-m, m))
     series = series.withColumn("trend", trend).withColumn(

@@ -830,9 +830,12 @@ WITH b AS (
                       ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
 )
 SELECT event_id, user_id,
+  -- `+ 0` folds DuckDB round()'s IEEE -0.0 into +0.0 (Spark's round
+  -- never emits -0.0; the driver hashes serialized values, so the
+  -- sign of zero is load-bearing).  r4 VERDICT "What's wrong #1".
   round(CASE WHEN n * sxx - sx * sx > 0
              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END,
-        6) AS value_slope_last8
+        6) + 0 AS value_slope_last8
 FROM s
 """
 
@@ -1337,7 +1340,8 @@ r AS (
   GROUP BY ev.event_id
 )
 SELECT ev.event_id,
-       round({probit_sql(rank)}, 6) AS value_q
+       -- `+ 0` folds round()'s -0.0 into +0.0 (driver hash parity)
+       round({probit_sql(rank)}, 6) + 0 AS value_q
 FROM events ev LEFT JOIN r ON ev.event_id = r.event_id
 """
 

@@ -57,15 +57,53 @@ def materialize_features(
     (task size bounded by ``bucket_seconds`` regardless of key size) —
     the right plan when a single conversation holds a large share of all
     turns (BENCH/SKEW.md: 2-3x faster end to end on a 99%-hot-key input,
-    and the only form that survives an arbitrarily hot key)."""
+    and the only form that survives an arbitrarily hot key).
+
+    Shuffle-byte layout: Tungsten's UnsafeRow gives every fixed-width
+    field a full 8-byte slot, so each column kept out of the pre-window
+    projection is 8 bytes/row off the one Exchange.  ``text`` collapses
+    to the two int features pre-shuffle, the three role flags collapse
+    to one ``__role_code`` tinyint (unpacked into identical is_*
+    columns post-shuffle, where they feed the rolling sums), and
+    ``has_tool`` is re-derived post-shuffle from ``tool`` — 7 fields
+    cross the wire instead of 10 (~20% fewer uncompressed shuffle
+    bytes/row; on the bandwidth-capped 16-core host this is the lever
+    that scales, not more partitions)."""
     kw = dict(keys="conv_id", order=ORDER)
     bkw = (
         dict(strategy="bucketed", bucket_seconds=bucket_seconds)
         if strategy == "bucketed"
         else {}
     )
-    out = turn_features(df)
-    out = sessionize(out, gap_seconds=gap_seconds, **kw, **bkw)
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + F.lit(1)
+    )
+    pre = (
+        df.withColumn("text_len", F.length("text"))
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "__role_code",
+            F.when(F.col("role") == "user", 0)
+            .when(F.col("role") == "assistant", 1)
+            .when(F.col("role") == "tool", 2)
+            .otherwise(3)
+            .cast("tinyint"),
+        )
+        .drop("text", "role")
+    )
+    base_cols = [c for c in pre.columns if c != "__role_code"]
+    # the first window (sessionize's cumulative session ids) triggers
+    # the single conv_id Exchange; everything added after it is
+    # computed post-shuffle
+    out = sessionize(pre, gap_seconds=gap_seconds, **kw, **bkw)
+    out = (
+        out.withColumn("is_user", (F.col("__role_code") == 0).cast("int"))
+        .withColumn("is_assistant", (F.col("__role_code") == 1).cast("int"))
+        .withColumn("is_tool", (F.col("__role_code") == 2).cast("int"))
+        .withColumn("has_tool", F.col("tool").isNotNull().cast("int"))
+    )
     out = with_lags(out, ["text_len", "n_tokens"], lags=[1, 2], **kw, **bkw)
     out = with_rolling(
         out,
@@ -80,9 +118,12 @@ def materialize_features(
         **bkw,
     )
     out = forward_fill(out, ["tool"], **kw, **bkw)
-    # role is fully encoded by the is_* columns — dropping it (and text)
-    # BEFORE the window exchange keeps strings out of the shuffle
-    return out.drop("text", "role")
+    # restore the canonical column order (turn features before
+    # session/lag/rolling outputs — the r4 schema, byte-for-byte)
+    flags = ["is_user", "is_assistant", "is_tool", "has_tool"]
+    head = base_cols + flags
+    tail = [c for c in out.columns if c not in set(head) and c != "__role_code"]
+    return out.select(*head, *tail)
 
 
 def run_throughput(

@@ -242,6 +242,11 @@ def run_series(low: int, high: int, n_convs: int, reps: int) -> dict:
         "(steal<=0.4%, aggregate-BW probe>=105 GB/s before each pair)"
         if gate else ""
     )
+    # job-version tag: pairs measured after a plan change (e.g. the r5
+    # shuffle-row packing) must not merge into older series' medians
+    tag = os.environ.get("SPARK_GRAFT_NOTE", "")
+    if tag:
+        note = f"{note}; {tag}" if note else tag
     quiet_pairs = 0
     attempts = 0
     while quiet_pairs < reps and attempts < reps * 3:

@@ -41,8 +41,9 @@ def _df(spark, edges):
 
 
 def test_pagerank_matches_numpy(spark):
+    # tol=None: bit-for-bit fixed-count differential vs numpy
     out = pagerank(
-        _df(spark, EDGES), damping=0.85, iterations=8
+        _df(spark, EDGES), damping=0.85, iterations=8, tol=None
     ).toPandas()
     ref = _pr_numpy(EDGES, 6, d=0.85, iters=8)
     got = dict(zip(out.node, out["rank"]))
@@ -59,7 +60,7 @@ def test_pagerank_dangling_mass_redistributed(spark):
     # two nodes, one edge a->b: b is dangling; without redistribution
     # total mass decays below 1
     out = pagerank(
-        _df(spark, [(10, 20)]), damping=0.85, iterations=12
+        _df(spark, [(10, 20)]), damping=0.85, iterations=12, tol=None
     ).toPandas()
     assert abs(out["rank"].sum() - 1.0) < 1e-9
     ref = _pr_numpy([(10, 20)], 2, iters=12)
@@ -70,8 +71,31 @@ def test_pagerank_dangling_mass_redistributed(spark):
 
 def test_pagerank_checkpoint_path(spark):
     # iterations > checkpoint_every exercises the localCheckpoint
+    # (and, with the default tol, the piggy-backed delta check)
     out = pagerank(
         _df(spark, EDGES), iterations=7, checkpoint_every=2
     ).toPandas()
     assert len(out) == 6
     assert abs(out["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_early_stop_matches_fixed_count_when_converged(spark):
+    # run far past convergence: the tol path must stop early AND land
+    # on the same ranks (within tol) as the exhaustive fixed count
+    df = _df(spark, EDGES)
+    fixed = pagerank(df, iterations=60, tol=None).toPandas()
+    early = pagerank(df, iterations=60, checkpoint_every=2, tol=1e-9).toPandas()
+    f = dict(zip(fixed.node, fixed["rank"]))
+    g = dict(zip(early.node, early["rank"]))
+    assert set(f) == set(g)
+    for v in f:
+        assert abs(f[v] - g[v]) < 1e-8, v
+    assert abs(early["rank"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_empty_edges(spark):
+    # ADVICE r4: n == 0 must not ZeroDivisionError; empty frame out
+    empty = _df(spark, [(1, 2)]).filter("src < 0")
+    out = pagerank(empty).toPandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["node", "rank"]

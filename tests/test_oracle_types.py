@@ -66,3 +66,38 @@ def test_every_oracle_integer_column_is_bigint_cast(spark):
         "oracle integer columns not BIGINT-cast (HUGEINT/float leak):\n  "
         + "\n  ".join(problems)
     )
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
+def test_no_oracle_emits_negative_zero():
+    """Neg-zero lint (r4 gate reds trend_slope / quantile_norm).
+
+    DuckDB ``round()`` preserves the sign of ``-1e-9`` (-> -0.0) while
+    Spark's returns +0.0; the driver hashes *serialized* values, so a
+    single -0.0 cell flips the whole query red even though every value
+    compares equal.  The class fix is ``round(...) + 0`` on the oracle
+    side; this lint runs every oracle through DuckDB at sf0.001 and
+    fails on any float cell whose IEEE sign bit is set while the value
+    is zero, so the class cannot re-enter.
+    """
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    problems = []
+    for name, sql in entrymod.oracle_sql().items():
+        exp = con.sql(sql).df()
+        for col in exp.columns:
+            s = exp[col]
+            if not pd.api.types.is_float_dtype(s.dtype):
+                continue
+            vals = s.to_numpy(dtype="float64", na_value=np.nan)
+            neg_zero = (vals == 0.0) & np.signbit(vals)
+            if neg_zero.any():
+                problems.append(f"{name}.{col}: {int(neg_zero.sum())} -0.0 cells")
+    assert not problems, (
+        "oracle emits IEEE -0.0 (driver hash red; append `+ 0` after "
+        "round()):\n  " + "\n  ".join(problems)
+    )

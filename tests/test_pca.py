@@ -113,3 +113,15 @@ def test_pca_fit_float32_input(spark):
     )
     model = pca_fit(df, "v", k=2)
     assert len(model.components[0]) == 4
+
+
+def test_pca_fit_null_elements_clear_diagnostic(spark):
+    # ADVICE r4: a vector containing NULL elements stacks to an object
+    # ndarray whose astype raises an opaque TypeError — the operator
+    # must surface a clear message instead
+    import pytest
+
+    pdf = pd.DataFrame({"v": [[1.0, 2.0], [3.0, None], [5.0, 6.0]]})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="NULL or NaN"):
+        pca_fit(df, "v", k=1)

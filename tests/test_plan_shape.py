@@ -325,6 +325,13 @@ def test_session8_plan_shapes(spark):
 
     # pareto rank: per-entity rows are ranked under __bk hash
     # partitioning; SinglePartition appears only for the bounded
-    # bucket-stats window and the grand-total scalar
-    p = plan_str(pareto_curve(orders, "o_custkey", "o_totalprice"))
+    # bucket-stats window and the grand-total scalar.
+    # eager_release=False: the default eagerly checkpoints the result
+    # (cache hygiene, ADVICE r4), which truncates the inspectable plan
+    # to a Scan ExistingRDD — inspect the lazy plan instead
+    p = plan_str(
+        pareto_curve(
+            orders, "o_custkey", "o_totalprice", eager_release=False
+        )
+    )
     assert "hashpartitioning(__bk" in p, p[:2500]

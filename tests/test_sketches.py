@@ -127,3 +127,41 @@ def test_cms_query_preserves_duplicates_and_odd_columns(spark):
     assert est[est.item.isna()].est.isna().all()
     with pytest.raises(ValueError):
         cms_query(sketch, probe.withColumnRenamed("n", "est"), "item")
+
+
+def test_cms_query_rejects_mismatched_parameters(spark):
+    # ADVICE r4: probing with the wrong width/depth/hash_fn re-hashes
+    # items into the wrong cells and can UNDER-estimate — the sketch
+    # carries its build parameters as column metadata and the probe
+    # must agree
+    df = _items(spark, {"a": 3, "b": 5})
+    sketch = cms_build(df, "item", width=128, depth=3)
+    probe = spark.createDataFrame(pd.DataFrame({"item": ["a"]}))
+    with pytest.raises(ValueError, match="disagree"):
+        cms_query(sketch, probe, "item", width=64, depth=3)
+    with pytest.raises(ValueError, match="disagree"):
+        cms_query(sketch, probe, "item", width=128, depth=4)
+    with pytest.raises(ValueError, match="disagree"):
+        cms_query(sketch, probe, "item", width=128, depth=3, hash_fn="md5_60")
+    # matching parameters still fine
+    est = cms_query(sketch, probe, "item", width=128, depth=3).toPandas()
+    assert est.est.iloc[0] == 3
+
+
+def test_cms_merge_rejects_mismatched_sketches(spark):
+    df = _items(spark, {"a": 3})
+    with pytest.raises(ValueError, match="disagree"):
+        cms_merge(
+            cms_build(df, "item", width=64, depth=3),
+            cms_build(df, "item", width=128, depth=3),
+        )
+    # merge preserves the metadata so the guard survives a rollup
+    merged = cms_merge(
+        cms_build(df, "item", width=64, depth=3),
+        cms_build(df, "item", width=64, depth=3),
+    )
+    probe = spark.createDataFrame(pd.DataFrame({"item": ["a"]}))
+    with pytest.raises(ValueError, match="disagree"):
+        cms_query(merged, probe, "item", width=128, depth=3)
+    est = cms_query(merged, probe, "item", width=64, depth=3).toPandas()
+    assert est.est.iloc[0] == 6

@@ -501,3 +501,41 @@ def test_seasonal_decompose_rejects_unknown_grain(spark):
     )
     with _pytest.raises(ValueError):
         seasonal_decompose(df, "value", grain="month")
+
+
+def test_seasonal_decompose_day_grain_dst_safe(spark):
+    """ADVICE r4: with a DST session timezone, a 23/25-hour local day
+    makes floor(epoch/86400) repeat or skip a season index at each
+    transition; the day/week index is calendar-derived (datediff) so
+    consecutive local days always get consecutive indices."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from didtool_spark.operators.ts_features import seasonal_decompose
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        # 2026-03-08 is the US spring-forward date (23-hour local day)
+        rows = [
+            (dt.datetime(2026, 3, 5 + d, 12, 0), float(d))
+            for d in range(8)
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ts", "value"])
+        )
+        out = (
+            seasonal_decompose(df, "value", ts_col="ts", grain="day", period=7)
+            .toPandas()
+            .sort_values("bucket_ts")
+            .reset_index(drop=True)
+        )
+        idx = out.season_idx.tolist()
+        assert len(out) == 8
+        # consecutive days -> consecutive (mod 7) indices, straight
+        # through the DST transition
+        for a, b in zip(idx, idx[1:]):
+            assert b == (a + 1) % 7, idx
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
