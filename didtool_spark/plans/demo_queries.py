@@ -1156,13 +1156,18 @@ WITH s AS (
   FROM lineitem
 )
 SELECT l_orderkey, l_linenumber,
+  -- `+ 0` folds round()'s IEEE -0.0 into +0.0 (driver hash parity —
+  -- a value within 5e-7 of the mean rounds to -0.0 in DuckDB only;
+  -- surfaced by the sf0.1 bitexact sweep, invisible at sf0.01)
   round(CASE WHEN s1 > 0 THEN (l_quantity - m1) / s1
-             WHEN l_quantity IS NOT NULL THEN 0.0 END, 6) AS l_quantity_scaled,
+             WHEN l_quantity IS NOT NULL THEN 0.0 END, 6) + 0
+    AS l_quantity_scaled,
   round(CASE WHEN s2 > 0 THEN (l_extendedprice - m2) / s2
-             WHEN l_extendedprice IS NOT NULL THEN 0.0 END, 6)
+             WHEN l_extendedprice IS NOT NULL THEN 0.0 END, 6) + 0
     AS l_extendedprice_scaled,
   round(CASE WHEN s3 > 0 THEN (l_discount - m3) / s3
-             WHEN l_discount IS NOT NULL THEN 0.0 END, 6) AS l_discount_scaled
+             WHEN l_discount IS NOT NULL THEN 0.0 END, 6) + 0
+    AS l_discount_scaled
 FROM lineitem, s
 """
 
