@@ -92,6 +92,11 @@ def main() -> int:
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
 
     con = duckdb.connect()
+    # bound DuckDB's spill: the recursive-CTE oracles (entity
+    # resolution closure, pagerank rounds) can materialize tens of GB
+    # of temp at sf0.1 — fail that one query cleanly instead of
+    # filling the disk under every other process on the box
+    con.sql("SET max_temp_directory_size='20GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
