@@ -551,25 +551,31 @@ def simhash_near_dupes(
         ).alias("ck"),
     ).select("id", "sim", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    cands = (
+    # hamming-verify BEFORE the pair dedup: the bit_count filter is a
+    # per-row expression evaluated inside the join stage, so candidate
+    # pairs that fail it never enter the dropDuplicates exchange —
+    # filter commutes with distinct, the surviving pair set is
+    # identical, and the dedup shuffle shrinks from every
+    # shared-chunk pair to only the hamming<=k ones (guide §2.3:
+    # shuffle fewer bytes; hot signature buckets otherwise explode
+    # quadratically into the exchange)
+    ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .where(ham <= max_hamming)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
+            ham.alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "hamming")
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cands.withColumn("hamming", ham).where(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
 
 
 class NearDupIndex(NamedTuple):
@@ -718,12 +724,43 @@ def _driver_union_find(edges: list[tuple[int, int]]):
     return {x: find(x) for x in parent}
 
 
+def _numpy_union_find(u, v):
+    """Vectorized exact components over int64 edge arrays: min-label
+    propagation with pointer jumping — every pass is a handful of O(E)
+    numpy kernels, so millions of edges resolve in well under a second
+    where the dict-based union-find above spends seconds in the
+    interpreter.  Returns (node_ids, component_min_id) arrays with the
+    SAME labels as ``_driver_union_find`` (component = min node id):
+    labels only ever decrease, a fixpoint is constant on every edge, and
+    since labels always index nodes INSIDE the component the constant
+    can only be the component's min index (parity asserted in
+    tests/test_pipeline_ops.py)."""
+    import numpy as np
+
+    ids = np.unique(np.concatenate([u, v]))
+    iu = ids.searchsorted(u)
+    iv = ids.searchsorted(v)
+    lbl = np.arange(ids.shape[0], dtype=np.int64)
+    while True:
+        prev = lbl
+        mn = np.minimum(lbl[iu], lbl[iv])
+        lbl = lbl.copy()
+        np.minimum.at(lbl, iu, mn)
+        np.minimum.at(lbl, iv, mn)
+        # pointer jumping: label of my label (two hops per pass)
+        lbl = np.minimum(lbl, lbl[lbl])
+        lbl = np.minimum(lbl, lbl[lbl])
+        if np.array_equal(lbl, prev):
+            break
+    return ids, ids[lbl]
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 50,
-    max_driver_edges: int | None = 2_000_000,
+    max_driver_edges: int | None = 30_000_000,
 ) -> DataFrame:
     """Resolve a candidate-pair graph into components: (id, component)
     with ``component`` = the MIN node id of each connected component.
@@ -732,12 +769,15 @@ def connected_components(
 
     Small graphs short-circuit: when the distinct edge set has at most
     ``max_driver_edges`` rows (one cheap count on the materialized
-    edges) it is collected and resolved by exact driver union-find —
-    the same capped-collect-with-distributed-fallback pattern as the
-    binning fits (binning.py collect_capped). 2M edges is ~32 MB of
-    longs on the driver; a near-dup pair graph only exceeds that at
-    corpus scales where the iterative path below is the point. Pass
-    ``max_driver_edges=None`` (or 0) to force the distributed path.
+    edges) it is pulled over Arrow and resolved by the exact vectorized
+    union-find (``_numpy_union_find``) — the same
+    capped-collect-with-distributed-fallback pattern as the binning
+    fits (binning.py collect_capped). 30M edges is ~480 MB of longs on
+    the driver (well inside the session's driver memory) and resolves
+    in about a second of numpy; a near-dup pair graph only exceeds
+    that at corpus scales where the iterative path below is the point.
+    Pass ``max_driver_edges=None`` (or 0) to force the distributed
+    path.
 
     Algorithm (distributed path): alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -768,28 +808,37 @@ def connected_components(
     # references `e` several times (the und self-union, the m join), so
     # an un-checkpointed pair lineage — e.g. the whole MinHash candidate
     # pipeline — would re-execute per reference in round 1. After this,
-    # each round starts from a materialized edge table.
-    e = (
+    # each round starts from a materialized edge table.  The driver
+    # short-circuit skips the `.distinct()` shuffle entirely (r6):
+    # union-find is idempotent under duplicate/reversed edges, so the
+    # raw pair stream feeds it directly and only the iterative path
+    # pays for dedup (where it bounds the per-round edge table).
+    e_raw = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
         .localCheckpoint(eager=True)
     )
     if max_driver_edges:
         # one count on the already-materialized edge table, then either
         # a single bounded collect or the iterative path — never an
-        # unbounded collect
-        n_edges = e.count()
+        # unbounded collect (raw row count >= distinct count, so the
+        # bound stays conservative)
+        n_edges = e_raw.count()
         if n_edges <= max_driver_edges:
-            labels = _driver_union_find(
-                [(r["u"], r["v"]) for r in e.collect()]
-            )
+            # Arrow collect (toPandas) + vectorized union-find: the
+            # r5 version collected pickled Row objects and looped a
+            # dict union-find in the interpreter — at millions of
+            # edges that serial driver loop WAS the query's tail
             spark = pairs.sparkSession
-            if not labels:
+            pdf = e_raw.toPandas()
+            if pdf.empty:
                 return spark.createDataFrame([], "id long, component long")
-            return spark.createDataFrame(
-                list(labels.items()), "id long, component long"
+            ids, comp = _numpy_union_find(
+                pdf["u"].to_numpy(), pdf["v"].to_numpy()
             )
+            out = pd.DataFrame({"id": ids, "component": comp})
+            return spark.createDataFrame(out, "id long, component long")
+    e = e_raw.distinct().localCheckpoint(eager=True)
     prev = None
     for _ in range(max_rounds):
         # ---- large-star: connect strictly-larger neighbors to the min

@@ -47,6 +47,7 @@ def pagerank(
     iterations: int = 8,
     checkpoint_every: int = 3,
     tol: float | None = 1e-6,
+    broadcast_nodes: int = 8_000_000,
 ) -> DataFrame:
     """One row per node with its PageRank (uniform 1/N start, uniform
     teleport, dangling mass redistributed uniformly).  Ranks over all
@@ -59,7 +60,18 @@ def pagerank(
     small co-partitioned join + max agg per checkpoint, never per
     round).  Pass ``tol=None`` for a fixed, deterministic round count
     (what the oracle-checked gate query does — the DuckDB oracle
-    replays exactly ``iterations`` CTE rounds)."""
+    replays exactly ``iterations`` CTE rounds).
+
+    ``broadcast_nodes`` (guide §3.1 — broadcast the side that fits):
+    when the measured node count ``n`` is at or below it, each round
+    joins the edge table against a BROADCAST of the rank vector and
+    the edge table is cached partitioned by ``dst`` — so the per-round
+    contribution join needs no exchange at all and the ``dst``
+    aggregation is partition-local: ZERO shuffles per iteration (the
+    rank vector is |V| rows of (key, double) — a few MB up to the
+    default 8M nodes).  Above the bound the original co-partitioned
+    shuffle plan runs unchanged — at 10^9+ nodes a broadcast would not
+    fit, which is exactly the regime the shuffle plan is for."""
     # persist the edge table FIRST: it feeds nodes, degrees, the join
     # relation and the dangling set — without this the caller's edge
     # construction (often a self-join + distinct) re-executes for each
@@ -79,8 +91,18 @@ def pagerank(
             return nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(
                 eager=True
             )
+        bcast = n <= int(broadcast_nodes)
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        ej = e.join(deg, "src").persist()
+        ej = e.join(deg, "src")
+        if bcast:
+            # partition the cached edge table by the AGGREGATION key:
+            # with ranks broadcast, the src join imposes no
+            # partitioning requirement, so laying edges out by dst
+            # makes the per-round groupBy(dst) exchange-free
+            ej = ej.repartition(
+                e.sparkSession.sparkContext.defaultParallelism, F.col("dst")
+            )
+        ej = ej.persist()
         dangling = nodes.join(
             deg.select(F.col("src").alias("node")), "node", "left_anti"
         ).persist()
@@ -103,14 +125,18 @@ def pagerank(
         ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         prev_checkpoint = ranks if tol is not None else None
         for i in range(int(iterations)):
+            rk = ranks.withColumnRenamed("node", "src")
+            if bcast:
+                rk = F.broadcast(rk)
             contribs = (
-                ej.join(ranks.withColumnRenamed("node", "src"), "src")
+                ej.join(rk, "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
             )
             if has_dangling:
+                rks = F.broadcast(ranks) if bcast else ranks
                 dm = (
-                    dangling.join(ranks, "node")
+                    dangling.join(rks, "node")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
                 )
                 linked = contribs.crossJoin(F.broadcast(dm)).select(

@@ -125,8 +125,13 @@ def fuzzy_pairs(
             F.col("__bk.__jk")
             == F.greatest(F.col("__lb_a"), F.col("__lb_b"))
         )
+    # thresholded levenshtein (r6): the 3-arg form computes only the
+    # |max_dist|-wide band of the DP matrix and bails out early —
+    # O(n·k) per pair instead of O(n²) — returning -1 above the bound;
+    # for kept pairs (d <= max_dist) it returns the exact distance, so
+    # the output is identical (asserted in tests/test_linkage.py)
     return (
-        out.withColumn("dist", F.levenshtein("__na", "__nb"))
-        .where(F.col("dist") <= max_dist)
+        out.withColumn("dist", F.levenshtein("__na", "__nb", max_dist))
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", "text_a", "text_b", "dist")
     )

@@ -61,6 +61,136 @@ def _melt_num(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def _interp_percentile(position: float, lo: int, hi: int, lv: float, hv: float):
+    """Spark Percentile.getPercentile's exact arithmetic: equal
+    ordinals / equal keys return the key itself (no FP round-trip),
+    else the two-sided form — verified bit-identical to
+    ``F.percentile`` in tests/test_scalers.py (the naive
+    ``lv + frac*(hv-lv)`` lerp differs in the last ulp on ~20% of
+    random inputs)."""
+    if lo == hi or hv == lv:
+        return lv
+    return (hi - position) * lv + (position - lo) * hv
+
+
+def exact_percentiles(
+    melted: DataFrame,
+    probs: Sequence[float],
+    max_driver_rows: int = 16_000_000,
+) -> dict[str, list[float]]:
+    """Exact percentiles over the melted ``(__feat, __val)`` stream as
+    a DISTRIBUTED value-counts histogram + ordinal lookup, replacing
+    Spark's ``percentile`` aggregate for wide-cardinality fits.
+
+    Why: ``percentile`` is a TypedImperativeAggregate — every map task
+    builds an OpenHashMap[value -> count] and ONE reducer per group
+    merges all of them and sorts the union (guide §2.5: a single giant
+    key).  At ~4.5M distinct doubles that merge is a 15+-second serial
+    tail (measured on lineitem.l_extendedprice at sf1.0).  Here the
+    counts come from a map-side-combined groupBy (fully parallel) and
+    the order statistics from the (value, count) table, which is
+    smaller than the input by the duplication factor:
+
+    - table fits ``max_driver_rows`` (the capped-collect-with-
+      distributed-fallback pattern the binning fits use; 16M rows is
+      ~256 MB over Arrow against the session's 8g driver): ONE Arrow
+      ``toPandas`` + numpy argsort/cumsum/searchsorted — sub-second.
+    - larger: a per-feature window over the counts table computes
+      cumulative ordinals and only the <= 2·|probs| straddle rows per
+      feature reach the driver.  (Slower — the window sorts one
+      feature per task — but bounded-memory at any scale.)
+
+    Bit-identical to ``F.percentile``: value ordering is the same SQL
+    ordering (NULLs dropped, NaN greatest — numpy argsort also places
+    NaN last) and the interpolation is ``_interp_percentile``.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    cnts = (
+        melted.where(F.col("__val").isNotNull())
+        .groupBy("__feat", "__val")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    try:
+        # materialize the cache with a direct action FIRST (it doubles
+        # as the size guard): an aggregation planned ON TOP of the
+        # un-materialized InMemoryRelation does not reliably populate
+        # it under AQE (measured: the dependent job re-ran the full
+        # counts aggregation, 12s instead of 0.6s)
+        n_rows = cnts.count()
+        if n_rows <= max_driver_rows:
+            import numpy as np
+
+            pdf = cnts.toPandas()
+            out: dict[str, list[float]] = {}
+            for f_, g in pdf.groupby("__feat", sort=False):
+                vals = g["__val"].to_numpy(dtype=np.float64)
+                cs = g["__c"].to_numpy(dtype=np.int64)
+                order = np.argsort(vals, kind="stable")  # NaN sorts last
+                vals = vals[order]
+                ends = np.cumsum(cs[order])
+                n = int(ends[-1])
+                res = []
+                for p in probs:
+                    position = float(p) * (n - 1)
+                    lo, hi = math.floor(position), math.ceil(position)
+                    lv = float(vals[np.searchsorted(ends, lo, side="right")])
+                    hv = float(vals[np.searchsorted(ends, hi, side="right")])
+                    res.append(_interp_percentile(position, lo, hi, lv, hv))
+                out[f_] = res
+            return out
+        totals = {
+            r["__feat"]: int(r["__n"])
+            for r in cnts.groupBy("__feat")
+            .agg(F.sum("__c").alias("__n"))
+            .collect()
+        }
+        need: set[tuple[str, int]] = set()
+        pos: dict[tuple[str, float], tuple[float, int, int]] = {}
+        for f_, n in totals.items():
+            for p in probs:
+                position = float(p) * (n - 1)
+                lo, hi = math.floor(position), math.ceil(position)
+                pos[(f_, p)] = (position, lo, hi)
+                need.add((f_, lo))
+                need.add((f_, hi))
+        w = Window.partitionBy("__feat").orderBy("__val")
+        cum = cnts.withColumn("__end", F.sum("__c").over(w)).withColumn(
+            "__start", F.col("__end") - F.col("__c")
+        )
+        cond = None
+        for f_, k in sorted(need):
+            c = (
+                (F.col("__feat") == f_)
+                & (F.col("__start") <= k)
+                & (F.col("__end") > k)
+            )
+            cond = c if cond is None else (cond | c)
+        vals: dict[tuple[str, int], float] = {}
+        if cond is not None:
+            for r in cum.where(cond).collect():
+                for f_, k in need:
+                    if f_ == r["__feat"] and r["__start"] <= k < r["__end"]:
+                        vals[(f_, k)] = r["__val"]
+        out = {}
+        for f_ in totals:
+            res = []
+            for p in probs:
+                position, lo, hi = pos[(f_, p)]
+                res.append(
+                    _interp_percentile(
+                        position, lo, hi, vals[(f_, lo)], vals[(f_, hi)]
+                    )
+                )
+            out[f_] = res
+        return out
+    finally:
+        cnts.unpersist()
+
+
 def fit_scaler(
     df: DataFrame,
     cols: Sequence[str] | str,
@@ -212,14 +342,23 @@ def winsorize(
     literal-inlined codegen.  NULLs pass through untouched."""
     cols_l = _cols(cols)
     m = _melt_num(df, cols_l)
-    pct = F.approx_percentile if approx else F.percentile
-    q = pct(F.col("__val"), F.array(F.lit(float(lower)), F.lit(float(upper))))
-    bounds = {
-        r["feature"]: (r["lo"], r["hi"])
-        for r in m.groupBy(F.col("__feat").alias("feature"))
-        .agg(q[0].alias("lo"), q[1].alias("hi"))
-        .collect()
-    }
+    if approx:
+        q = F.approx_percentile(
+            F.col("__val"), F.array(F.lit(float(lower)), F.lit(float(upper)))
+        )
+        bounds = {
+            r["feature"]: (r["lo"], r["hi"])
+            for r in m.groupBy(F.col("__feat").alias("feature"))
+            .agg(q[0].alias("lo"), q[1].alias("hi"))
+            .collect()
+        }
+    else:
+        # distributed exact-percentile histogram (r6): identical values
+        # to F.percentile without its single-reducer map merge — 17.9s
+        # -> ~2.5s on lineitem.l_extendedprice at sf1.0
+        ep = exact_percentiles(m, [float(lower), float(upper)])
+        bounds = {c: (v[0], v[1]) for c, v in ep.items()}
+        bounds.update({c: (None, None) for c in cols_l if c not in bounds})
     out = df
     for c in cols_l:
         lo, hi = bounds[c]

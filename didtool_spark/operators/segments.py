@@ -243,8 +243,11 @@ def rfm_segments(
     per = per.drop("__last")
     # the per-entity table feeds three rank fits (each an eager
     # percentile action) plus the final plan — persist or the raw
-    # stream re-aggregates for every pass
-    per = per.persist()
+    # stream re-aggregates for every pass.  Keep a handle on the
+    # EXACT persisted Dataset: unpersist matches on the logical plan,
+    # so calling it on a frame later derived via withColumn/drop is a
+    # silent no-op and the cache leaks (ADVICE r5)
+    per = _cached = per.persist()
 
     # rank monetary on whole cents: a float SUM's partial-aggregation
     # order differs between engines (and between runs at different
@@ -300,7 +303,7 @@ def rfm_segments(
         # r4).  eager_release=False keeps the lazy plan (composition /
         # plan inspection) — the caller owns the cache lifetime then.
         out = out.localCheckpoint(eager=True)
-        per.unpersist()
+        _cached.unpersist()
     return out
 
 
@@ -317,9 +320,11 @@ def pareto_curve(
     grand total down the ranking — "the top x% of entities hold y% of
     the value".  ``cum_share``/``frac_keys`` are the curve's (y, x).
     """
-    per = df.groupBy(F.col(key).alias("key")).agg(
+    # feeds the rank fit action + the final plan twice; keep the exact
+    # persisted Dataset for release (see rfm_segments / ADVICE r5)
+    per = _cached = df.groupBy(F.col(key).alias("key")).agg(
         F.sum(amount_col).alias("amount")
-    ).persist()  # feeds the rank fit action + the final plan twice
+    ).persist()
     # rank on whole cents (see rfm_segments) so engine-order float
     # summation cannot reorder near-equal entities
     per = per.withColumn(
@@ -351,5 +356,5 @@ def pareto_curve(
     if eager_release:
         # see rfm_segments: release the per-entity cache before return
         out = out.localCheckpoint(eager=True)
-        per.unpersist()
+        _cached.unpersist()
     return out

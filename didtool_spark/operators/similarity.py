@@ -825,39 +825,70 @@ def _semantic_dedup_grouped(
         ).reset_index(drop=True)
         m = len(pdf)
         X = np.array([np.asarray(v, dtype=prod_dtype) for v in pdf["v"]])
+        # row-BLOCKED upper-triangular sweep (r6): the r5 kernel
+        # accumulated the full m x m float64 matrix through 64
+        # full-matrix passes with an .astype temp per dimension —
+        # O(d·m²·24B) of memory traffic and O(m²) resident, which both
+        # explode as fixed-centroid clusters grow with the corpus.
+        # Blocks of rows keep the accumulator cache-sized and bound
+        # memory at O(B·m); the PER-ELEMENT arithmetic is unchanged:
+        # float32 products (np.multiply.outer on float32 slices) added
+        # into a float64 accumulator in ascending dimension order —
+        # the same sequential-sum the JVM _dot / DuckDB list_sum
+        # replay computes, value-identical pair for pair.
+        d = X.shape[1] if X.ndim == 2 else 0
+        XT = np.ascontiguousarray(X.T) if d else X
         acc_n = np.zeros(m, dtype=np.float64)
-        S = np.zeros((m, m), dtype=np.float64)
-        for k in range(X.shape[1]):
-            col = X[:, k]
+        for k in range(d):
+            col = XT[k]
             acc_n += (col * col).astype(np.float64)
-            S += np.outer(col, col).astype(np.float64)
         n = np.sqrt(acc_n)
-        # numpy 0/0 -> NaN where the JVM try_divide yields NULL: both
-        # mean "no defined similarity" and are EXCLUDED from the prior
-        # max, so a zero-norm side never poisons the keep decision
-        with np.errstate(divide="ignore", invalid="ignore"):
-            S = S / np.outer(n, n)
-        prior = np.tril(np.ones((m, m), dtype=bool), -1)  # cols j < row i
-        valid = prior & ~np.isnan(S)
-        vals = np.where(valid, S, -np.inf).max(axis=1) if m else np.array([])
-        has_valid = valid.any(axis=1) if m else np.array([], dtype=bool)
-        # no defined prior sim (opener, or all priors zero-norm) ->
-        # NULL max_prior_sim and is_dup False, same as the join path's
-        # left-join + coalesce
-        maxp = np.where(has_valid, vals, np.nan)
+        maxp = np.full(m, np.nan)
+        is_dup = np.zeros(m, dtype=bool)
+        B = 512
+        for s in range(1, m, B):
+            e = min(s + B, m)
+            S = np.zeros((e - s, e), dtype=np.float64)
+            for k in range(d):
+                col = XT[k]
+                # float32 outer product, upcast exactly on +=
+                S += np.multiply.outer(col[s:e], col[:e])
+            # numpy 0/0 -> NaN where the JVM try_divide yields NULL:
+            # both mean "no defined similarity" and are EXCLUDED from
+            # the prior max, so a zero-norm side never poisons the
+            # keep decision
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = S / np.multiply.outer(n[s:e], n[:e])
+            prior = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            valid = prior & ~np.isnan(S)
+            vals = np.where(valid, S, -np.inf).max(axis=1)
+            hv = valid.any(axis=1)
+            # no defined prior sim (opener, or all priors zero-norm)
+            # -> NULL max_prior_sim and is_dup False, same as the join
+            # path's left-join + coalesce
+            maxp[s:e] = np.where(hv, vals, np.nan)
+            is_dup[s:e] = hv & (vals >= thr)
         return pd.DataFrame(
             {
                 "id": pdf["id"],
                 "cluster": pdf["cluster"],
                 "centroid_dist": pdf["centroid_dist"],
                 "max_prior_sim": maxp,
-                "is_dup": has_valid & (vals >= thr),
+                "is_dup": is_dup,
             }
         )
 
     id_t = base.schema["id"].dataType.simpleString()
     cl_t = base.schema["cluster"].dataType.simpleString()
-    out = base.groupBy("cluster").applyInPandas(
+    # pin the kernel's parallelism: an explicit repartition on the
+    # grouping key satisfies applyInPandas' clustering requirement, so
+    # no second exchange is added, and — unlike the bare groupBy
+    # shuffle — AQE's BYTE-based coalescing cannot fold the O(|C|^2)
+    # CPU-heavy cluster kernels onto a handful of tasks just because
+    # embeddings are only a few MB (guide §2.5: partition for the
+    # compute, not the bytes)
+    par = base.sparkSession.sparkContext.defaultParallelism
+    out = base.repartition(par, "cluster").groupBy("cluster").applyInPandas(
         per_cluster,
         f"id {id_t}, cluster {cl_t}, centroid_dist double, "
         "max_prior_sim double, is_dup boolean",

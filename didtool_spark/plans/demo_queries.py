@@ -41,8 +41,58 @@ from ..operators.temporal import (
 GAP_S = 1800
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# The gate tables arrive as ONE parquet file each with very few row
+# groups (the sf1.0 set: events 1M rows / 1 row group, documents 50k /
+# 1), so a bare read is a ONE-task scan — every per-row-heavy
+# expression chain (token split + md5 per gram, text features, grid
+# interpolation) serializes on a single core however many the session
+# has.  Guide §2.5 ("input skew: one huge unsplittable file …
+# repartition immediately after the read"): spread a table over the
+# session's parallelism by hashing its unique key — deterministic (no
+# round-robin sort, no rand()), and an EXPLICIT partition count so
+# AQE's byte-based coalescing (which sees only MBs here) cannot fold
+# the CPU-heavy work back onto one task.  Filters and column pruning
+# push through RepartitionByExpression, so scans keep PushedFilters /
+# narrow ReadSchema.
+#
+# Policy (measured at sf1.0, BENCH/r06_baseline_sf1.json vs the
+# re-run): `documents` and `embeddings` spread by DEFAULT — every
+# consumer tokenizes/hashes or runs vector kernels per row, and the
+# blanket measurement showed only wins.  The row-heavy relational
+# tables (events/lineitem/orders/customer) spread ONLY where the query
+# opts in (spread=True at the call site): for expression-light window/
+# join queries the extra exchange is a pure ~0.3-1.5s tax, and for the
+# exact-percentile fits it even makes the single-reducer merge WORSE
+# (32 partial value-count maps to merge instead of 1-6).  Scale note:
+# the partition count derives from defaultParallelism (executor count
+# on a cluster), never a local constant; on inputs already laid out as
+# many splits the extra exchange is one pruned-column pass — and the
+# keyed spread is how the same query survives a single giant
+# gzip/one-row-group input at any scale.
+_SPREAD_KEYS = {
+    "documents": "doc_id",
+    "events": "event_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "embeddings": "vec_id",
+}
+
+_SPREAD_DEFAULT = {"documents", "embeddings"}
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread is None:
+        spread = name in _SPREAD_DEFAULT
+    key = _SPREAD_KEYS.get(name)
+    if spread and key is not None:
+        df = df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
+    return df
 
 
 # ---------------------------------------------------------------- temporal
@@ -897,21 +947,22 @@ def q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     one categorical + one numeric column into 32 signed hashed slots,
     exploded to (event_id, idx, v) long form for the value hash.
     Per-row duplicate indices are expression-fold-merged."""
-    from ..operators.feature_hash import hash_vectorize
+    from ..operators.feature_hash import hash_vectorize_long
 
-    ev = load(spark, sf_dir, "events")
-    out = hash_vectorize(
+    ev = load(spark, sf_dir, "events", spread=True)
+    # long form directly (r6): identical rows to exploding the
+    # canonical hash_vectorize array (parity-tested), without paying
+    # the interpreted per-row fold under the explode — see
+    # feature_hash.hash_vectorize_long
+    out = hash_vectorize_long(
         ev,
+        "event_id",
         cat_cols=["event_type"],
         num_cols=["value"],
         n_features=32,
         hash_fn="md5_60",
     )
-    return out.select("event_id", F.explode("features").alias("f")).select(
-        "event_id",
-        F.col("f.idx").alias("idx"),
-        F.round("f.v", 6).alias("v"),
-    )
+    return out.select("event_id", "idx", F.round("v", 6).alias("v"))
 
 
 SQL_HASH_FEATURES = """
@@ -1062,7 +1113,7 @@ def q_turn_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal (1.0 = the turn repeats the previous one)."""
     from ..operators.seq_features import with_turn_novelty
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", spread=True)
     out = with_turn_novelty(ev, "props", keys="user_id", order=("ts", "event_id"))
     return out.select(
         "event_id",
@@ -1137,7 +1188,7 @@ def q_scale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals — pure codegen, no data join."""
     from ..operators.scalers import apply_scaler, fit_scaler
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     stats = fit_scaler(li, cols, method="standard")
     out = apply_scaler(li.select("l_orderkey", "l_linenumber", *cols), stats)
@@ -1221,7 +1272,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     `percentile` == DuckDB quantile_cont (linear interpolation)."""
     from ..operators.scalers import winsorize
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     out = winsorize(
         li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
         ["l_quantity", "l_extendedprice"],
@@ -1312,7 +1363,7 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mi.probit_sql)."""
     from ..operators.mi import quantile_transform
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", spread=True)
     out = quantile_transform(
         ev, ["value"], n_quantiles=_QT_B, output="normal"
     )
@@ -1362,7 +1413,7 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, bucket) sort."""
     from ..operators.resample import resample_grid
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", spread=True)
     out = resample_grid(
         ev, "value", step_s=21600, keys="user_id", ts_col="ts",
         agg="last", ffill=True,
@@ -1509,7 +1560,7 @@ def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     test window."""
     from ..operators.cv import rolling_origin_folds
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", spread=True)
     out = rolling_origin_folds(ev, n_folds=5, ts_col="ts", min_train_folds=1)
     return out.select(
         "event_id",
@@ -1582,7 +1633,7 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives.  Gate uses hash_fn='md5_60' for the SQL replay."""
     from ..operators.negatives import negative_samples
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     part = load(spark, sf_dir, "part").select("p_partkey")
     pos = li.select(
         "l_suppkey", F.col("l_partkey").alias("p_partkey")
@@ -2134,7 +2185,7 @@ def q_group_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     models = fit_logistic_per_group(
         fitd, ["x1", "x2"], "y", group_cols="g",
     ).withColumnRenamed("g", "event_type")
-    ev = load(spark, sf_dir, "events").where(
+    ev = load(spark, sf_dir, "events", spread=True).where(
         F.col("value").isNotNull()
     ).select(
         "event_id", "event_type",
@@ -2238,7 +2289,7 @@ def q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number()-desc = 1."""
     from ..operators.scd import snapshot_latest
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", spread=True)
     out = snapshot_latest(
         ev, keys=("user_id", "event_type"), order=("ts", "event_id")
     )
@@ -2501,7 +2552,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort), exactly replicating the oracle's NTILE windows."""
     from ..operators.segments import rfm_segments
 
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders", spread=True)
     out = rfm_segments(
         orders, key="o_custkey", ts_col="o_orderdate",
         amount_col="o_totalprice", n=5,
@@ -2553,7 +2604,7 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the plain global window DuckDB can afford."""
     from ..operators.segments import pareto_curve
 
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders", spread=True)
     out = pareto_curve(orders, "o_custkey", "o_totalprice")
     return out.select(
         F.col("key").alias("custkey"),

@@ -84,6 +84,15 @@ def materialize_features(
         df.withColumn("text_len", F.length("text"))
         .withColumn("n_tokens", n_tokens)
         .withColumn(
+            # NULL-role note (ADVICE r5): a NULL role falls to the
+            # otherwise(3) "other" code, so is_user/is_assistant/
+            # is_tool read 0 — whereas turn_features' bare
+            # (role == 'user').cast("int") would yield NULL.  This is
+            # the DOCUMENTED behavior of the packed path: a null role
+            # is "some other role", not "unknown flags".  Transcript
+            # sources in this repo never emit null roles (generator
+            # and parquet schema are non-null), so the two paths are
+            # byte-identical on every real input.
             "__role_code",
             F.when(F.col("role") == "user", 0)
             .when(F.col("role") == "assistant", 1)

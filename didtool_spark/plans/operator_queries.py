@@ -19,9 +19,9 @@ from ..operators.split import split_data
 from ..operators.woe import LabelEncoder, WOEEncoder
 from .demo_queries import load
 
-def _events(spark, sf_dir):
+def _events(spark, sf_dir, spread: bool = False):
     # Column exprs must be built lazily (need an active SparkContext)
-    return load(spark, sf_dir, "events").withColumn(
+    return load(spark, sf_dir, "events", spread=spread).withColumn(
         "y", (F.col("event_type") == "error").cast("int")
     )
 
@@ -122,7 +122,7 @@ SQL_CHI_BIN = _edge_replay_sql(CHI_GATE_EDGES)
 # -------------------------------------------------------------- WOE / IV
 
 def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, spread=True)
     enc = WOEEncoder().fit(ev, "event_type", "y")
     return ev.select(
         "event_id", F.round(enc.expr("event_type"), 6).alias("event_type_woe")
@@ -237,7 +237,7 @@ def q_list_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ListTransformer membership mode (reference transformer.py:532-643)
     over a deterministic two-token list column; output columns sorted by
     name like the reference's transform."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", spread=True)
     lst = F.concat_ws(
         ",",
         F.concat(F.lit("t"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")),
@@ -271,7 +271,7 @@ FROM b
 
 
 def q_psi_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", spread=True)
     expected = ev.where(F.col("event_id") % 2 == 0)
     actual = ev.where(F.col("event_id") % 2 == 1)
     v = psi(expected, actual, "event_type", is_continuous=False)
@@ -301,7 +301,7 @@ def q_iv_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     (feature, value) cell; per-feature IV is driver math over that
     aggregate. The oracle melts the same two features in SQL and
     replays the 0.5-floor IV formula per feature."""
-    ev = _events(spark, sf_dir).withColumn(
+    ev = _events(spark, sf_dir, spread=True).withColumn(
         "vband",
         F.concat(
             F.lit("b"),
@@ -351,7 +351,7 @@ def q_psi_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE groupBy; each of the 4 (feature x group-pair) PSIs is driver
     math. Oracle replays the pairing, union-of-values universe, and
     1e-10 rate floors."""
-    ev = load(spark, sf_dir, "events").withColumn(
+    ev = load(spark, sf_dir, "events", spread=True).withColumn(
         "grp", F.concat(F.lit("g"), F.pmod(F.col("event_id"), 3).cast("string"))
     ).withColumn(
         "vband",
@@ -414,7 +414,7 @@ def q_selector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by unit goldens (not ANSI-SQL-expressible ordering)."""
     from ..operators.selector import Selector
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir, spread=True)
     df = ev.select(
         "y",
         F.col("value").alias("v1"),
@@ -492,7 +492,7 @@ SELECT 'corr', 'v2', 'v3', round(corr(v2, v3), 6) FROM src
 # ------------------------------------------------------------- encoders
 
 def q_category_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", spread=True)
     ct = CategoryTransformer().fit(ev, ["event_type"])
     return ev.select("event_id", ct.expr("event_type").alias("event_type_code"))
 
@@ -509,7 +509,7 @@ FROM events e JOIN r USING (event_type)
 
 
 def q_onehot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", spread=True)
     oht = OneHotTransformer().fit(ev, ["event_type"])
     return ev.select("event_id", *oht.exprs("event_type")).drop("event_type_others")
 
@@ -678,7 +678,7 @@ def _scorecard_input(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         % 100000
     ) / 100000.0
-    return _events(spark, sf_dir).withColumn(
+    return _events(spark, sf_dir, spread=True).withColumn(
         "prob", u * 0.98 + F.col("y") * 0.01 + 0.005
     )
 
@@ -749,7 +749,7 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer, so the doubles agree bit-for-bit before rounding."""
     from ..operators.target_encode import target_encode
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", spread=True)
     df = ev.select(
         "event_id",
         "event_type",

@@ -198,7 +198,10 @@ _NEAR_PAIRS_MEMO: dict = {}
 
 
 def _planted_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # applicationId is a stable session identity — id(spark) can be
+    # reused by a NEW session after the old one is GC'd, which would
+    # hand back checkpoint blocks of a dead session (ADVICE r5)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NEAR_PAIRS_MEMO:
         pairs = minhash_near_dupes(
             _docs_with_planted_near(spark, sf_dir), "text", "doc_id",
@@ -219,11 +222,12 @@ _FUZZY_PAIRS_MEMO: dict = {}
 
 
 def _fuzzy_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # stable session identity, not id() — see _planted_near_pairs
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _FUZZY_PAIRS_MEMO:
         from ..operators.linkage import fuzzy_pairs
 
-        cust = load(spark, sf_dir, "customer")
+        cust = load(spark, sf_dir, "customer", spread=True)
         pairs = fuzzy_pairs(
             cust, "c_custkey", "c_name", max_dist=2, prefix_len=16,
             length_bucket=4,
@@ -1012,6 +1016,19 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     t = with_text_features(docs, "text")
     t = with_lang_id(t, "text", "lang_pred")
+    # materialization barrier (r6): Catalyst pushes the quality filter
+    # BELOW the feature projection by substituting the full
+    # higher-order-function trees into the predicate, and HOFs are
+    # CodegenFallback — no subexpression elimination — so every token
+    # split / stopword aggregate re-evaluates per reference (measured:
+    # the filter alone took the stage from 2.7s to 19.9s at sf1.0).
+    # Checkpointing the scored rows (50k x ~200B of features) makes
+    # the filter and every downstream stage read MATERIALIZED columns;
+    # the checkpoint is per-invocation (recomputed by every bench rep,
+    # nothing persists across runs).
+    t = t.select(
+        "doc_id", "text", "n_tokens", "quality_score", "lang_pred"
+    ).localCheckpoint(eager=True)
     kept = t.where(
         (F.col("quality_score") >= 0.5)
         & (F.col("n_tokens") >= 5)
@@ -1991,7 +2008,7 @@ def q_loop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     turn text — few distinct values, so real repetition structure)."""
     from ..operators.transcript import loop_stats
 
-    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    ev = load(spark, sf_dir, "events", spread=True).select("user_id", "event_id", "event_type")
     # bucketed = the hot-key-safe scale path (bucket_size sized so the
     # gate data really spans buckets); the window strategy is
     # equivalence-tested against it in test_transcript_ops.py
@@ -2124,7 +2141,7 @@ def q_tool_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     try_cast NULL-on-malformed) feeding a per-conversation rollup."""
     from ..functions.exprs import with_json_fields
 
-    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "props")
+    ev = load(spark, sf_dir, "events", spread=True).select("user_id", "event_type", "props")
     j = with_json_fields(ev, "props", {"k": ("$.k", "long")})
     return j.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -2798,7 +2815,7 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k before the exchange). The oracle replays the md5 ordering."""
     from ..operators.profile import group_sample
 
-    ev = load(spark, sf_dir, "events").select(
+    ev = load(spark, sf_dir, "events", spread=True).select(
         "event_id", "event_type", "user_id"
     )
     return group_sample(ev, "event_type", k=7, id_col="event_id", seed=0)
@@ -3033,7 +3050,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-6 convention keeps nine significant digits."""
     from ..operators.graph import pagerank
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = load(spark, sf_dir, "lineitem", spread=True).select("l_orderkey", "l_partkey")
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
     )
@@ -3108,7 +3125,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(u)/w ranking."""
     from ..operators.profile import weighted_sample
 
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders", spread=True)
     out = weighted_sample(
         orders, group_col="o_custkey", k=3, id_col="o_orderkey",
         weight_col="o_totalprice", seed=0,

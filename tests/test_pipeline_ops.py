@@ -704,6 +704,37 @@ def test_connected_components_driver_path_matches_distributed(spark):
     assert f[19] == 10 and f[103] == 100 and f[7] == 3 and 42 not in f
 
 
+def test_numpy_union_find_matches_dict_union_find():
+    """The vectorized driver union-find (r6: Arrow collect + numpy
+    min-label pointer jumping) must label exactly like the dict-based
+    reference on adversarial shapes: long chains (deep label
+    propagation), random graphs, and duplicate/reversed edges."""
+    import random
+
+    import numpy as np
+
+    from didtool_spark.operators.dedup import (
+        _driver_union_find, _numpy_union_find,
+    )
+
+    rng = random.Random(13)
+    cases = [
+        [(i + 1, i) for i in range(500)],                    # reversed chain
+        [(i, i + 1) for i in range(500)],                    # chain
+        [(rng.randrange(300), rng.randrange(300)) for _ in range(900)],
+        [(2 * i, 2 * i + 1) for i in range(200)]             # pairs +
+        + [(0, 2), (1, 3), (7, 9)],                          # some merges
+    ]
+    for edges in cases:
+        edges = [(u, v) for u, v in edges if u != v]
+        ref = _driver_union_find(edges)
+        u = np.array([e[0] for e in edges], dtype=np.int64)
+        v = np.array([e[1] for e in edges], dtype=np.int64)
+        ids, comp = _numpy_union_find(u, v)
+        got = dict(zip(ids.tolist(), comp.tolist()))
+        assert got == ref
+
+
 def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
     from didtool_spark.operators.dedup import paragraph_dedup
 
@@ -1111,3 +1142,38 @@ def test_prototype_prune_ranks_and_fraction(spark):
     a = out.sort_values("vec_id").reset_index(drop=True)
     b = out2.sort_values("vec_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_hash_vectorize_long_matches_exploded_array(spark):
+    """The r6 long-form hashing path must emit exactly the rows that
+    exploding hash_vectorize's canonical array would — including NULL
+    categoricals (a level), NULL numerics (dropped), and sign-hash
+    cancellation on colliding indices."""
+    from pyspark.sql import functions as F
+
+    from didtool_spark.operators.feature_hash import (
+        hash_vectorize, hash_vectorize_long,
+    )
+
+    rows = [
+        (0, "click", 10.0), (1, None, 3.5), (2, "view", None),
+        (3, "error", -7.25), (4, "click", 0.0), (5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, et string, v double")
+    # n_features=2 forces index collisions so the per-row merge matters
+    for nf in (2, 8):
+        wide = hash_vectorize(
+            df, cat_cols=["et"], num_cols=["v"], n_features=nf,
+            hash_fn="md5_60",
+        )
+        exploded = (
+            wide.select("id", F.explode("features").alias("f"))
+            .select("id", F.col("f.idx").alias("idx"), F.col("f.v").alias("v"))
+        )
+        long = hash_vectorize_long(
+            df, "id", cat_cols=["et"], num_cols=["v"], n_features=nf,
+            hash_fn="md5_60",
+        )
+        a = sorted(map(tuple, exploded.collect()))
+        b = sorted(map(tuple, long.collect()))
+        assert a == b, (nf, a, b)

@@ -75,13 +75,32 @@ def test_whole_stage_codegen_covers_transform(spark):
 
 def test_user_rollup_single_exchange(spark):
     """sessionize + same-key groupBy share ONE hash partitioning: the
-    rollup adds no exchange over the window's."""
+    rollup adds no exchange over the window's.  (events is NOT in
+    load()'s default scan-spread set — window-family queries opt out,
+    see demo_queries._SPREAD_DEFAULT — so the plan stays at exactly
+    one exchange.)"""
     import re
 
     from didtool_spark.plans.demo_queries import q_user_rollup
 
     p = plan_str(q_user_rollup(spark, SF))
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p[:3000]
+
+
+def test_load_spread_keeps_scan_pushdown(spark):
+    """The r6 scan-spread (documents/embeddings spread by default,
+    spread=True opt-in elsewhere) must not break filter/column
+    pushdown: the predicate and the pruned schema still reach the
+    parquet scan below the RepartitionByExpression exchange."""
+    from didtool_spark.plans.demo_queries import load
+
+    df = load(spark, SF, "documents")
+    q = df.where(F.col("doc_id") % 2 == 0).select("doc_id")
+    p = plan_str(q)
+    assert "Exchange" in p, p[:2000]          # the deliberate spread
+    assert "PushedFilters:" in p, p[:2000]
+    sch = p.split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in sch, sch              # column pruning survives
 
 
 def test_curation_plan_shapes(spark):

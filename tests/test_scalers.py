@@ -101,3 +101,46 @@ def test_winsorize_train_serve_split_is_pure_expr(spark):
     df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
     out = winsorize(df, ["x"], 0.05, 0.95)
     assert not re.findall(r"\(\d+\) Exchange", plan_str(out))
+
+
+def test_exact_percentiles_bit_identical_to_spark_percentile(spark):
+    """The r6 histogram percentile (exact_percentiles) must reproduce
+    F.percentile BIT-exactly: same ordinals, same two-sided
+    interpolation, same equal-key short-circuits — over duplicates,
+    skewed counts, negative values, and single-row groups."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from didtool_spark.operators.scalers import _melt_num, exact_percentiles
+
+    rng = random.Random(31)
+    cases = [
+        [rng.uniform(-1e6, 1e6) for _ in range(rng.randint(1, 60))],
+        [rng.choice([1.5, 2.25, -3.0, 7.125]) for _ in range(50)],  # dups
+        [5.0] * 17,                                                  # constant
+        [float(i % 7) for i in range(33)],                           # few keys
+    ]
+    probs = [0.0, 0.05, 1 / 3, 0.5, 0.77, 0.95, 1.0]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "a double")
+        m = _melt_num(df, ["a"])
+        got = exact_percentiles(m, probs)["a"]
+        exp = df.agg(
+            F.percentile("a", F.array(*[F.lit(p) for p in probs])).alias("q")
+        ).collect()[0]["q"]
+        assert got == list(exp), (vals[:5], got, exp)
+
+    # all-NULL column: absent from the result (winsorize maps it to
+    # (None, None) bounds, preserving the F.percentile NULL contract)
+    dfn = spark.createDataFrame([(None,), (None,)], "a double")
+    assert exact_percentiles(_melt_num(dfn, ["a"]), [0.5]) == {}
+
+    # the window-based distributed fallback (forced with
+    # max_driver_rows=0) must agree with the numpy path exactly
+    vals = [rng.uniform(-100, 100) for _ in range(40)] + [3.5] * 5
+    df = spark.createDataFrame([(v,) for v in vals], "a double")
+    m = _melt_num(df, ["a"])
+    fast = exact_percentiles(m, probs)
+    slow = exact_percentiles(m, probs, max_driver_rows=0)
+    assert fast == slow
