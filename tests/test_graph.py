@@ -99,3 +99,49 @@ def test_pagerank_empty_edges(spark):
     out = pagerank(empty).toPandas()
     assert len(out) == 0
     assert list(out.columns) == ["node", "rank"]
+
+
+def test_pagerank_driver_matches_distributed(spark):
+    # r6: the bounded driver path (numpy bincount power iteration) must
+    # land on the same ranks as the distributed join plan, on a graph
+    # with dangling AND zero-in-degree nodes, incl. the rounding the
+    # gate query applies
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(160)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = _df(spark, edges)
+    drv = pagerank(df, iterations=6, tol=None).toPandas()
+    dst = pagerank(df, iterations=6, tol=None, max_driver_edges=0).toPandas()
+    d1 = dict(zip(drv.node, np.round(drv["rank"] * 1e6, 6)))
+    d2 = dict(zip(dst.node, np.round(dst["rank"] * 1e6, 6)))
+    assert d1 == d2
+
+
+def test_pagerank_dedupe_matches_prededuped(spark):
+    # dedupe=True on a multiset input == caller-side .distinct(), on
+    # both the driver and the distributed path
+    edges = [(1, 2), (1, 2), (2, 3), (3, 1), (2, 3), (4, 1), (1, 2)]
+    df = _df(spark, edges)
+    base = pagerank(df.distinct(), iterations=6, tol=None).toPandas()
+    for mde in (30_000_000, 0):
+        got = pagerank(
+            df, iterations=6, tol=None, dedupe=True, max_driver_edges=mde
+        ).toPandas()
+        b = dict(zip(base.node, np.round(base["rank"] * 1e6, 6)))
+        g = dict(zip(got.node, np.round(got["rank"] * 1e6, 6)))
+        assert b == g, mde
+
+
+def test_pagerank_driver_early_stop_cadence(spark):
+    # tol early-stop on the driver path follows the checkpoint_every
+    # cadence and converges to the fixed-count ranks
+    df = _df(spark, EDGES)
+    fixed = pagerank(df, iterations=60, tol=None).toPandas()
+    early = pagerank(df, iterations=60, checkpoint_every=2, tol=1e-9).toPandas()
+    f = dict(zip(fixed.node, fixed["rank"]))
+    g = dict(zip(early.node, early["rank"]))
+    assert set(f) == set(g)
+    for v in f:
+        assert abs(f[v] - g[v]) < 1e-8, v
