@@ -129,3 +129,59 @@ def test_fuzzy_pairs_rejects_narrow_length_bucket(spark):
         fuzzy_pairs(
             _df(spark), "id", "name", max_dist=4, length_bucket=2
         )
+
+
+def test_levenshtein_arrow_matches_jvm(spark):
+    # r6 Arrow kernel vs F.levenshtein on adversarial strings:
+    # unicode, empty, equal, insert/delete-heavy, long-vs-short
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from didtool_spark.operators.linkage import _levenshtein_arrow_udf
+
+    cases = [
+        ("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+        ("kitten", "sitting"), ("flaw", "lawn"),
+        ("intention", "execution"), ("a", "b"),
+        ("ab", "ba"), ("abcdefghij", "jihgfedcba"),
+        ("naïve café", "naive cafe"), ("héllo wörld", "hello world"),
+        ("日本語テキスト", "日本語のテキスト"), ("😀😃😄", "😀😄"),
+        ("customer#000000001", "customer#000000101"),
+        ("x" * 40, "x" * 39 + "y"), (None, "abc"), ("abc", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(cases, columns=["a", "b"]).astype(object)
+    )
+    got = df.select(
+        "a", "b",
+        _levenshtein_arrow_udf()(F.col("a"), F.col("b")).alias("k"),
+        F.levenshtein("a", "b").alias("j"),
+    ).toPandas()
+    for _, r in got.iterrows():
+        assert (pd.isna(r["k"]) and pd.isna(r["j"])) or r["k"] == r["j"], (
+            r["a"], r["b"], r["k"], r["j"])
+
+
+def test_fuzzy_pairs_arrow_matches_expr(spark):
+    # both compute paths must emit the identical pair set + distances
+    import pandas as pd
+
+    from didtool_spark.operators.linkage import fuzzy_pairs
+
+    names = [
+        (i, n)
+        for i, n in enumerate(
+            ["acme corp", "acme  corp", "acme cord", "acme co",
+             "beta llc", "beta lld", "beta llc ", "gamma inc",
+             "gamma 1nc", "delta gmbh", "delta gmb", "delta gmbhh"]
+        )
+    ]
+    df = spark.createDataFrame(pd.DataFrame(names, columns=["id", "name"]))
+    kw = dict(max_dist=2, prefix_len=4, length_bucket=4)
+    a = fuzzy_pairs(df, "id", "name", compute="arrow", **kw).toPandas()
+    e = fuzzy_pairs(df, "id", "name", compute="expr", **kw).toPandas()
+    key = ["id_a", "id_b"]
+    a = a.sort_values(key).reset_index(drop=True)
+    e = e.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, e)
