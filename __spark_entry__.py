@@ -31,31 +31,41 @@ from didtool_spark.plans import demo_queries, operator_queries, pipeline_queries
 #      guard that these stay value-correct.
 # tests/test_registry.py pins the resulting first-50 window.
 GATE_PRIORITY: list[str] = [
-    # -- tier 1 (round 5): the 41 registry queries never inside a
-    # driver gate window (sessions 5-8 additions; each was green in
-    # every full-registry local replay and in the r5 --bitexact sweep)
-    "feature_cross", "hash_features", "label_agreement", "transitions",
-    "turn_novelty", "embedding_pool", "scale_features", "impute",
-    "winsorize", "resample", "cv_folds", "purged_folds",
-    "negative_samples", "quality_checks", "time_rollup",
-    "distinct_rollup", "time_to_event", "drift_timeline", "group_models",
-    "funnel", "cohort", "cusum", "seq_ngrams", "interval_join", "scd2",
-    "snapshot", "kaplan_meier", "cuped", "ate_strata", "rfm", "pareto",
-    "cms_topk", "readability", "random_projection", "fuzzy_pairs",
-    "pagerank", "weighted_sample", "attribution", "seasonal", "welch_t",
-    "entity_resolution",
-    # -- tier 1b: the two r4 gate reds, re-checked after the
-    # negative-zero oracle fix (round(...)+0 — VERDICT r4 #1)
-    "trend_slope", "quantile_norm",
-    # -- tier 2 re-checks: media_features (decoder surface changed in
-    # r4/r5) plus the float-hairiest r4-greens that share the rounded-
-    # output shape the neg-zero class lives in — kept in-window so the
-    # class fix is confirmed not to disturb formerly-green hashes
-    "media_features", "mi_scores", "calibration", "isotonic",
-    "dist_distance", "zscore", "decayed_features",
-    # (everything else has been driver-hash-green in r3 or r4 and
-    # remains guarded by scripts/check_oracle.py --bitexact
-    # full-registry replays and tests/test_registry.py.)
+    # -- tier 1 (round 6): every query whose execution machinery this
+    # optimization round restructured — the driver gate must re-prove
+    # them, not just the local --bitexact replay.  pagerank (bounded
+    # numpy driver path + int ids + dedupe-inside), negative_samples
+    # (anti-join build side), fuzzy_pairs/entity_resolution (Arrow
+    # levenshtein kernel, shared memo), dedup_clusters/split_by_cluster
+    # (numpy union-find consumers), winsorize (histogram exact
+    # percentiles), hash_features (long-form vectorize),
+    # corpus_curation (checkpoint barrier), semantic_dedup (blocked
+    # kernel + pinned repartition), simhash (filter-before-dedup),
+    # minhash (spread docs), rfm/pareto (cache-release fix),
+    # quantile_norm (spread + grid fold).
+    "pagerank", "negative_samples", "fuzzy_pairs", "entity_resolution",
+    "dedup_clusters", "split_by_cluster", "winsorize", "hash_features",
+    "corpus_curation", "semantic_dedup", "simhash_dedup",
+    "minhash_dedup", "rfm", "pareto", "quantile_norm",
+    # -- tier 2 (VERDICT r5 next-round #2): the stalest evidence — the
+    # cohort whose only driver check was round 3, now two rounds of
+    # code drift behind (scan-spread touches every plan; the packed
+    # shuffle row touches session_features).  All green in every
+    # full-registry bitexact replay since.
+    "sessionize", "user_rollup", "lag_lead", "rolling", "rolling_time",
+    "backfill", "asof_join", "asof_join_bucketed", "asof_nearest",
+    "session_features", "training_set", "step_bin", "quantile_bin",
+    "dt_bin", "lgb_bin", "chi_bin", "woe_encode", "iv_discrete",
+    "iv_continuous", "psi_discrete", "psi_continuous", "iv_all",
+    "psi_all", "selector_stats", "list_encode", "category_encode",
+    "onehot_encode", "label_encode", "split_groups", "split_stacking",
+    "auc_ks", "auc_ks_binned", "scorecard", "target_encode",
+    "text_features",
+    # (the rest of the r3 cohort — lang_id, exact_dedup, fingerprints,
+    # ngram_jaccard, the embedding family — did not fit the 50-window;
+    # they and every other rotated-out query stay guarded by the
+    # full-registry scripts/check_oracle.py --bitexact sweeps and
+    # tests/test_registry.py.)
 ]
 
 
