@@ -46,6 +46,51 @@ def _lit_map(d: dict, cast_t: str):
     return F.create_map(*pairs) if pairs else F.create_map()
 
 
+def _driver_ranks(
+    per: DataFrame,
+    specs: Sequence[tuple[str, bool, str]],
+    tiebreak: Sequence[str],
+    sum_col: str | None,
+    cum_name: str,
+    total: int,
+) -> DataFrame:
+    """Bounded driver path for ``_global_ranks``: one Arrow collect of
+    the per-entity table, exact ranks via numpy lexsort — replaces the
+    percentile fit + bucket-stat collect + per-bucket windows (three
+    jobs over the cached table) with one pull and one createDataFrame.
+    Ordering mirrors the bucketed plan exactly: transformed value
+    ascending (callers pre-negate for DESC), NULL/NaN values LAST
+    ordered by the tiebreak alone, ranks 1..total as int64 (the
+    bucketed path's long offsets + row_number).  The running
+    ``cum_name`` is a sequential cumsum down the ranking — same
+    6-decimal-rounded values as the bucketed offset+window
+    decomposition (both already differ from a single sequential window
+    only in float association; parity asserted bit-exact in
+    tests/test_segments_driver.py)."""
+    import numpy as np
+
+    spark = per.sparkSession
+    pdf = per.toPandas()
+    n_rows = len(pdf)
+    for i, (_c, _desc, name) in enumerate(specs):
+        v = pdf[f"__v{i}"].to_numpy(dtype=np.float64, na_value=np.nan)
+        nullf = np.isnan(v)
+        vkey = np.where(nullf, 0.0, v)  # nulls ordered by tiebreak only
+        tb = [pdf[t].to_numpy() for t in tiebreak]
+        order = np.lexsort((*reversed(tb), vkey, nullf))
+        rk = np.empty(n_rows, dtype=np.int64)
+        rk[order] = np.arange(1, n_rows + 1)
+        pdf[name] = rk
+        if sum_col is not None and i == 0:
+            sv = pdf[sum_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            sv = np.where(np.isnan(sv), 0.0, sv)
+            cum = np.empty(n_rows, dtype=np.float64)
+            cum[order] = np.cumsum(sv[order])
+            pdf[cum_name] = cum
+    pdf = pdf.drop(columns=[f"__v{i}" for i in range(len(specs))])
+    return spark.createDataFrame(pdf)
+
+
 def _global_ranks(
     per: DataFrame,
     specs: Sequence[tuple[str, bool, str]],
@@ -54,6 +99,7 @@ def _global_ranks(
     approx: bool = False,
     sum_col: str | None = None,
     cum_name: str = "__cum",
+    max_driver_rows: int | None = 8_000_000,
 ) -> tuple[DataFrame, int]:
     """Dense global ranks (one per spec ``(value_col, descending,
     rank_name)``) over one table in TWO driver actions total: one
@@ -78,6 +124,22 @@ def _global_ranks(
         v = F.col(col).cast("double")
         per = per.withColumn(f"__v{i}", (-v) if desc else v)
         vs.append(f"__v{i}")
+
+    if max_driver_rows:
+        # one count on the (caller-persisted) per-entity table gates
+        # the bounded pull — the capped-collect-with-distributed-
+        # fallback pattern (binning fits, connected_components,
+        # pagerank).  A per-ENTITY table fits the cap far beyond the
+        # raw stream scale that motivates the bucketed machinery.
+        total = per.count()
+        # 0 rows falls through: the empty frame keeps its Spark schema
+        # on the bucketed path, while an empty pandas round-trip would
+        # have to re-infer dtypes
+        if 0 < total <= max_driver_rows:
+            return (
+                _driver_ranks(per, specs, tiebreak, sum_col, cum_name, total),
+                total,
+            )
 
     probs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
     fit_fn = "percentile_approx" if approx else "percentile"
