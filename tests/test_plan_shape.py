@@ -342,15 +342,31 @@ def test_session8_plan_shapes(spark):
     assert "SinglePartition" not in p, p[:2500]
     assert "hashpartitioning(user_id" in p, p[:2500]
 
-    # pareto rank: per-entity rows are ranked under __bk hash
-    # partitioning; SinglePartition appears only for the bounded
-    # bucket-stats window and the grand-total scalar.
-    # eager_release=False: the default eagerly checkpoints the result
-    # (cache hygiene, ADVICE r4), which truncates the inspectable plan
-    # to a Scan ExistingRDD — inspect the lazy plan instead
-    p = plan_str(
-        pareto_curve(
-            orders, "o_custkey", "o_totalprice", eager_release=False
+    # pareto rank, DISTRIBUTED regime (r6: below the 8M-entity cap the
+    # ranks come from the bounded numpy driver path — force the
+    # bucketed fallback to assert its shape): per-entity rows are
+    # ranked under __bk hash partitioning; SinglePartition appears
+    # only for the bounded bucket-stats window and the grand-total
+    # scalar.  eager_release=False: the default eagerly checkpoints
+    # the result (cache hygiene, ADVICE r4), which truncates the
+    # inspectable plan to a Scan ExistingRDD — inspect the lazy plan
+    import functools
+
+    import didtool_spark.operators.segments as seg
+
+    real = seg._global_ranks
+
+    def forced(*args, **kw):
+        kw["max_driver_rows"] = 0
+        return real(*args, **kw)
+
+    seg._global_ranks = functools.wraps(real)(forced)
+    try:
+        p = plan_str(
+            pareto_curve(
+                orders, "o_custkey", "o_totalprice", eager_release=False
+            )
         )
-    )
+    finally:
+        seg._global_ranks = real
     assert "hashpartitioning(__bk" in p, p[:2500]
